@@ -1,0 +1,222 @@
+"""PageRank as a skew-aware, checkpointed gather-scatter superstep loop.
+
+Substrate parity with the reference: each superstep has exactly the shape of
+one SAGE message-passing layer — gather = embedding lookup join
+(``/root/reference/halvesting_geometric/modules/link_classifier.py:33-34``),
+scatter = per-destination aggregate (``.../modules/sage.py:53-54,78-82``) — but
+re-expressed as DataFrame joins + hash aggregates that Catalyst/AQE plan, with
+explicit skew handling (salting / Arrow bincount partials / hot-vertex
+broadcast) and per-iteration Iceberg/parquet checkpoints so any iteration is
+resumable (north_rule).
+
+Semantics: classic damped PageRank with dangling-mass redistribution —
+
+    rank'(v) = (1-d)/n + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling_mass/n )
+
+so Σ rank = 1 at every iteration. Convergence: L1 delta < tol (1e-6 per
+BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.skew import partial_sum_arrow, salted_sum
+from halvesting_geometric_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (vertex_id, rank)
+    iterations: int
+    converged: bool
+    num_vertices: int
+    num_edges: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _scatter(msgs: DataFrame, agg_mode: str, n_salts: int) -> DataFrame:
+    """groupBy(dst).sum(contrib) under the selected skew strategy."""
+    if agg_mode == "groupby":
+        return msgs.groupBy("dst").agg(F.sum("contrib").alias("msg_sum"))
+    if agg_mode == "salted":
+        return salted_sum(
+            msgs, key="dst", value="contrib", n_salts=n_salts, salt_from="src",
+            out="msg_sum",
+        )
+    if agg_mode == "arrow":
+        return partial_sum_arrow(msgs, key="dst", value="contrib", out="msg_sum")
+    raise ValueError(f"unknown agg_mode {agg_mode!r}")
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    fixed_iters: int | None = None,
+    agg_mode: str = "groupby",
+    n_salts: int = 16,
+    hot_src_threshold: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_interval: int = 1,
+    resume: bool = False,
+) -> PageRankResult:
+    """Run PageRank to ``tol`` convergence (or exactly ``fixed_iters`` steps).
+
+    ``vertices``: DataFrame with a ``vertex_id`` column; defaults to the
+    vertex set induced by ``edges`` (but pass the real vertex table so
+    isolated vertices get rank mass). Precondition: ``vertices`` must be a
+    superset of all edge endpoints — contributions to a dst missing from
+    ``vertices`` are silently dropped and total rank mass leaks below 1
+    (``build_vertices`` guarantees the superset).
+
+    ``hot_src_threshold``: out-degree above which a source vertex's rank is
+    *broadcast* to its (many) edge rows instead of shuffled — the hot-vertex
+    broadcast path of the north_star. The edge table is split once
+    (loop-invariant) into hot/cold blocks; per iteration the hot block joins a
+    broadcast of the few hot ranks while the cold block takes the normal
+    shuffle join.
+    """
+    spark = edges.sparkSession
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vertex_id"))
+            .unionByName(edges.select(F.col("dst").alias("vertex_id")))
+            .distinct()
+        )
+    vertices = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = vertices.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    contrib_edges = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "out_deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = contrib_edges.count()  # materialize the loop-invariant once
+
+    hot_edges = cold_edges = None
+    hot_src: set[int] | None = None
+    if hot_src_threshold is not None:
+        hot_src = {
+            r["src"]
+            for r in out_deg.filter(F.col("out_deg") >= hot_src_threshold)
+            .select("src")
+            .collect()
+        }
+        hot_edges = contrib_edges.filter(
+            F.col("src").isin(list(hot_src) or [-1])
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cold_edges = contrib_edges.filter(
+            ~F.col("src").isin(list(hot_src) or [-1])
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        hot_edges.count(), cold_edges.count()
+
+    start_iter = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        start_iter = checkpoint.latest_iteration() + 1
+        ranks = checkpoint.load_state(start_iter - 1)
+    else:
+        ranks = vertices.select(
+            "vertex_id", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+
+    target = fixed_iters if fixed_iters is not None else max_iter
+    converged = False
+    all_metrics: list[dict] = []
+    it = start_iter
+    for it in range(start_iter, target):
+        t0 = time.monotonic()
+        rank_src = ranks.select(
+            F.col("vertex_id").alias("src"),
+            (F.col("rank")).alias("src_rank"),
+        )
+        if hot_src is not None and hot_edges is not None:
+            hot_ranks = rank_src.filter(F.col("src").isin(list(hot_src) or [-1]))
+            msgs_hot = hot_edges.join(F.broadcast(hot_ranks), "src").select(
+                "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
+            )
+            msgs_cold = cold_edges.join(rank_src, "src").select(
+                "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
+            )
+            msgs = msgs_cold.unionByName(msgs_hot)
+        else:
+            msgs = contrib_edges.join(rank_src, "src").select(
+                "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
+            )
+        sums = _scatter(msgs, agg_mode, n_salts).persist(StorageLevel.MEMORY_AND_DISK)
+        in_mass = sums.agg(F.sum("msg_sum")).first()[0] or 0.0
+        total = ranks.agg(F.sum("rank")).first()[0]
+        dangling = max(total - in_mass, 0.0)
+
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            vertices.join(
+                sums.select(F.col("dst").alias("vertex_id"), "msg_sum"),
+                "vertex_id",
+                "left",
+            )
+            .select(
+                "vertex_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        diff = new_ranks.join(
+            ranks.select("vertex_id", F.col("rank").alias("old_rank")), "vertex_id"
+        ).agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+            F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("linf"),
+        ).first()
+        delta_l1, delta_linf = float(diff["l1"]), float(diff["linf"])
+        wall = time.monotonic() - t0
+        row = {
+            "iteration": it,
+            "delta_l1": delta_l1,
+            "delta_linf": delta_linf,
+            "dangling_mass": dangling,
+            "wall_sec": wall,
+        }
+        all_metrics.append(row)
+
+        old = ranks
+        if checkpoint is not None and (
+            it % checkpoint_interval == 0 or it == target - 1
+        ):
+            ranks = checkpoint.save_state(it, new_ranks, metrics=row)
+            new_ranks.unpersist()
+        else:
+            # no durable checkpoint this step: truncate lineage in memory
+            ranks = new_ranks.localCheckpoint(eager=True)
+        old.unpersist()
+        sums.unpersist()
+
+        if fixed_iters is None and delta_l1 < tol:
+            converged = True
+            it += 1
+            break
+    else:
+        it = target
+        converged = fixed_iters is not None
+
+    contrib_edges.unpersist()
+    vertices.unpersist()
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it,
+        converged=converged,
+        num_vertices=n,
+        num_edges=m,
+        metrics=all_metrics,
+    )
