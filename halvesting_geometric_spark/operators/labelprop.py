@@ -1,0 +1,142 @@
+"""Synchronous label propagation with deterministic min-label tie-breaking.
+
+Substrate parity with the reference: one LP superstep has the shape of a GAT/
+SAGE neighborhood aggregate (``/root/reference/halvesting_geometric/modules/
+sage.py:78-82`` — gather neighbor states, reduce per destination), re-expressed
+as join + two-level hash aggregate. Determinism (north_star: assignments exact
+/ allclose) requires synchronous updates + a total tie order: most frequent
+neighbor label wins, ties broken by the smaller label.
+
+The per-vertex argmax avoids a window sort: ``max(struct(cnt, -label))`` picks
+max count then min label in a single hash aggregate — one shuffle instead of
+an aggregate plus a ranking window.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (vertex_id, label)
+    iterations: int
+    converged: bool
+    num_labels: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+    fixed_iters: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> LabelPropResult:
+    """Community labels over the undirected simple graph induced by ``edges``.
+
+    Initial label = vertex_id. Isolated vertices keep their own label.
+    Stops when no label changes (or after exactly ``fixed_iters`` steps).
+    """
+    spark = edges.sparkSession
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vertex_id"))
+            .unionByName(edges.select(F.col("dst").alias("vertex_id")))
+            .distinct()
+        )
+    vertices = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
+    simple = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = (
+        simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    start_iter = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        start_iter = checkpoint.latest_iteration() + 1
+        labels = checkpoint.load_state(start_iter - 1)
+    else:
+        labels = vertices.select(
+            "vertex_id", F.col("vertex_id").alias("label")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    target = fixed_iters if fixed_iters is not None else max_iter
+    converged = False
+    all_metrics: list[dict] = []
+    it = start_iter
+    for it in range(start_iter, target):
+        t0 = time.monotonic()
+        nbr_labels = sym.join(
+            labels.select(
+                F.col("vertex_id").alias("dst"), F.col("label").alias("nbr_label")
+            ),
+            "dst",
+        ).select(F.col("src").alias("vertex_id"), "nbr_label")
+        picked = (
+            nbr_labels.groupBy("vertex_id", "nbr_label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("vertex_id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("best"))
+            .select("vertex_id", (-F.col("best.neg")).alias("new_label"))
+        )
+        new_labels = (
+            labels.join(picked, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("vertex_id", F.col("label").alias("old_label")),
+                "vertex_id",
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        row = {
+            "iteration": it,
+            "changed": changed,
+            "wall_sec": time.monotonic() - t0,
+        }
+        all_metrics.append(row)
+        old = labels
+        if checkpoint is not None:
+            labels = checkpoint.save_state(it, new_labels, metrics=row)
+            new_labels.unpersist()
+        else:
+            labels = new_labels.localCheckpoint(eager=True)
+        old.unpersist()
+        if fixed_iters is None and changed == 0:
+            converged = True
+            it += 1
+            break
+    else:
+        it = target
+        converged = fixed_iters is not None
+
+    sym.unpersist()
+    vertices.unpersist()
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    n_labels = labels.select("label").distinct().count()
+    return LabelPropResult(
+        labels=labels,
+        iterations=it,
+        converged=converged,
+        num_labels=n_labels,
+        metrics=all_metrics,
+    )

@@ -1,0 +1,104 @@
+"""Exact triangle counting via degree-ordered orientation + wedge closure.
+
+North-rule operator (the reference has no triangle code; the closest shape is
+its edge⋈edge embedding gathers, ``/root/reference/halvesting_geometric/
+modules/link_classifier.py:33-36``). Algorithm: "compact-forward" /
+degree-ordering (Latapy 2008; Suri & Vassilvitskii's MR-friendly variant):
+
+1. canonicalize to the simple undirected graph (src<dst, no loops, dedup);
+2. orient each edge from the endpoint with (degree, id) lexicographically
+   smaller to the larger — every vertex's out-degree is then O(√E), which
+   bounds the wedge join that dominates at power-law scale;
+3. wedges = oriented ⋈ oriented on the common source; closure = join wedge
+   (b, c) against oriented edges. Each triangle is produced exactly once.
+
+All three steps are shuffle hash joins Catalyst/AQE plans (broadcast/skew
+handled automatically); no Python in the dataflow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.graph import canonical_edges
+
+
+@dataclass
+class TrianglesResult:
+    total: int
+    per_vertex: DataFrame  # (vertex_id, triangles) — zero rows omitted unless vertices given
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical edges oriented by (degree, id); degree columns carried so the
+    wedge-ordering filter needs no extra join."""
+    canon = canonical_edges(edges)
+    deg = (
+        canon.select(F.col("src").alias("v"))
+        .unionByName(canon.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")), "dst")
+    )
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    return with_deg.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("da"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("db"),
+    )
+
+
+def triangle_listing(edges: DataFrame) -> DataFrame:
+    """All triangles as rows (a, b, c); each triangle exactly once."""
+    o = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = o.select("a", F.col("b").alias("w1"), F.col("db").alias("dw1"))
+    e2 = o.select("a", F.col("b").alias("w2"), F.col("db").alias("dw2"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("dw1") < F.col("dw2"))
+        | ((F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = o.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
+    )
+    return tri
+
+
+def triangle_count(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> TrianglesResult:
+    """Global + per-vertex exact triangle counts.
+
+    ``vertices`` (optional): include triangle-free vertices with count 0.
+    """
+    tri = triangle_listing(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    total = tri.count()
+    members = (
+        tri.select(F.col("a").alias("vertex_id"))
+        .unionByName(tri.select(F.col("b").alias("vertex_id")), allowMissingColumns=False)
+        .unionByName(tri.select(F.col("c").alias("vertex_id")), allowMissingColumns=False)
+    )
+    per_vertex = members.groupBy("vertex_id").agg(
+        F.count("*").alias("triangles")
+    )
+    if vertices is not None:
+        per_vertex = (
+            vertices.select("vertex_id")
+            .join(per_vertex, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            )
+        )
+    # tri stays cached: per_vertex still derives from it; caller's action reuses it
+    return TrianglesResult(total=total, per_vertex=per_vertex)
