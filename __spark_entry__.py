@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every graph query runs through the REAL engine pipeline
+(halvesting_geometric_spark): derived transcripts → marker extraction →
+vertex-set augmentation → dense ids → algorithm. The DuckDB oracles replicate
+the same dataflow in ANSI SQL (nested CTE iterations for the fixed-step
+algorithms, recursive closure for components).
+
+Derivation constants must match halvesting_geometric_spark/sources/testdata.py:
+conv = user_id % 53, ref target = event_id % 211.
 """
 
 from __future__ import annotations
@@ -12,27 +15,390 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.components import connected_components
+from halvesting_geometric_spark.operators.extract import extract_conv_edges
+from halvesting_geometric_spark.operators.graph import (
+    canonical_edges,
+    in_degrees,
+    out_degrees,
+)
+from halvesting_geometric_spark.operators.ids import build_vertices, edges_to_ids
+from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.pagerank import pagerank
+from halvesting_geometric_spark.operators.triangles import triangle_count
+from halvesting_geometric_spark.sources.testdata import (
+    derived_transcripts,
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# Spark-side pipeline (the engine under test)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline(spark: SparkSession, sf_dir: str):
+    tr = derived_transcripts(spark, sf_dir)
+    ce = extract_conv_edges(tr)
+    verts = build_vertices(ce)
+    edges = edges_to_ids(ce, verts)
+    return ce, verts, edges
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: most-cited conversations by PageRank on sf0.001."""
+    _, verts, edges = _pipeline(spark, "/root/testdata/sf0.001")
+    res = pagerank(edges, verts, fixed_iters=10)
+    return (
+        res.ranks.join(verts, "vertex_id")
+        .orderBy(F.col("rank").desc(), F.col("conv_id").asc())
+        .select("conv_id", "rank")
+        .limit(20)
+    )
+
+
+# -- graph queries ----------------------------------------------------------
+
+
+def _q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce, _, _ = _pipeline(spark, sf_dir)
+    return ce.select("src_conv", "dst_conv")
+
+
+def _q_vertex_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, _ = _pipeline(spark, sf_dir)
+    return verts.select("vertex_id", "conv_id")
+
+
+def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = _pipeline(spark, sf_dir)
+    return edges.select("src", "dst")
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, edges = _pipeline(spark, sf_dir)
+    out = out_degrees(edges).select(
+        F.col("src").alias("vertex_id"), F.col("out_deg")
+    )
+    inn = in_degrees(edges).select(F.col("dst").alias("vertex_id"), F.col("in_deg"))
+    return (
+        verts.select("vertex_id")
+        .join(out, "vertex_id", "left")
+        .join(inn, "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def _q_top_cited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce, _, _ = _pipeline(spark, sf_dir)
+    return (
+        ce.groupBy("dst_conv")
+        .agg(F.count("*").alias("n_citations"))
+        .orderBy(F.col("n_citations").desc(), F.col("dst_conv").asc())
+        .limit(20)
+    )
+
+
+def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = pagerank(edges, verts, fixed_iters=5, damping=0.85)
+    return res.ranks.select(
+        "vertex_id",
+        F.floor(F.col("rank") * 1_000_000 + F.lit(0.5)).cast("long").alias("rank_e6"),
+    )
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = connected_components(edges, verts)
+    return res.components.select("vertex_id", "component")
+
+
+def _q_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = label_propagation(edges, verts, fixed_iters=3)
+    return res.labels.select("vertex_id", "label")
+
+
+def _q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = triangle_count(edges, verts)
+    return spark.createDataFrame([(res.total,)], "n_triangles long")
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = triangle_count(edges, verts)
+    return res.per_vertex.select("vertex_id", "triangles")
+
+
+def _q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = _pipeline(spark, sf_dir)
+    return canonical_edges(edges).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+
+
+# -- training-data-pipeline queries (documents / embeddings) -----------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).select("keep_doc_id", "n_copies")
+
+
+def _q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.substring("text", 1, 32).alias("prefix")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs")
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
+    )
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 query vectors; ranking on the
+    1e-4-rounded similarity (+ vec_id tie-break) so float summation order
+    can't flip inclusion between engines."""
+    from pyspark.sql import Window
+
+    from halvesting_geometric_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = q.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        F.col("neighbor_id") != F.col("query_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(cosine_similarity("qv", "cv") * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("sim_e4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_e4").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "sim_e4")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_edges": _q_extract_edges,
+        "vertex_ids": _q_vertex_ids,
+        "edges": _q_edges,
+        "degrees": _q_degrees,
+        "top_cited": _q_top_cited,
+        "pagerank5": _q_pagerank5,
+        "components": _q_components,
+        "labelprop3": _q_labelprop3,
+        "triangle_total": _q_triangle_total,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "canonical_edges": _q_canonical_edges,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "token_count": _q_token_count,
+        "doc_stats": _q_doc_stats,
+        "knn_cosine": _q_knn_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MARKER_SQL = r"\[\[ref:([^\]]+)\]\]"
+
+_BASE = f"""
+t AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,
+         'turn of c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') ||
+           ' see [[ref:c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') ||
+           ']] end' AS text
+  FROM events),
+ce AS (
+  SELECT DISTINCT t.conv_id AS src_conv, u.x AS dst_conv
+  FROM t, unnest(regexp_extract_all(t.text, '{_MARKER_SQL}', 1)) AS u(x)),
+verts AS (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vertex_id,
+         conv_id
+  FROM (SELECT DISTINCT src_conv AS conv_id FROM ce
+        UNION SELECT DISTINCT dst_conv FROM ce) ids),
+edges AS (
+  SELECT vs.vertex_id AS src, vd.vertex_id AS dst
+  FROM ce JOIN verts vs ON ce.src_conv = vs.conv_id
+          JOIN verts vd ON ce.dst_conv = vd.conv_id),
+sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION SELECT dst, src FROM edges WHERE src <> dst),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM verts)
+"""
+
+
+def _pagerank_sql(iters: int) -> str:
+    parts = [
+        _BASE,
+        "r0 AS (SELECT vertex_id AS v, 1.0 / (SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst AS v, SUM(r.r / o.d) AS m
+  FROM edges e JOIN r{p} r ON e.src = r.v JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+d{k} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.v = o.src WHERE o.src IS NULL),
+r{k} AS (
+  SELECT v.vertex_id AS v,
+         0.15 / (SELECT n FROM nv)
+         + 0.85 * ((SELECT dm FROM d{k}) / (SELECT n FROM nv))
+         + 0.85 * COALESCE(s.m, 0) AS r
+  FROM verts v LEFT JOIN s{k} s ON v.vertex_id = s.v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_e6 "
+        f"FROM r{iters}"
+    )
+
+
+def _labelprop_sql(iters: int) -> str:
+    parts = [_BASE, "l0 AS (SELECT vertex_id AS v, vertex_id AS lab FROM verts)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS (
+  SELECT s.src AS v, l.lab, COUNT(*) AS cnt
+  FROM sym s JOIN l{p} l ON s.dst = l.v GROUP BY s.src, l.lab),
+p{k} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+    FROM c{k}) x WHERE rn = 1),
+l{k} AS (
+  SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+  FROM l{p} l LEFT JOIN p{k} p ON l.v = p.v)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT v AS vertex_id, lab AS label FROM l{iters}"
+
+
+_TRI_BASE = f"""WITH {_BASE},
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
+        "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
+        "edges": f"WITH {_BASE} SELECT src, dst FROM edges",
+        "degrees": f"""WITH {_BASE}
+SELECT v.vertex_id,
+       CAST(COALESCE(o.d, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS in_deg
+FROM verts v
+LEFT JOIN outdeg o ON v.vertex_id = o.src
+LEFT JOIN (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst) i
+       ON v.vertex_id = i.dst""",
+        "top_cited": f"""WITH {_BASE}
+SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
+FROM ce GROUP BY dst_conv
+ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
+        "pagerank5": _pagerank_sql(5),
+        "components": f"""WITH RECURSIVE {_BASE},
+reach AS (
+  SELECT vertex_id AS a, vertex_id AS b FROM verts
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+SELECT a AS vertex_id, MIN(b) AS component FROM reach GROUP BY a""",
+        "labelprop3": _labelprop_sql(3),
+        "triangle_total": _TRI_BASE
+        + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
+        "triangles_per_vertex": _TRI_BASE
+        + """, m AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT v2.vertex_id, CAST(COALESCE(g.cnt, 0) AS BIGINT) AS triangles
+FROM verts v2
+LEFT JOIN (SELECT v, COUNT(*) AS cnt FROM m GROUP BY v) g ON v2.vertex_id = g.v""",
+        "canonical_edges": f"WITH {_BASE} SELECT a, b FROM canon",
+        "dedup_exact": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text""",
+        "dedup_prefix": """
+SELECT substr(text, 1, 32) AS prefix,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
+        "token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents WHERE length(trim(text)) > 0""",
+        "doc_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS len_chars,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents""",
+        "knn_cosine": """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(floor(
+           CASE WHEN sqrt(list_dot_product(a.e, a.e)) = 0
+                  OR sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+                ELSE list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)))
+           END * 10000 + 0.5) AS BIGINT) AS sim_e4
+  FROM d a JOIN d b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 3)
+SELECT query_id, neighbor_id, sim_e4 FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim_e4 DESC, neighbor_id ASC) <= 5""",
+    }
