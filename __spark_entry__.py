@@ -212,6 +212,47 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- rows-only entries (non-SQL-expressible: xxhash64/LSH internals differ
+# from DuckDB's hash; the driver records the weaker rows-only check) ---------
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.dedup import minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.3, num_hashes=32, bands=16).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, dim=64, k=3, n_planes=8).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.textstats import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.textstats import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -230,6 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "knn_cosine": _q_knn_cosine,
+        # rows-only (no oracle_sql twin — see section above)
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "lsh_ann": _q_lsh_ann,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
     }
 
 

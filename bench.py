@@ -1,0 +1,258 @@
+#!/usr/bin/env python3
+"""Benchmark harness — the engine's headline numbers per round.
+
+Runs the full pipeline (datagen transcripts → extraction → ids → all four
+algorithms) on a Zipf-skewed graph sized by the scale factor, on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` additionally runs the PageRank job at two parallelism levels
+(local[N] and local[4N]) in fresh JVMs and writes ``BENCH/BASELINE.md`` with
+throughput at both plus efficiency = (T_N / T_4N) / 4 — the sandbox protocol
+for the north_rule's two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CONVS_PER_SF = 200_000  # sf0.1 → 20k conversations (~230k turns)
+
+
+def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
+    from pyspark import StorageLevel
+
+    from halvesting_geometric_spark.datagen import generate_transcripts
+    from halvesting_geometric_spark.operators.components import (
+        connected_components,
+    )
+    from halvesting_geometric_spark.operators.graph import build_graph
+    from halvesting_geometric_spark.operators.labelprop import label_propagation
+    from halvesting_geometric_spark.operators.pagerank import pagerank
+    from halvesting_geometric_spark.operators.triangles import triangle_count
+    from halvesting_geometric_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"hgs-bench-{cores}", cores=cores, shuffle_partitions=cores
+    )
+    out: dict = {"cores": cores, "n_convs": n_convs}
+    t0 = time.monotonic()
+    tr = generate_transcripts(spark, n_convs).persist(StorageLevel.MEMORY_AND_DISK)
+    out["transcript_rows"] = tr.count()
+    out["gen_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    g = build_graph(tr, scalable_ids=True)
+    g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    g.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    out["num_edges"] = g.num_edges()
+    out["num_vertices"] = g.num_vertices()
+    out["extract_sec"] = round(time.monotonic() - t0, 3)
+    out["turns_per_sec"] = round(out["transcript_rows"] / out["extract_sec"], 1)
+
+    # JVM/JIT + AQE warm-up: the first superstep run compiles the codegen
+    # classes for every plan shape in the loop; steady-state throughput is the
+    # meaningful number (matches long-running cluster behavior).
+    t0 = time.monotonic()
+    pagerank(g.edges, g.vertices, fixed_iters=3).ranks.count()
+    out["warmup_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pr = pagerank(g.edges, g.vertices, tol=tol, max_iter=200)
+    pr.ranks.count()
+    pr_sec = time.monotonic() - t0
+    out["pagerank_sec"] = round(pr_sec, 3)
+    out["pagerank_iters"] = pr.iterations
+    out["pagerank_converged"] = pr.converged
+    out["edges_per_sec"] = round(out["num_edges"] * pr.iterations / pr_sec, 1)
+    out["iters_per_min"] = round(pr.iterations / (pr_sec / 60.0), 2)
+
+    t0 = time.monotonic()
+    cc = connected_components(g.edges, g.vertices)
+    out["cc_sec"] = round(time.monotonic() - t0, 3)
+    out["cc_rounds"] = cc.rounds
+    out["cc_components"] = cc.num_components
+
+    t0 = time.monotonic()
+    lp = label_propagation(g.edges, g.vertices, fixed_iters=5)
+    lp.labels.count()
+    out["labelprop5_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    tc = triangle_count(g.edges, g.vertices)
+    out["triangles_sec"] = round(time.monotonic() - t0, 3)
+    out["triangles_total"] = tc.total
+
+    spark.stop()
+    return out
+
+
+def run_scaling_job(
+    cores: int, n_vertices: int, n_edges: int, iters: int
+) -> dict:
+    """The scaling-protocol job: PageRank (fixed supersteps) on a pure-SQL
+    power-law edge table big enough to be compute-dominated, forced onto the
+    shuffle-join path (broadcast_state_threshold=0) — the 100TB execution
+    shape, where added cores do added work."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from halvesting_geometric_spark.datagen import generate_power_law_edges
+    from halvesting_geometric_spark.operators.pagerank import pagerank
+    from halvesting_geometric_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"hgs-scaling-{cores}", cores=cores, shuffle_partitions=cores * 2,
+        extra_conf={
+            # AQE's 64MB advisory size would coalesce the scatter shuffle to a
+            # handful of partitions, capping reduce-side parallelism below the
+            # core count — size it so every core gets work at this data scale
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    edges = generate_power_law_edges(spark, n_vertices, n_edges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    m = edges.count()
+    verts = spark.range(n_vertices).select(F.col("id").alias("vertex_id"))
+    # warm-up (JIT/AQE plan-shape compilation)
+    pagerank(edges, verts, fixed_iters=2, broadcast_state_threshold=0).ranks.count()
+    t0 = time.monotonic()
+    res = pagerank(edges, verts, fixed_iters=iters, broadcast_state_threshold=0)
+    res.ranks.count()
+    wall = time.monotonic() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "num_vertices": n_vertices,
+        "num_edges": m,
+        "iters": iters,
+        "pagerank_sec": round(wall, 3),
+        "edges_per_sec": round(m * iters / wall, 1),
+        "iters_per_min": round(iters / (wall / 60.0), 2),
+        "sec_per_iter": round(wall / iters, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run local[N] vs local[4N] and write BENCH/BASELINE.md")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--n-convs", type=int, default=None)
+    ap.add_argument("--n-vertices", type=int, default=1_000_000)
+    ap.add_argument("--n-edges", type=int, default=10_000_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--subprocess-json", action="store_true",
+                    help="internal: emit raw pipeline dict only")
+    ap.add_argument("--subprocess-scaling-json", action="store_true",
+                    help="internal: emit raw scaling-job dict only")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = 0.1
+    cpus = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = args.n_convs or max(int(CONVS_PER_SF * sf), 200)
+
+    if args.subprocess_json:
+        print(json.dumps(run_pipeline(cpus, n_convs)))
+        return
+
+    if args.subprocess_scaling_json:
+        print(json.dumps(
+            run_scaling_job(cpus, args.n_vertices, args.n_edges, args.iters)
+        ))
+        return
+
+    if args.scaling:
+        run_scaling(cpus, args.n_vertices, args.n_edges, args.iters, sf)
+        return
+
+    r = run_pipeline(cpus, n_convs)
+    result = {
+        "metric": "pagerank_to_1e-6_wall_sec",
+        "value": r["pagerank_sec"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {
+            "extract": r["extract_sec"],
+            "pagerank_converge": r["pagerank_sec"],
+            "connected_components": r["cc_sec"],
+            "labelprop5": r["labelprop5_sec"],
+            "triangles": r["triangles_sec"],
+        },
+        "detail": r,
+    }
+    print(json.dumps(result))
+
+
+def run_scaling(
+    cpus: int, n_vertices: int, n_edges: int, iters: int, sf: float
+) -> None:
+    """local[N] vs local[4N] on the same input, fresh JVM each."""
+    n_small = max(cpus // 4, 1)
+    results = {}
+    for cores in (n_small, cpus):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--subprocess-scaling-json", "--cores", str(cores),
+             "--n-vertices", str(n_vertices), "--n-edges", str(n_edges),
+             "--iters", str(iters)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+        )
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    small, big = results[n_small], results[cpus]
+    eff = (small["pagerank_sec"] / big["pagerank_sec"]) / (cpus / n_small)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            f"""# BENCH baseline — scaling-efficiency evidence (sandbox protocol)
+
+North_rule criterion: throughput scaling efficiency >= 0.8 moving N -> 4N
+executors. No real cluster exists in this sandbox, so per BASELINE.md the
+identical job runs at two local parallelism levels on the identical input
+(fresh JVM each, JIT warm-up excluded from timing).
+
+Job: {iters} PageRank supersteps (shuffle-join path, the 100TB execution
+shape) over a deterministic power-law edge table: {small['num_edges']} edges,
+{n_vertices} vertices.
+
+| parallelism | wall (s) | sec/superstep | edges/sec | iters/min |
+|---|---|---|---|---|
+| local[{n_small}] (N) | {small['pagerank_sec']} | {small['sec_per_iter']} | {small['edges_per_sec']} | {small['iters_per_min']} |
+| local[{cpus}] (4N) | {big['pagerank_sec']} | {big['sec_per_iter']} | {big['edges_per_sec']} | {big['iters_per_min']} |
+
+Scaling efficiency E = (T_N / T_4N) / 4 = **{eff:.3f}**
+
+Caveats: local mode shares one JVM, one memory bus and one shuffle disk across
+all threads — cross-executor network cost is absent but memory-bandwidth
+contention is worst-case vs a real 4N-node cluster. The sandbox host also
+carries external load (observed loadavg ~10 from outside this container).
+"""
+        )
+    print(json.dumps({
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf,
+        "n_small": n_small,
+        "n_big": cpus,
+        "small": small,
+        "big": big,
+    }))
+
+
+if __name__ == "__main__":
+    main()

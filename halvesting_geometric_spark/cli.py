@@ -1,0 +1,103 @@
+"""spark-submit entrypoint (north_rule: packaged for ``spark-submit
+--py-files``).
+
+Usage::
+
+    spark-submit --py-files hgs.zip -m halvesting_geometric_spark.cli ...
+    # or locally:
+    python -m halvesting_geometric_spark.cli pagerank \
+        --transcripts /data/transcripts --output /data/out \
+        --checkpoint-dir /data/ckpt [--resume]
+
+Reads transcripts (parquet directory; Iceberg when the session has a catalog
+— same reader call with a table identifier), runs extraction + the selected
+algorithm, writes results + metrics, resumable from the checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from halvesting_geometric_spark.operators.components import connected_components
+from halvesting_geometric_spark.operators.graph import build_graph
+from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.pagerank import pagerank
+from halvesting_geometric_spark.operators.triangles import triangle_count
+from halvesting_geometric_spark.plans.checkpoint import CheckpointManager
+from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
+
+ALGORITHMS = ("pagerank", "components", "labelprop", "triangles", "extract")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="halvesting_geometric_spark")
+    ap.add_argument("algorithm", choices=ALGORITHMS)
+    ap.add_argument("--transcripts", required=True,
+                    help="parquet dir or Iceberg table of transcripts")
+    ap.add_argument("--output", required=True, help="result table path")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--scalable-ids", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    # under spark-submit the session (master, executors) is externally owned
+    spark = SparkSession.builder.appName(
+        f"hgs-{args.algorithm}"
+    ).getOrCreate()
+
+    if "/" in args.transcripts or args.transcripts.startswith("file:"):
+        transcripts = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(args.transcripts)
+    else:
+        transcripts = spark.read.table(args.transcripts)
+
+    g = build_graph(transcripts, scalable_ids=args.scalable_ids)
+    ckpt = (
+        CheckpointManager(spark, args.checkpoint_dir, args.algorithm)
+        if args.checkpoint_dir
+        else None
+    )
+
+    summary: dict = {"algorithm": args.algorithm}
+    if args.algorithm == "extract":
+        g.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        g.vertices.write.mode("overwrite").parquet(f"{args.output}/vertices")
+        summary["edges"] = g.num_edges()
+        summary["vertices"] = g.num_vertices()
+    elif args.algorithm == "pagerank":
+        res = pagerank(
+            g.edges, g.vertices, damping=args.damping, tol=args.tol,
+            max_iter=args.max_iter, checkpoint=ckpt, resume=args.resume,
+        )
+        res.ranks.write.mode("overwrite").parquet(args.output)
+        summary.update(iterations=res.iterations, converged=res.converged)
+    elif args.algorithm == "components":
+        res = connected_components(
+            g.edges, g.vertices, checkpoint=ckpt, resume=args.resume
+        )
+        res.components.write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=res.rounds, components=res.num_components)
+    elif args.algorithm == "labelprop":
+        res = label_propagation(
+            g.edges, g.vertices, max_iter=args.max_iter,
+            checkpoint=ckpt, resume=args.resume,
+        )
+        res.labels.write.mode("overwrite").parquet(args.output)
+        summary.update(iterations=res.iterations, labels=res.num_labels)
+    elif args.algorithm == "triangles":
+        res = triangle_count(g.edges, g.vertices)
+        res.per_vertex.write.mode("overwrite").parquet(args.output)
+        summary.update(total=res.total)
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

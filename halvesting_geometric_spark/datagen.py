@@ -102,3 +102,38 @@ def generate_transcripts(
 def generate_transcripts_pandas(n_convs: int, seed: int = 42) -> pd.DataFrame:
     """Driver-side oracle twin of :func:`generate_transcripts` (tests only)."""
     return _gen_conversations(np.arange(n_convs), seed, n_convs)
+
+
+def generate_power_law_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    exponent: float = 3.0,
+    seed: int = 42,
+    partitions: int | None = None,
+):
+    """Pure-expression synthetic edge table with power-law in-degree skew.
+
+    For throughput benchmarks at sizes where the transcript generator's
+    Python loops would dominate: everything here is JVM codegen
+    (hash → uniform → inverse-CDF), generating tens of millions of edges in
+    seconds, deterministic in ``seed`` and independent of partitioning.
+    ``dst = floor(V · u^exponent)`` concentrates mass near vertex 0 — a few
+    hot destinations receive a large fraction of edges (the skew the engine's
+    scatter path must absorb).
+    """
+    from pyspark.sql import functions as F
+
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    p = 1_000_000_007
+    base = spark.range(0, n_edges, numPartitions=partitions)
+    u_src = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(p)) / float(p)
+    u_dst = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(p)) / float(p)
+    src = F.least(
+        F.floor(F.lit(float(n_vertices)) * u_src), F.lit(n_vertices - 1)
+    ).cast("long")
+    dst = F.least(
+        F.floor(F.lit(float(n_vertices)) * F.pow(u_dst, F.lit(exponent))),
+        F.lit(n_vertices - 1),
+    ).cast("long")
+    return base.select(src.alias("src"), dst.alias("dst"))

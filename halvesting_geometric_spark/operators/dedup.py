@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All pure DataFrame/Catalyst dataflows — shingling, hashing, banding, and
+candidate joins are built-in expressions (codegen'd, no Python in the hot
+path). The reference's only dedup is ``drop_duplicates`` on key subsets
+(``/root/reference/halvesting_geometric/utils/data/link_prediction_metadata.py:383,393,403,418``);
+near-dup detection is engine-new.
+
+Scale notes: MinHash-LSH is the 100TB path — candidate generation is one
+explode + one groupBy per band (shuffle keyed on (band, band_hash), bounded
+bucket sizes for reasonable thresholds); exact pairwise Jaccard is only run on
+LSH candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: (keep_id, n_copies, dup_ids) per distinct text.
+
+    Hash-groupBy on the text column; "first row wins" is made deterministic by
+    min-id (the reference's drop_duplicates keeps pandas row order — order-
+    dependent and irreproducible under partitioning; min-id is not).
+    """
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs of word n-grams, lowercased, distinct per doc.
+
+    Shingling is pure array arithmetic: split → sequence of offsets →
+    transform+slice → concat — all JVM-side.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    offsets = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        offsets, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures.
+
+    One xxhash64 per (shingle, seed) — num_hashes expressions evaluated
+    per row inside codegen, then a single hash-aggregate takes the per-seed
+    minima. One shuffle total.
+    """
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingle_df.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int | None = None
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from banded MinHash signatures.
+
+    Docs sharing any band hash collide into the same bucket; a self-join per
+    bucket yields candidates. Buckets with a single doc produce nothing.
+    """
+    n_hashes_row = sig_df.select(F.size("sig")).first()[0]
+    rows_per_band = rows_per_band or n_hashes_row // bands
+    band_entries = sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = band_entries.select("band", "bucket", F.col("id").alias("a"))
+    right = band_entries.select("band", "bucket", F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_similarity(
+    shingle_df: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard per pair: (a, b, inter, union_sz, jaccard).
+
+    With ``pairs`` given (the LSH path) only those pairs are scored via two
+    semi-constrained joins; without, an inverted-index self-join scores every
+    pair sharing ≥1 shingle (small-data path).
+    """
+    sizes = shingle_df.groupBy("id").agg(F.count("*").alias("sz"))
+    if pairs is not None:
+        sa = shingle_df.select(F.col("id").alias("a"), "shingle")
+        sb = shingle_df.select(F.col("id").alias("b"), "shingle")
+        inter = (
+            pairs.join(sa, "a")
+            .join(sb, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        sa = shingle_df.select(F.col("id").alias("a"), "shingle")
+        sb = shingle_df.select(F.col("id").alias("b"), "shingle")
+        inter = (
+            sa.join(sb, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("union_sz"),
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
+    exact-Jaccard verify ≥ threshold. Returns (a, b, jaccard)."""
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    sh = sh.persist()
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sig, bands=bands)
+    scored = jaccard_similarity(sh, cand)
+    return scored.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over word tokens.
+
+    Per token: one xxhash64; per bit: ±1 contribution summed per doc, sign →
+    bit. All expression-level (shiftright/bitwise-and inside the aggregate);
+    one shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long") if b < 63 else F.when(
+            F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 64/band_bits
+    blocks (pigeonhole: any pair within max_hamming shares ≥1 exact block when
+    blocks > max_hamming), candidate-join on block equality, verify true
+    Hamming distance with bit_count(xor)."""
+    fp = simhash(df, text_col, id_col).persist()
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    entries = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.block")
+    left = entries.select(
+        "band", "block", F.col("id").alias("a"), F.col("simhash").alias("fa")
+    )
+    right = entries.select(
+        "band", "block", F.col("id").alias("b"), F.col("simhash").alias("fb")
+    )
+    return (
+        left.join(right, ["band", "block"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -38,6 +38,7 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iter: int = 20,
     fixed_iters: int | None = None,
+    broadcast_state_threshold: int = 5_000_000,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
 ) -> LabelPropResult:
@@ -73,6 +74,14 @@ def label_propagation(
             "vertex_id", F.col("vertex_id").alias("label")
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    n = vertices.count()
+    # same small-state broadcast strategy as pagerank: the cached sym edge
+    # table is never reshuffled per superstep when the label table broadcasts
+    bcast = n <= broadcast_state_threshold
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     target = fixed_iters if fixed_iters is not None else max_iter
     converged = False
     all_metrics: list[dict] = []
@@ -80,9 +89,9 @@ def label_propagation(
     for it in range(start_iter, target):
         t0 = time.monotonic()
         nbr_labels = sym.join(
-            labels.select(
+            _b(labels.select(
                 F.col("vertex_id").alias("dst"), F.col("label").alias("nbr_label")
-            ),
+            )),
             "dst",
         ).select(F.col("src").alias("vertex_id"), "nbr_label")
         picked = (
@@ -92,35 +101,32 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("best"))
             .select("vertex_id", (-F.col("best.neg")).alias("new_label"))
         )
-        new_labels = (
-            labels.join(picked, "vertex_id", "left")
+        # one action: materialize (old, new) pairs + the changed count
+        paired = (
+            labels.select("vertex_id", F.col("label").alias("old_label"))
+            .join(_b(picked), "vertex_id", "left")
             .select(
                 "vertex_id",
-                F.coalesce("new_label", F.col("label")).alias("label"),
+                "old_label",
+                F.coalesce("new_label", F.col("old_label")).alias("label"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.join(
-                labels.select("vertex_id", F.col("label").alias("old_label")),
-                "vertex_id",
-            )
-            .filter(F.col("label") != F.col("old_label"))
-            .count()
-        )
+        changed = paired.filter(F.col("label") != F.col("old_label")).count()
         row = {
             "iteration": it,
             "changed": changed,
             "wall_sec": time.monotonic() - t0,
         }
         all_metrics.append(row)
-        old = labels
+        # truncate lineage every iteration (see pagerank.py — the state is
+        # referenced twice per superstep, so deferred truncation is exponential)
+        state = paired.select("vertex_id", "label")
         if checkpoint is not None:
-            labels = checkpoint.save_state(it, new_labels, metrics=row)
-            new_labels.unpersist()
+            labels = checkpoint.save_state(it, state, metrics=row)
         else:
-            labels = new_labels.localCheckpoint(eager=True)
-        old.unpersist()
+            labels = state.localCheckpoint(eager=True)
+        paired.unpersist()
         if fixed_iters is None and changed == 0:
             converged = True
             it += 1

@@ -64,6 +64,7 @@ def pagerank(
     agg_mode: str = "groupby",
     n_salts: int = 16,
     hot_src_threshold: int | None = None,
+    broadcast_state_threshold: int = 5_000_000,
     checkpoint: CheckpointManager | None = None,
     checkpoint_interval: int = 1,
     resume: bool = False,
@@ -94,9 +95,14 @@ def pagerank(
     vertices = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # loop-invariant edge table, hash-partitioned on the gather key once: when
+    # the shuffle-join path is taken (big vertex state), each iteration only
+    # shuffles the small rank table — the cached edge partitioning is reused
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     contrib_edges = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_deg")
+        .repartition(n_shuffle, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = contrib_edges.count()  # materialize the loop-invariant once
@@ -128,6 +134,21 @@ def pagerank(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         ranks.count()
 
+    # Small vertex-state tables ride broadcast joins: the big (cached) edge
+    # table is never reshuffled per superstep, only the scatter aggregate
+    # shuffles. Above the threshold everything falls back to AQE-planned
+    # shuffle joins (the 100TB path).
+    bcast_state = n <= broadcast_state_threshold
+
+    def _b(df: DataFrame) -> DataFrame:
+        # Above the threshold the hint matters as much as the absence of
+        # broadcast: without it AQE auto-broadcasts any state table under
+        # spark.sql.autoBroadcastJoinThreshold, and the per-superstep
+        # driver-side hashmap build is serial — it caps scaling. shuffle_hash
+        # keeps the state side a parallel shuffled build against the cached,
+        # pre-partitioned edge table (no sort, no edge re-shuffle).
+        return F.broadcast(df) if bcast_state else df.hint("shuffle_hash")
+
     target = fixed_iters if fixed_iters is not None else max_iter
     converged = False
     all_metrics: list[dict] = []
@@ -143,64 +164,73 @@ def pagerank(
             msgs_hot = hot_edges.join(F.broadcast(hot_ranks), "src").select(
                 "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
             )
-            msgs_cold = cold_edges.join(rank_src, "src").select(
+            msgs_cold = cold_edges.join(_b(rank_src), "src").select(
                 "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
             )
             msgs = msgs_cold.unionByName(msgs_hot)
         else:
-            msgs = contrib_edges.join(rank_src, "src").select(
+            msgs = contrib_edges.join(_b(rank_src), "src").select(
                 "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
             )
-        sums = _scatter(msgs, agg_mode, n_salts).persist(StorageLevel.MEMORY_AND_DISK)
-        in_mass = sums.agg(F.sum("msg_sum")).first()[0] or 0.0
-        total = ranks.agg(F.sum("rank")).first()[0]
-        dangling = max(total - in_mass, 0.0)
+        sums = _scatter(msgs, agg_mode, n_salts)
 
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
+        # ONE heavy job per superstep: materialize (vertex_id, msg_sum,
+        # old_rank) partials and take Σ msg_sum in the same pass. Dangling mass
+        # (= 1 − Σ msg_sum: total rank is analytically 1.0 every iteration —
+        # the update redistributes all mass; fp drift O(1e-16·iters) ≪ tol)
+        # becomes a driver scalar folded into the final rank expression, so
+        # the scatter subplan is scanned exactly once (no crossJoin that would
+        # duplicate it in the plan) and delta/state derive from the cache.
+        paired = (
             vertices.join(
-                sums.select(F.col("dst").alias("vertex_id"), "msg_sum"),
+                _b(sums.select(F.col("dst").alias("vertex_id"), "msg_sum")),
                 "vertex_id",
                 "left",
             )
-            .select(
+            .join(
+                _b(ranks.select("vertex_id", F.col("rank").alias("old_rank"))),
                 "vertex_id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
-                ).alias("rank"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-
-        diff = new_ranks.join(
-            ranks.select("vertex_id", F.col("rank").alias("old_rank")), "vertex_id"
+        in_mass = float(
+            paired.agg(F.coalesce(F.sum("msg_sum"), F.lit(0.0))).first()[0]
+        )
+        dangling = max(1.0 - in_mass, 0.0)
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank_expr = (
+            F.lit(base)
+            + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
+        ).alias("rank")
+        diff = paired.select(
+            (rank_expr.cast("double") - F.col("old_rank")).alias("d")
         ).agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
-            F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("linf"),
+            F.sum(F.abs(F.col("d"))).alias("l1"),
+            F.max(F.abs(F.col("d"))).alias("linf"),
         ).first()
+        new_ranks = paired.select("vertex_id", rank_expr)
         delta_l1, delta_linf = float(diff["l1"]), float(diff["linf"])
         wall = time.monotonic() - t0
         row = {
             "iteration": it,
             "delta_l1": delta_l1,
             "delta_linf": delta_linf,
-            "dangling_mass": dangling,
             "wall_sec": wall,
         }
         all_metrics.append(row)
 
-        old = ranks
+        # Lineage MUST truncate every iteration: each superstep references the
+        # state twice (gather join + delta), so an un-truncated plan doubles
+        # per iteration — exponential Catalyst analysis cost. The truncating
+        # copy reads from the cached pair table, so it is one cheap map job.
+        state = new_ranks
         if checkpoint is not None and (
             it % checkpoint_interval == 0 or it == target - 1
         ):
-            ranks = checkpoint.save_state(it, new_ranks, metrics=row)
-            new_ranks.unpersist()
+            ranks = checkpoint.save_state(it, state, metrics=row)
         else:
-            # no durable checkpoint this step: truncate lineage in memory
-            ranks = new_ranks.localCheckpoint(eager=True)
-        old.unpersist()
-        sums.unpersist()
+            ranks = state.localCheckpoint(eager=True)
+        paired.unpersist()
 
         if fixed_iters is None and delta_l1 < tol:
             converged = True

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH random-hyperplane
+bucketing as the scale path (candidates from bucket collisions, exact rerank
+inside buckets). Dot products stay JVM-side (``zip_with`` + ``aggregate``
+— see functions.cosine_similarity); the hyperplanes are tiny literal arrays
+broadcast into the plan, derived from a seeded RNG (deterministic).
+
+Reference analog: the dot-product link scorer
+(``/root/reference/halvesting_geometric/modules/link_classifier.py:33-36``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.functions import cosine_similarity
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` is expected to be small — it is broadcast, so the corpus is
+    scanned once with no shuffle on the pair space; only the per-query top-k
+    window shuffles (keyed by query id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("qv", "cv").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, bucket) — sign pattern over random hyperplanes.
+
+    The plane matrix enters the plan as literal arrays (a few KB broadcast
+    with the task binary); each sign is one zip_with/aggregate expression.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_plane, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long")
+        sig = bit if sig is None else sig + bit
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"),
+        sig.alias("bucket"),
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per vector: candidates = same LSH bucket, exact
+    cosine rerank inside the bucket. Shuffle is keyed on bucket — bounded
+    bucket sizes replace the all-pairs cross join at scale."""
+    b = lsh_bucket(emb, dim, n_planes, seed, id_col, vec_col).persist()
+    left = b.select(
+        "bucket", F.col("id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    right = b.select(
+        "bucket", F.col("id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    pairs = left.join(right, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_similarity("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
+    LSH candidate buckets. High thresholds → colliding buckets with high
+    probability; multi-probe/multi-table extensions are seed variations."""
+    b = lsh_bucket(emb, dim, n_planes, seed, id_col, vec_col)
+    left = b.select("bucket", F.col("id").alias("a"), F.col("embedding").alias("va"))
+    right = b.select("bucket", F.col("id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_similarity("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,122 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in expressions (no Python in the hot path).
+
+The reference's text handling is limited to language *filtering* on a
+pre-labeled column (``/root/reference/halvesting_geometric/utils/data/
+link_prediction_metadata.py:370``) and title normalization; these operators
+are the engine-new analysis layer a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny public stopword cores — enough signal for an n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "por", "con"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate (chars/4 heuristic
+    blended with punctuation splits — the standard fast proxy)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    subword = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        subword.alias("subword_est"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("word_tokens"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-ratio argmax over {en, fr, de, es}; 'und' (undetermined) when
+    no stopword hits. Ratios are array-intersection arithmetic, fully native.
+    """
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        lit_arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+        scores.append(
+            F.struct(
+                (hits / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max over structs: lexicographic (score, lang) — deterministic tie
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style cheap quality signals: length, mean word length,
+    punctuation/stopword/alpha ratios, and a composite [0,1] score."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^\p{L}]", "")) / n_chars
+    )
+    punct_ratio = F.length(F.regexp_replace(text, r"[^.!?,;:]", "")) / n_chars
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))) / n_tok
+    length_ok = (F.size(toks) >= 5) & (F.size(toks) <= 100_000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    composite = (
+        F.when(length_ok, 0.25).otherwise(0.0)
+        + F.when(word_len_ok, 0.25).otherwise(0.0)
+        + F.least(alpha_ratio, F.lit(0.9)) / 0.9 * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(composite, 4).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprints: whole-text xxhash64 over normalized text
+    (case/whitespace-insensitive exact dup key) + first/last-256-char hashes
+    (cheap containment probes)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(norm).alias("fp_full"),
+        F.xxhash64(F.substring(norm, 1, 256)).alias("fp_head"),
+        F.xxhash64(F.reverse(F.substring(F.reverse(norm), 1, 256))).alias("fp_tail"),
+    )

@@ -18,8 +18,11 @@ handled automatically); no Python in the dataflow.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,14 +77,65 @@ def triangle_listing(edges: DataFrame) -> DataFrame:
     return tri
 
 
+def triangle_listing_csr(edges: DataFrame) -> DataFrame:
+    """Triangle listing via per-edge sorted-adjacency intersection — the
+    vectorized Arrow/numpy kernel path (north_star: CSR blocks inside a
+    pandas UDF for the heavy middle).
+
+    For each oriented edge (a→b), the closing vertices are exactly
+    ``N⁺(a) ∩ N⁺(b)`` (each triangle has one unique base edge whose two
+    endpoints both point at the apex). Adjacency lists are built once with a
+    sort-aggregate; the intersection runs inside ``mapInPandas`` with
+    ``np.intersect1d`` over the sorted arrays — no Python per element, one
+    Arrow batch per partition. At power-law scale the adjacency arrays are
+    bounded by the degree-orientation O(√E) out-degree cap, so rows stay small.
+    """
+    o = _oriented(edges)
+    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    base = (
+        o.select("a", "b")
+        .join(adj.select(F.col("a").alias("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
+    )
+
+    def close(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for a, b, na, nb in zip(pdf["a"], pdf["b"], pdf["na"], pdf["nb"]):
+                common = np.intersect1d(
+                    np.asarray(na, dtype=np.int64),
+                    np.asarray(nb, dtype=np.int64),
+                    assume_unique=True,
+                )
+                if len(common):
+                    out_a.append(np.full(len(common), a, dtype=np.int64))
+                    out_b.append(np.full(len(common), b, dtype=np.int64))
+                    out_c.append(common)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "c": np.concatenate(out_c),
+                    }
+                )
+
+    return base.mapInPandas(close, schema="a long, b long, c long")
+
+
 def triangle_count(
-    edges: DataFrame, vertices: DataFrame | None = None
+    edges: DataFrame, vertices: DataFrame | None = None, kernel: str = "join"
 ) -> TrianglesResult:
     """Global + per-vertex exact triangle counts.
 
     ``vertices`` (optional): include triangle-free vertices with count 0.
+    ``kernel``: "join" (pure Catalyst wedge closure) or "csr"
+    (sorted-adjacency intersection inside mapInPandas) — identical results.
     """
-    tri = triangle_listing(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    lister = {"join": triangle_listing, "csr": triangle_listing_csr}[kernel]
+    tri = lister(edges).persist(StorageLevel.MEMORY_AND_DISK)
     total = tri.count()
     members = (
         tri.select(F.col("a").alias("vertex_id"))

@@ -143,7 +143,15 @@ def test_triangles_extracted_graph_vs_oracle(spark):
     n = g.num_vertices()
     edges = g.edges.toPandas().to_numpy()
     exp_total, exp_per_vertex = triangles_oracle(edges, n)
-    res = triangle_count(g.edges, g.vertices)
-    assert res.total == exp_total
-    got = _to_array(res.per_vertex, "triangles", n)
-    assert (got == exp_per_vertex).all()
+    for kernel in ("join", "csr"):
+        res = triangle_count(g.edges, g.vertices, kernel=kernel)
+        assert res.total == exp_total, kernel
+        got = _to_array(res.per_vertex, "triangles", n)
+        assert (got == exp_per_vertex).all(), kernel
+
+
+def test_triangles_csr_kernel_bowtie(spark):
+    res = triangle_count(_edges_df(spark, BOWTIE), _verts_df(spark, 5), kernel="csr")
+    assert res.total == 2
+    arr = _to_array(res.per_vertex, "triangles", 5)
+    assert arr.tolist() == [1, 1, 2, 1, 1]

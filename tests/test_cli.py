@@ -1,0 +1,41 @@
+"""spark-submit entrypoint wiring (local session; the packaged path is the
+same module via scripts/submit.sh)."""
+
+from __future__ import annotations
+
+import json
+
+from halvesting_geometric_spark import cli
+from halvesting_geometric_spark.datagen import generate_transcripts
+
+
+def test_cli_pagerank_roundtrip(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr")
+    generate_transcripts(spark, 40, seed=3).write.parquet(tr_dir)
+    out_dir = str(tmp_path / "out")
+    rc = cli.main(
+        [
+            "pagerank",
+            "--transcripts", tr_dir,
+            "--output", out_dir,
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--max-iter", "5",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["algorithm"] == "pagerank"
+    ranks = spark.read.parquet(out_dir)
+    assert ranks.count() > 0
+    assert abs(ranks.groupBy().sum("rank").first()[0] - 1.0) < 1e-6
+
+
+def test_cli_extract_writes_graph(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr2")
+    generate_transcripts(spark, 25, seed=10).write.parquet(tr_dir)
+    out_dir = str(tmp_path / "out2")
+    rc = cli.main(["extract", "--transcripts", tr_dir, "--output", out_dir])
+    assert rc == 0
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    verts = spark.read.parquet(f"{out_dir}/vertices")
+    assert edges.count() > 0 and verts.count() > 0

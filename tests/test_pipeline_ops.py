@@ -1,0 +1,220 @@
+"""Dedup / similarity / textstats / multimodal operators vs python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similarity,
+    minhash_near_dups,
+    simhash_near_dups,
+    word_shingles,
+)
+from halvesting_geometric_spark.operators.multimodal import (
+    extract_features,
+    generate_media_fixture,
+    sample_frames,
+)
+from halvesting_geometric_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dups,
+    lsh_ann_topk,
+)
+from halvesting_geometric_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river edge"),  # near-dup of 0
+    (2, "completely different content about spark dataframes and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "le chat noir dort sur le canapé dans la maison de la famille"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+
+def test_exact_dedup(spark):
+    got = exact_dedup(_docs_df(spark)).toPandas()
+    grp = got[got.n_copies > 1]
+    assert len(grp) == 1
+    assert grp.iloc[0]["keep_id"] == 0
+    assert list(grp.iloc[0]["all_ids"]) == [0, 3]
+
+
+def test_word_shingles_match_python(spark):
+    got = word_shingles(_docs_df(spark), n=3).toPandas()
+    for doc_id, text in DOCS:
+        exp = _py_shingles(text)
+        have = set(got[got.id == doc_id]["shingle"])
+        assert have == exp, doc_id
+
+
+def test_minhash_near_dups_finds_planted_pair(spark):
+    pairs = minhash_near_dups(
+        _docs_df(spark), threshold=0.5, num_hashes=32, bands=16
+    ).toPandas()
+    found = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert (0, 1) in found  # near-dup
+    assert (0, 3) in found and (1, 3) in found  # exact dup cluster
+    assert all({a, b} <= {0, 1, 3} for a, b in found)
+    # jaccard values exact vs python
+    for _, row in pairs.iterrows():
+        sa = _py_shingles(dict(DOCS)[row.a])
+        sb = _py_shingles(dict(DOCS)[row.b])
+        exp = len(sa & sb) / len(sa | sb)
+        assert abs(row.jaccard - exp) < 1e-12
+
+
+def test_jaccard_all_pairs_matches_python(spark):
+    sh = word_shingles(_docs_df(spark), n=2)
+    got = jaccard_similarity(sh).toPandas()
+    for _, row in got.iterrows():
+        sa = _py_shingles(dict(DOCS)[row.a], 2)
+        sb = _py_shingles(dict(DOCS)[row.b], 2)
+        assert row.inter == len(sa & sb)
+        assert row.union_sz == len(sa | sb)
+
+
+def test_simhash_near_dups(spark):
+    pairs = simhash_near_dups(_docs_df(spark), max_hamming=8).toPandas()
+    found = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert (0, 3) in found  # identical text → hamming 0
+    exact = pairs[(pairs.a == 0) & (pairs.b == 3)]
+    assert exact.iloc[0]["hamming"] == 0
+
+
+# ---------------- similarity ----------------
+
+
+def _emb_df(spark, sf_dir="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = _emb_df(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for q in (0, 1):
+        qi = np.where(ids == q)[0][0]
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        order = sorted(
+            [(s, i) for s, i in zip(sims, ids) if i != q],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        exp_ids = [i for _, i in order]
+        got_q = got[got.query_id == q].sort_values("cosine", ascending=False)
+        assert got_q["neighbor_id"].tolist() == exp_ids
+        np.testing.assert_allclose(
+            got_q["cosine"].to_numpy(), [s for s, _ in order], atol=1e-9
+        )
+
+
+def test_lsh_ann_subset_and_scores_exact(spark):
+    emb = _emb_df(spark)
+    got = lsh_ann_topk(emb, dim=64, k=3, n_planes=6).toPandas()
+    assert len(got) > 0
+    # scores must be exact cosines (rerank is exact), spot-check one
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = list(pdf["vec_id"])
+    row = got.iloc[0]
+    a, b = ids.index(row.query_id), ids.index(row.neighbor_id)
+    exp = mat[a] @ mat[b] / (np.linalg.norm(mat[a]) * np.linalg.norm(mat[b]))
+    assert abs(row.cosine - exp) < 1e-9
+
+
+def test_embedding_near_dups_identical_vectors(spark):
+    emb = _emb_df(spark).limit(20)
+    # plant an exact duplicate vector with a new id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    pairs = embedding_near_dups(both, dim=64, threshold=0.999999).toPandas()
+    assert ((pairs.a == 0) & (pairs.b == 100000)).any()
+
+
+# ---------------- textstats ----------------
+
+
+def test_token_count_matches_python(spark):
+    got = token_count(_docs_df(spark)).toPandas().set_index("doc_id")
+    for doc_id, text in DOCS:
+        assert got.loc[doc_id, "ws_tokens"] == len(text.split())
+
+
+def test_language_id(spark):
+    got = language_id(_docs_df(spark)).toPandas().set_index("doc_id")
+    assert got.loc[0, "lang_pred"] == "en"
+    assert got.loc[4, "lang_pred"] == "fr"
+
+
+def test_quality_score_ranges(spark):
+    got = quality_score(_docs_df(spark)).toPandas()
+    assert (got["quality"] >= 0).all() and (got["quality"] <= 1).all()
+    assert (got["alpha_ratio"] > 0).all()
+    assert (
+        got[got.doc_id == 0]["quality"].iloc[0]
+        > 0.4  # clean english sentence scores well
+    )
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    got = fingerprint(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "fp_full"] == got.loc[1, "fp_full"]
+    assert got.loc[0, "fp_full"] != got.loc[2, "fp_full"]
+
+
+# ---------------- multimodal ----------------
+
+
+def test_multimodal_features_deterministic(spark):
+    media = generate_media_fixture(spark, n=30)
+    f1 = extract_features(media).toPandas().sort_values("media_id")
+    f2 = extract_features(media.repartition(7)).toPandas().sort_values("media_id")
+    assert len(f1) == 30
+    assert (f1["n_bytes"].to_numpy() > 0).all()
+    np.testing.assert_array_equal(
+        np.stack(f1["feat"].to_numpy()), np.stack(f2["feat"].to_numpy())
+    )
+
+
+def test_multimodal_frame_sampling_counts(spark):
+    media = generate_media_fixture(spark, n=30)
+    frames = sample_frames(media, every_ms=1000).toPandas()
+    meta = media.filter(F.col("kind") == "video").select(
+        "media_id", "meta.duration_ms"
+    ).toPandas()
+    for _, row in meta.iterrows():
+        exp = int(row.duration_ms // 1000)
+        assert (frames.media_id == row.media_id).sum() == exp
+
+
+def test_multimodal_pillow_backend_is_explicit_stub(spark):
+    media = generate_media_fixture(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_backend="pillow")
