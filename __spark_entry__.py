@@ -212,8 +212,65 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- event-stream analytics (window surface) --------------------------------
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30).select("event_id", "user_id", "session_id")
+
+
+def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.events import hourly_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_rollup(ev).select(
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.floor(F.col("value_sum") * 10_000 + F.lit(0.5)).cast("long").alias(
+            "value_sum_e4"
+        ),
+    )
+
+
+def _q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.events import top_k_per_user
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_k_per_user(ev, k=3)
+
+
 # -- rows-only entries (non-SQL-expressible: xxhash64/LSH internals differ
 # from DuckDB's hash; the driver records the weaker rows-only check) ---------
+
+
+def _q_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.sampling import split_edges
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return (
+        split_edges(edges)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("split")
+    )
+
+
+def _q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.sampling import negative_edges
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return negative_edges(edges, verts, ratio=0.5)
+
+
+def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.sampling import sample_neighbors
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return sample_neighbors(edges, fanout=5)
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,12 +328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "knn_cosine": _q_knn_cosine,
+        "sessionize": _q_sessionize,
+        "hourly_rollup": _q_hourly_rollup,
+        "topk_events": _q_topk_events,
         # rows-only (no oracle_sql twin — see section above)
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
+        "edge_split": _q_edge_split,
+        "negative_edges": _q_negative_edges,
+        "neighbor_sample": _q_neighbor_sample,
     }
 
 
@@ -432,6 +495,30 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
+        "sessionize": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g""",
+        "hourly_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(floor(SUM(value) * 10000 + 0.5) AS BIGINT) AS value_sum_e4
+FROM events GROUP BY 1, 2""",
+        "topk_events": """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+  FROM events) t
+WHERE rn <= 3""",
         "knn_cosine": """
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 sims AS (

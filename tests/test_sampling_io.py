@@ -1,0 +1,99 @@
+"""Sampling (split / negatives / neighbor fanout) + source/sink layer."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.datagen import generate_transcripts
+from halvesting_geometric_spark.operators.graph import build_graph
+from halvesting_geometric_spark.operators.sampling import (
+    negative_edges,
+    sample_neighbors,
+    split_edges,
+)
+from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
+from halvesting_geometric_spark.sources.io import (
+    read_transcripts_json,
+    read_tsv,
+    write_table,
+    write_tsv_single,
+)
+
+
+def _graph(spark, n=150, seed=17):
+    return build_graph(generate_transcripts(spark, n, seed=seed))
+
+
+def test_split_edges_deterministic_partition_and_ratios(spark):
+    g = _graph(spark)
+    s1 = split_edges(g.edges).toPandas()
+    s2 = split_edges(g.edges.repartition(7)).toPandas()
+    m1 = {(r.src, r.dst): r.split for r in s1.itertuples()}
+    m2 = {(r.src, r.dst): r.split for r in s2.itertuples()}
+    assert m1 == m2  # partition-invariant assignment
+    counts = s1["split"].value_counts(normalize=True)
+    assert abs(counts.get("val", 0) - 0.1) < 0.05
+    assert abs(counts.get("test", 0) - 0.2) < 0.06
+    assert counts.get("train", 0) > 0.6
+
+
+def test_negative_edges_are_nonedges_and_deterministic(spark):
+    g = _graph(spark, n=100, seed=23)
+    pos = {(r.src, r.dst) for r in g.edges.toPandas().itertuples()}
+    n1 = negative_edges(g.edges, g.vertices, ratio=1.0, seed=5).toPandas()
+    n2 = negative_edges(g.edges, g.vertices, ratio=1.0, seed=5).toPandas()
+    neg = {(r.src, r.dst) for r in n1.itertuples()}
+    assert neg.isdisjoint(pos)
+    assert not any(s == d for s, d in neg)
+    assert set(map(tuple, n1.to_numpy())) == set(map(tuple, n2.to_numpy()))
+    assert len(n1) == g.edges.count()  # quota met at ratio=1.0
+
+
+def test_sample_neighbors_fanout_cap_and_subset(spark):
+    g = _graph(spark)
+    full = g.edges.toPandas()
+    samp = sample_neighbors(g.edges, fanout=3, seed=9).toPandas()
+    per_src = samp.groupby("src").size()
+    assert (per_src <= 3).all()
+    pos = set(map(tuple, full.to_numpy()))
+    assert set(map(tuple, samp.to_numpy())) <= pos
+    # sources with <=3 neighbors keep all of them
+    deg = full.groupby("src").size()
+    for src, d in deg.items():
+        if d <= 3:
+            assert per_src.get(src, 0) == d
+
+
+def test_json_and_tsv_roundtrip(spark, tmp_path):
+    tr = generate_transcripts(spark, 20, seed=1)
+    json_dir = str(tmp_path / "j")
+    tr.write.mode("overwrite").json(json_dir)
+    back = read_transcripts_json(spark, json_dir)
+    # file reads force nullable=True; names+types are the schema contract
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in TRANSCRIPTS_SCHEMA.fields
+    ]
+    assert back.count() == tr.count()
+    a = tr.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").toPandas()
+    b = back.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").toPandas()
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+    g = build_graph(tr)
+    tsv_dir = str(tmp_path / "t")
+    write_tsv_single(g.vertices, tsv_dir)
+    back_v = read_tsv(spark, tsv_dir, g.vertices.schema)
+    assert sorted(back_v.toPandas()["conv_id"]) == sorted(
+        g.vertices.toPandas()["conv_id"]
+    )
+
+
+def test_zstd_parquet_sink(spark, tmp_path):
+    g = _graph(spark, n=40, seed=2)
+    out = str(tmp_path / "edges_pq")
+    write_table(g.edges, out)
+    import glob
+
+    files = glob.glob(f"{out}/*.zstd.parquet") + glob.glob(f"{out}/*.parquet")
+    assert files
+    assert spark.read.parquet(out).count() == g.edges.count()
