@@ -212,6 +212,24 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (shingle inverted-index join) — integer
+    intersection/union so the DuckDB twin matches bit-for-bit."""
+    from halvesting_geometric_spark.operators.dedup import (
+        jaccard_similarity,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    return jaccard_similarity(sh).select(
+        "a",
+        "b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_sz").cast("long").alias("union_sz"),
+    )
+
+
 # -- event-stream analytics (window surface) --------------------------------
 
 
@@ -328,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "knn_cosine": _q_knn_cosine,
+        "jaccard_pairs": _q_jaccard_pairs,
         "sessionize": _q_sessionize,
         "hourly_rollup": _q_hourly_rollup,
         "topk_events": _q_topk_events,
@@ -495,6 +514,27 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
+        "jaccard_pairs": r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 2, 1) + 1)])
+             AS shl
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+  ) x, unnest(x.shl) AS u(s)
+  WHERE u.s <> ''),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT i.a, i.b, CAST(i.n_inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - i.n_inter AS BIGINT) AS union_sz
+FROM inter i
+JOIN sizes sa ON i.a = sa.id
+JOIN sizes sb ON i.b = sb.id""",
         "sessionize": """
 WITH g AS (
   SELECT event_id, user_id, ts,
