@@ -38,7 +38,7 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iter: int = 20,
     fixed_iters: int | None = None,
-    broadcast_state_threshold: int = 5_000_000,
+    broadcast_state_threshold: int = 1_000_000,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
 ) -> LabelPropResult:

@@ -64,7 +64,7 @@ def pagerank(
     agg_mode: str = "groupby",
     n_salts: int = 16,
     hot_src_threshold: int | None = None,
-    broadcast_state_threshold: int = 5_000_000,
+    broadcast_state_threshold: int = 1_000_000,
     checkpoint: CheckpointManager | None = None,
     checkpoint_interval: int = 1,
     resume: bool = False,

@@ -39,6 +39,18 @@ def degree_histogram(edges: DataFrame, side: str = "dst") -> DataFrame:
     )
 
 
+def cardinality_probe(df: DataFrame, *cols: str, rsd: float = 0.05) -> dict:
+    """Approximate distinct counts per column (HyperLogLog++) — the cheap
+    pre-shuffle probe that decides whether a key needs salting (SURVEY §2.4:
+    the engine's only approximate aggregate)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    row = df.agg(
+        *[F.approx_count_distinct(c, rsd=rsd).alias(c) for c in cols]
+    ).first()
+    return {c: int(row[c]) for c in cols}
+
+
 def hot_vertices(edges: DataFrame, side: str = "dst", min_degree: int = 100_000) -> DataFrame:
     """Vertices whose degree exceeds ``min_degree`` — candidates for the
     broadcast-state path (their state is shipped to every task instead of
