@@ -281,6 +281,50 @@ def _q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_user(ev, k=3)
 
 
+# -- relational OLAP surface -------------------------------------------------
+
+
+def _q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.relational import pivot_event_counts
+
+    return pivot_event_counts(load_table(spark, sf_dir, "events"))
+
+
+def _q_cube_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.relational import cube_value_sums
+
+    return cube_value_sums(load_table(spark, sf_dir, "events"))
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.relational import value_percentiles
+
+    return value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join of every event against the per-user 'rate' series
+    (events with event_id % 10 == 0)."""
+    from halvesting_geometric_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    rates = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(left, rates, key="user_id").select(
+        "event_id", "user_id", "rate"
+    )
+
+
+def _q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.relational import (
+        range_join_pair_counts,
+    )
+
+    return range_join_pair_counts(load_table(spark, sf_dir, "events"), 60)
+
+
 # -- rows-only entries (non-SQL-expressible: xxhash64/LSH internals differ
 # from DuckDB's hash; the driver records the weaker rows-only check) ---------
 
@@ -371,6 +415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "hourly_rollup": _q_hourly_rollup,
         "topk_events": _q_topk_events,
+        "pivot_events": _q_pivot_events,
+        "cube_sums": _q_cube_sums,
+        "percentiles": _q_percentiles,
+        "asof_join": _q_asof_join,
+        "range_pairs": _q_range_pairs,
         # rows-only (no oracle_sql twin — see section above)
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
@@ -540,6 +589,42 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
+        "pivot_events": """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id""",
+        "cube_sums": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(weekday, -1) AS BIGINT) AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(floor(SUM(value) * 10000 + 0.5) AS BIGINT) AS value_sum_e4
+FROM (SELECT event_type, dayofweek(ts) + 1 AS weekday, value FROM events) t
+GROUP BY CUBE (event_type, weekday)""",
+        "percentiles": """
+SELECT event_type,
+       CAST(floor(quantile_cont(value, 0.50) * 1000000 + 0.5) AS BIGINT) AS p50_e6,
+       CAST(floor(quantile_cont(value, 0.90) * 1000000 + 0.5) AS BIGINT) AS p90_e6,
+       CAST(floor(quantile_cont(value, 0.99) * 1000000 + 0.5) AS BIGINT) AS p99_e6
+FROM events GROUP BY event_type""",
+        "asof_join": """
+SELECT l.event_id, l.user_id, r.value AS rate
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_id % 10 = 0) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_pairs": """
+SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events) a
+JOIN (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events) b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(a.sec - b.sec) <= 60
+GROUP BY a.user_id""",
         "jaccard_pairs": r"""
 WITH sh AS (
   SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (
