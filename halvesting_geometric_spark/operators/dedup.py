@@ -83,6 +83,11 @@ def lsh_candidate_pairs(
     """
     n_hashes_row = sig_df.select(F.size("sig")).first()[0]
     rows_per_band = rows_per_band or n_hashes_row // bands
+    if rows_per_band < 1 or bands * rows_per_band > n_hashes_row:
+        raise ValueError(
+            f"bands={bands} x rows_per_band={rows_per_band} incompatible "
+            f"with signature length {n_hashes_row}"
+        )
     band_entries = sig_df.select(
         "id",
         F.explode(
@@ -221,6 +226,13 @@ def simhash_near_dups(
     blocks (pigeonhole: any pair within max_hamming shares ≥1 exact block when
     blocks > max_hamming), candidate-join on block equality, verify true
     Hamming distance with bit_count(xor)."""
+    if not 1 <= band_bits <= 64 or 64 % band_bits:
+        raise ValueError(f"band_bits must divide 64, got {band_bits}")
+    if 64 // band_bits <= max_hamming:
+        raise ValueError(
+            f"need more than max_hamming={max_hamming} blocks for the "
+            f"pigeonhole guarantee; lower band_bits (got {band_bits})"
+        )
     fp = simhash(df, text_col, id_col).persist()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1

@@ -85,6 +85,12 @@ def pagerank(
     broadcast of the few hot ranks while the cold block takes the normal
     shuffle join.
     """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if tol <= 0:
+        raise ValueError(f"tol must be positive, got {tol}")
+    if fixed_iters is not None and fixed_iters < 0:
+        raise ValueError(f"fixed_iters must be >= 0, got {fixed_iters}")
     spark = edges.sparkSession
     if vertices is None:
         vertices = (

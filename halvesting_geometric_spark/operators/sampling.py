@@ -26,6 +26,10 @@ def split_edges(
     ``pmod(xxhash64(src, dst, seed), 1000)`` buckets the edge space; ratio
     boundaries carve it. Deterministic, partition-invariant, no RNG state.
     """
+    if val_ratio < 0 or test_ratio < 0 or val_ratio + test_ratio >= 1:
+        raise ValueError(
+            f"ratios must satisfy 0 <= val+test < 1, got {val_ratio}+{test_ratio}"
+        )
     bucket = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1000))
     val_hi = int(val_ratio * 1000)
     test_hi = val_hi + int(test_ratio * 1000)
@@ -99,6 +103,8 @@ def sample_neighbors(
     """Per-source neighbor sampling with fanout cap (LinkNeighborLoader
     analog): deterministic pseudo-shuffle by neighbor hash, keep first
     ``fanout`` per src. One aggregate + one slice — no Python."""
+    if fanout <= 0:
+        raise ValueError(f"fanout must be positive, got {fanout}")
     ranked = edges.select(
         "src",
         "dst",

@@ -92,7 +92,8 @@ def test_jaccard_all_pairs_matches_python(spark):
 
 
 def test_simhash_near_dups(spark):
-    pairs = simhash_near_dups(_docs_df(spark), max_hamming=8).toPandas()
+    # band_bits=4 → 16 blocks > max_hamming=8: pigeonhole recall guaranteed
+    pairs = simhash_near_dups(_docs_df(spark), max_hamming=8, band_bits=4).toPandas()
     found = {(a, b) for a, b in zip(pairs.a, pairs.b)}
     assert (0, 3) in found  # identical text → hamming 0
     exact = pairs[(pairs.a == 0) & (pairs.b == 3)]
