@@ -49,7 +49,9 @@ def _pipeline(spark: SparkSession, sf_dir: str):
     if key not in _PIPELINE_CACHE:
         tr = derived_transcripts(spark, sf_dir)
         ce = extract_conv_edges(tr).persist()
-        verts = build_vertices(ce).persist()
+        # scalable=True: the two-phase dense-id path (no single-task global
+        # window) is the one the correctness gate exercises — VERDICT r01 #7
+        verts = build_vertices(ce, scalable=True).persist()
         edges = edges_to_ids(ce, verts).persist()
         edges.count()  # materialize the chain once
         _PIPELINE_CACHE[key] = (ce, verts, edges)
@@ -325,42 +327,46 @@ def _q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_pair_counts(load_table(spark, sf_dir, "events"), 60)
 
 
-# -- rows-only entries (non-SQL-expressible: xxhash64/LSH internals differ
-# from DuckDB's hash; the driver records the weaker rows-only check) ---------
+# -- hash-dependent operators, gated with hash_method="portable" -------------
+# (the md5-derived 60-bit hash is bit-identical in DuckDB, so the oracles
+# replicate the full dataflow — see functions.portable_hash64)
 
 
 def _q_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.sampling import split_edges
 
     _, _, edges = _pipeline(spark, sf_dir)
-    return (
-        split_edges(edges)
-        .groupBy("split")
-        .agg(F.count("*").alias("n_edges"))
-        .orderBy("split")
-    )
+    return split_edges(edges, hash_method="portable").select("src", "dst", "split")
 
 
 def _q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.sampling import negative_edges
 
     _, verts, edges = _pipeline(spark, sf_dir)
-    return negative_edges(edges, verts, ratio=0.5)
+    return negative_edges(
+        edges, verts, ratio=0.5, hash_method="portable", early_stop=False
+    )
 
 
 def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.sampling import sample_neighbors
 
     _, _, edges = _pipeline(spark, sf_dir)
-    return sample_neighbors(edges, fanout=5)
+    return sample_neighbors(edges, fanout=5, hash_method="portable")
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.dedup import minhash_near_dups
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, threshold=0.3, num_hashes=32, bands=16).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    return minhash_near_dups(
+        docs, threshold=0.3, num_hashes=32, bands=16, hash_method="portable"
+    ).select(
+        "a",
+        "b",
+        F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("jaccard_e6"),
     )
 
 
@@ -368,28 +374,154 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+    return simhash(docs, bits=60, hash_method="portable").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.similarity import lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, dim=64, k=3, n_planes=8).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    return lsh_ann_topk(emb, dim=64, k=3, n_planes=8, n_tables=2).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cosine_e6"),
     )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.textstats import language_id
 
-    return language_id(load_table(spark, sf_dir, "documents"))
+    return language_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang_pred",
+        F.floor(F.col("lang_score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("lang_score_e6"),
+    )
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.textstats import quality_score
 
-    return quality_score(load_table(spark, sf_dir, "documents"))
+    q = quality_score(load_table(spark, sf_dir, "documents"))
+    e4 = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * 10_000 + F.lit(0.5)).cast("long").alias(f"{c}_e4")
+    )
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        e4("mean_word_len"),
+        e4("alpha_ratio"),
+        e4("punct_ratio"),
+        e4("stopword_ratio"),
+        e4("quality"),
+    )
+
+
+# -- heterogeneous typed graph / nested structs / entity resolution ----------
+
+
+def _hetero_graph(spark: SparkSession, sf_dir: str):
+    """Typed bipartite graph from the same derivation the pipeline uses:
+    user —writes→ conv (one edge per distinct (user, conv)), conv —cites→ conv
+    (the extracted reference edges). Mirrors the reference's typed model
+    (/root/reference/link_prediction.py:17-28)."""
+    from halvesting_geometric_spark.operators.hetero import HeteroGraph
+    from halvesting_geometric_spark.sources.testdata import _conv_expr
+
+    ce, verts, _ = _pipeline(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    g = HeteroGraph()
+    g.add_vertices("user", ev.select(F.col("user_id").alias("id")).distinct())
+    g.add_vertices("conv", verts.select(F.col("conv_id").alias("id")))
+    g.add_edges(
+        "user",
+        "writes",
+        "conv",
+        ev.select(
+            F.col("user_id").alias("src"), _conv_expr(F.col("user_id")).alias("dst")
+        ).distinct(),
+    )
+    g.add_edges(
+        "conv",
+        "cites",
+        "conv",
+        ce.select(F.col("src_conv").alias("src"), F.col("dst_conv").alias("dst")),
+    )
+    return g
+
+
+def _q_hetero_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _hetero_graph(spark, sf_dir)
+    return g.degrees("writes", side="dst").select(
+        F.col("id").alias("conv_id"), "degree"
+    )
+
+
+def _q_hetero_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _hetero_graph(spark, sf_dir).add_reverse()
+    return g.meta_counts().select("kind", "name", F.col("n").cast("long").alias("n"))
+
+
+def _q_hetero_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _hetero_graph(spark, sf_dir)
+    _, edges = g.to_homogeneous()
+    return edges.select("src", "dst", "relation")
+
+
+def _q_explode_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array-of-struct round trip (reference's `authors` ingestion,
+    /root/reference/build_metadata.py:59-68): build array<struct<eid,role,
+    affs:array<string>>> per user, then explode + flatten + inner explode."""
+    from halvesting_geometric_spark.operators.nested import flatten_struct_array
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("role"),
+                    F.array(
+                        F.col("event_type"),
+                        F.concat(
+                            F.lit("aff-"), (F.col("event_id") % 7).cast("string")
+                        ),
+                    ).alias("affs"),
+                )
+            )
+        ).alias("authors")
+    )
+    flat = flatten_struct_array(nested, "authors")
+    return flat.select(
+        "user_id", "eid", "role", F.explode("affs").alias("aff")
+    )
+
+
+def _q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key (title, year)-style resolution with deliberate misses:
+    mentions uppercase the title (normalization must recover it) and odd
+    mention ids shift the year (must stay unresolved → null)."""
+    from halvesting_geometric_spark.operators.resolve import resolve_entities
+
+    docs = load_table(spark, sf_dir, "documents")
+    catalog = docs.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("title"),
+        (F.col("n_chars") % 10).alias("year"),
+    )
+    mentions = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("mention_id"),
+        F.upper(F.substring("text", 1, 24)).alias("title"),
+        ((F.col("n_chars") + F.col("doc_id") % 2) % 10).alias("year"),
+    )
+    return resolve_entities(
+        mentions, catalog, keys=["title", "year"], right_id="doc_id"
+    ).select("mention_id", "resolved_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -420,7 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "asof_join": _q_asof_join,
         "range_pairs": _q_range_pairs,
-        # rows-only (no oracle_sql twin — see section above)
+        # hash-dependent operators (portable-hash gate variants, full oracles)
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
@@ -429,6 +561,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_split": _q_edge_split,
         "negative_edges": _q_negative_edges,
         "neighbor_sample": _q_neighbor_sample,
+        # typed graph / nested structs / entity resolution
+        "hetero_degrees": _q_hetero_degrees,
+        "hetero_meta": _q_hetero_meta,
+        "hetero_edges": _q_hetero_edges,
+        "explode_structs": _q_explode_structs,
+        "entity_resolution": _q_entity_resolution,
     }
 
 
@@ -526,6 +664,234 @@ tri AS (
   JOIN canon e2 ON e2.a = e1.b
   JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
 """
+
+
+# -- oracle builders for the hash-dependent / text operators ------------------
+
+from halvesting_geometric_spark.functions import portable_hash64_sql as _ph  # noqa: E402
+from halvesting_geometric_spark.operators.textstats import STOPWORDS  # noqa: E402
+
+# distinct (id, shingle) pairs — shared by jaccard_pairs and minhash oracles
+_SHINGLES_SQL = r"""
+sh AS (
+  SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 2, 1) + 1)])
+             AS shl
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+  ) x, unnest(x.shl) AS u(s)
+  WHERE u.s <> '')"""
+
+_TOKENS_SQL = r"""
+tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+                     t -> t <> '') AS tk
+  FROM documents)"""
+
+
+def _lang_sql() -> str:
+    vals = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in STOPWORDS.items()
+    )
+    return f"""
+WITH {_TOKENS_SQL},
+sc AS (
+  SELECT t.doc_id, l.lang,
+         len(list_filter(t.tk, x -> list_contains(l.words, x)))
+           / greatest(len(t.tk), 1) AS score
+  FROM tok t, (VALUES {vals}) AS l(lang, words)),
+best AS (
+  SELECT doc_id, lang, score FROM sc
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang DESC) = 1)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS lang_score_e6
+FROM best"""
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+WITH {_TOKENS_SQL},
+t1 AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         greatest(len(tk), 1) AS n_tok,
+         greatest(length(text), 1) AS n_chars,
+         coalesce(list_sum([length(x) for x in tk]), 0) AS sum_len,
+         length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         len(list_filter(tk, x -> list_contains([{en}], x))) AS n_stop
+  FROM tok),
+t2 AS (
+  SELECT doc_id, n_tokens,
+         sum_len / n_tok AS mean_word_len,
+         n_alpha / n_chars AS alpha_ratio,
+         n_punct / n_chars AS punct_ratio,
+         n_stop / n_tok AS stop_ratio
+  FROM t1)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(mean_word_len * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
+       CAST(floor(alpha_ratio * 10000 + 0.5) AS BIGINT) AS alpha_ratio_e4,
+       CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS punct_ratio_e4,
+       CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT) AS stopword_ratio_e4,
+       CAST(floor((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                        THEN 0.25 ELSE 0.0 END
+                   + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                          THEN 0.25 ELSE 0.0 END
+                   + least(alpha_ratio, 0.9) / 0.9 * 0.25
+                   + least(stop_ratio * 5, 1.0) * 0.25) * 10000 + 0.5)
+            AS BIGINT) AS quality_e4
+FROM t2"""
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    h = _ph("t", seed=0)
+    bitsums = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    terms = "\n       + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return rf"""
+WITH tk AS (
+  SELECT d.doc_id, u.t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents) d, unnest(d.l) AS u(t)),
+hv AS (SELECT doc_id, {h} AS hv FROM tk),
+bits AS (SELECT doc_id,
+         {bitsums}
+         FROM hv GROUP BY doc_id)
+SELECT doc_id,
+       {terms} AS simhash
+FROM bits"""
+
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 16, threshold: float = 0.3) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN({_ph('shingle', seed=i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+sig AS (SELECT id,
+         {mins}
+         FROM sh GROUP BY id),
+bands AS (
+  {band_rows}),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.id = c.a
+  JOIN sh y ON y.id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b),
+j AS (
+  SELECT i.a, i.b, i.n_inter / (sa.sz + sb.sz - i.n_inter) AS jac
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.id
+  JOIN sizes sb ON i.b = sb.id)
+SELECT a, b, CAST(floor(jac * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM j WHERE jac >= {threshold}"""
+
+
+def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 2, k: int = 3) -> str:
+    import numpy as np
+
+    table_ctes = []
+    pair_sqls = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(7 + t * 1_000_003).standard_normal(
+            (n_planes, 64)
+        )
+        terms = "\n   + ".join(
+            "CASE WHEN list_dot_product(e, [{vals}]) >= 0 "
+            "THEN CAST({p} AS BIGINT) ELSE CAST(0 AS BIGINT) END".format(
+                vals=", ".join(repr(float(x)) for x in row), p=1 << i
+            )
+            for i, row in enumerate(planes)
+        )
+        table_ctes.append(f"bk{t} AS (SELECT vec_id, {terms} AS bucket FROM d)")
+        pair_sqls.append(
+            f"SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id "
+            f"FROM bk{t} l JOIN bk{t} r "
+            f"ON l.bucket = r.bucket AND l.vec_id <> r.vec_id"
+        )
+    ctes = ",\n".join(table_ctes)
+    pairs = "\n  UNION\n  ".join(pair_sqls)
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{ctes},
+cand AS (
+  {pairs}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CASE WHEN sqrt(list_dot_product(a.e, a.e)) = 0
+                OR sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+              ELSE list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e)))
+         END AS cosine
+  FROM cand c
+  JOIN d a ON a.vec_id = c.query_id
+  JOIN d b ON b.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= {k}"""
+
+
+def _negative_edges_sql(ratio: float = 0.5, seed: int = 42, rounds: int = 4) -> str:
+    cand_rows = "\n    UNION\n    ".join(
+        f"SELECT src, {_ph('src', seed=seed + r * 97)} % (SELECT n FROM nv) "
+        f"AS dst FROM edges"
+        for r in range(rounds)
+    )
+    return f"""WITH {_BASE},
+cand AS (
+    {cand_rows}),
+cand2 AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+negs AS (
+  SELECT c.src, c.dst FROM cand2 c
+  LEFT JOIN edges e ON c.src = e.src AND c.dst = e.dst
+  WHERE e.src IS NULL)
+SELECT src, dst FROM negs
+QUALIFY row_number() OVER (ORDER BY {_ph('src', 'dst', seed=seed)} ASC,
+                           src ASC, dst ASC)
+        <= (SELECT CAST(floor(COUNT(*) * {ratio}) AS BIGINT) FROM edges)"""
+
+
+_WRITES_SQL = """
+writes AS (
+  SELECT DISTINCT user_id AS src,
+         'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS dst
+  FROM events)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -686,4 +1052,84 @@ sims AS (
 SELECT query_id, neighbor_id, sim_e4 FROM sims
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY sim_e4 DESC, neighbor_id ASC) <= 5""",
+        # -- hash-dependent operators (portable-hash twins) -------------------
+        "edge_split": f"""WITH {_BASE},
+b AS (SELECT src, dst, {_ph('src', 'dst', seed=42)} % 1000 AS bkt FROM edges)
+SELECT src, dst,
+       CASE WHEN bkt < 100 THEN 'val'
+            WHEN bkt < 300 THEN 'test'
+            ELSE 'train' END AS split
+FROM b""",
+        "neighbor_sample": f"""WITH {_BASE}
+SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY {_ph('src', 'dst', seed=42)} ASC,
+                                     dst ASC) AS rn
+  FROM edges) t
+WHERE rn <= 5""",
+        "negative_edges": _negative_edges_sql(ratio=0.5, seed=42, rounds=4),
+        "simhash": _simhash_sql(bits=60),
+        "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
+        "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
+        "lang_id": _lang_sql(),
+        "quality": _quality_sql(),
+        # -- typed graph / nested structs / entity resolution -----------------
+        "hetero_degrees": f"""WITH {_BASE},{_WRITES_SQL},
+deg AS (SELECT dst, COUNT(*) AS d FROM writes GROUP BY dst)
+SELECT v.conv_id, CAST(COALESCE(g.d, 0) AS BIGINT) AS degree
+FROM verts v LEFT JOIN deg g ON v.conv_id = g.dst""",
+        "hetero_meta": f"""WITH {_BASE},{_WRITES_SQL}
+SELECT 'vertex' AS kind, 'user' AS name,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n
+UNION ALL SELECT 'vertex', 'conv',
+       CAST((SELECT COUNT(*) FROM verts) AS BIGINT)
+UNION ALL SELECT 'edge', 'user-writes-conv',
+       CAST((SELECT COUNT(*) FROM writes) AS BIGINT)
+UNION ALL SELECT 'edge', 'conv-cites-conv',
+       CAST((SELECT COUNT(*) FROM ce) AS BIGINT)
+UNION ALL SELECT 'edge', 'conv-rev_writes-user',
+       CAST((SELECT COUNT(*) FROM writes) AS BIGINT)
+UNION ALL SELECT 'edge', 'conv-rev_cites-conv',
+       CAST((SELECT COUNT(*) FROM ce) AS BIGINT)""",
+        "hetero_edges": f"""WITH {_BASE},{_WRITES_SQL},
+vk AS (
+  SELECT 'user|' || CAST(user_id AS VARCHAR) AS vkey
+  FROM (SELECT DISTINCT user_id FROM events) u
+  UNION ALL
+  SELECT 'conv|' || conv_id FROM verts),
+vid AS (
+  SELECT CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vertex_id,
+         vkey
+  FROM vk),
+he AS (
+  SELECT 'user|' || CAST(src AS VARCHAR) AS skey,
+         'conv|' || dst AS dkey, 'writes' AS relation
+  FROM writes
+  UNION ALL
+  SELECT 'conv|' || src_conv, 'conv|' || dst_conv, 'cites' FROM ce)
+SELECT s.vertex_id AS src, d.vertex_id AS dst, he.relation
+FROM he
+JOIN vid s ON he.skey = s.vkey
+JOIN vid d ON he.dkey = d.vkey""",
+        "explode_structs": """
+SELECT user_id, event_id AS eid, event_type AS role, u.aff
+FROM events,
+     unnest([event_type, 'aff-' || CAST(event_id % 7 AS VARCHAR)]) AS u(aff)""",
+        "entity_resolution": r"""
+WITH norm AS (
+  SELECT doc_id, text, n_chars,
+         trim(regexp_replace(regexp_replace(lower(substr(text, 1, 24)),
+              '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS tnorm
+  FROM documents),
+cat AS (
+  SELECT tnorm, CAST(n_chars % 10 AS VARCHAR) AS ynorm,
+         MIN(doc_id) AS rid
+  FROM norm GROUP BY 1, 2),
+m AS (
+  SELECT doc_id AS mention_id, tnorm,
+         CAST((n_chars + doc_id % 2) % 10 AS VARCHAR) AS ynorm
+  FROM norm WHERE doc_id % 3 = 0)
+SELECT m.mention_id, c.rid AS resolved_id
+FROM m LEFT JOIN cat c ON m.tnorm = c.tnorm AND m.ynorm = c.ynorm""",
     }

@@ -44,7 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--damping", type=float, default=0.85)
-    ap.add_argument("--scalable-ids", action="store_true", default=True)
+    ap.add_argument(
+        "--scalable-ids",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="two-phase dense-id assignment (default); "
+        "--no-scalable-ids selects the single-window path",
+    )
     args = ap.parse_args(argv)
 
     # under spark-submit the session (master, executors) is externally owned

@@ -27,6 +27,53 @@ def edge_hash(src: Column | str, dst: Column | str) -> Column:
     return F.xxhash64(src, dst)
 
 
+# -- engine-portable hashing --------------------------------------------------
+#
+# xxhash64 is Spark-private: no other engine reproduces it, so any operator
+# whose OUTPUT depends on hash values (splits, sampling, MinHash, SimHash)
+# can't be verified by an external SQL oracle. ``portable_hash64`` is the
+# cross-engine twin: the integer value of the first 15 hex chars (60 bits —
+# fits a signed 64-bit int) of md5 over the '\\x1f'-joined string forms of the
+# inputs. md5 is universal; the result is bit-identical in Spark, DuckDB,
+# Python hashlib, etc. It is ~3× slower than xxhash64, so hash-dependent
+# operators take a ``hash_method`` knob: 'xxhash64' (default, the scale path)
+# or 'portable' (the verifiable path — same algorithm, swappable seed-for-seed).
+
+_SEP = "\x1f"
+
+
+def _to_str(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("string")
+
+
+def portable_hash64(*cols: Column | str, seed: int | None = None) -> Column:
+    """60-bit engine-portable hash (see module note). Non-negative BIGINT.
+
+    Inputs are cast to their canonical string form first (Spark and ANSI SQL
+    render integers/strings identically); avoid floating-point inputs.
+    """
+    parts = [_to_str(c) for c in cols]
+    if seed is not None:
+        parts.append(F.lit(str(seed)))
+    s = F.concat_ws(_SEP, *parts)
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(*exprs: str, seed: int | None = None) -> str:
+    """DuckDB SQL twin of :func:`portable_hash64` — used by the correctness
+    oracles and tests to replicate hash-dependent operators cross-engine."""
+    parts = [f"CAST({e} AS VARCHAR)" for e in exprs]
+    if seed is not None:
+        parts.append(f"'{seed}'")
+    joined = ", ".join(parts)
+    return (
+        "list_reduce([CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT) "
+        f"for c in string_split(substr(md5(concat_ws(chr(31), {joined})), 1, 15), '')], "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
 def domain_prefix(domain: Column | str) -> Column:
     """First dot-separated segment with ``"other"`` fallback.
 

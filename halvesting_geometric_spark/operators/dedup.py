@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hash64(method: str, col, seed: int):
+    """xxhash64 (scale path) or the md5-derived portable hash (verifiable
+    path, bit-identical in ANSI SQL engines — see functions.portable_hash64)."""
+    from halvesting_geometric_spark.functions import portable_hash64
+
+    if method == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if method == "portable":
+        return portable_hash64(col, seed=seed)
+    raise ValueError(f"unknown hash_method {method!r}")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -55,16 +67,16 @@ def word_shingles(
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, num_hashes: int = 64
+    shingle_df: DataFrame, num_hashes: int = 64, hash_method: str = "xxhash64"
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
-    One xxhash64 per (shingle, seed) — num_hashes expressions evaluated
+    One hash per (shingle, seed) — num_hashes expressions evaluated
     per row inside codegen, then a single hash-aggregate takes the per-seed
     minima. One shuffle total.
     """
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_hash64(hash_method, F.col("shingle"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = shingle_df.groupBy("id").agg(*mins)
@@ -81,13 +93,20 @@ def lsh_candidate_pairs(
     Docs sharing any band hash collide into the same bucket; a self-join per
     bucket yields candidates. Buckets with a single doc produce nothing.
     """
-    n_hashes_row = sig_df.select(F.size("sig")).first()[0]
+    first = sig_df.select(F.size("sig")).first()
+    if first is None:  # empty signature table → no candidate pairs
+        spark = sig_df.sparkSession
+        return spark.createDataFrame([], "a long, b long")
+    n_hashes_row = first[0]
     rows_per_band = rows_per_band or n_hashes_row // bands
     if rows_per_band < 1 or bands * rows_per_band > n_hashes_row:
         raise ValueError(
             f"bands={bands} x rows_per_band={rows_per_band} incompatible "
             f"with signature length {n_hashes_row}"
         )
+    # Bucket key = the band's raw signature values joined as a string: no
+    # re-hash needed for correctness (equality is equality), and external SQL
+    # oracles replicate it verbatim.
     band_entries = sig_df.select(
         "id",
         F.explode(
@@ -95,14 +114,12 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -172,31 +189,39 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
     exact-Jaccard verify ≥ threshold. Returns (a, b, jaccard)."""
     sh = word_shingles(df, text_col, id_col, n=shingle_n)
     sh = sh.persist()
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, hash_method=hash_method)
     cand = lsh_candidate_pairs(sig, bands=bands)
     scored = jaccard_similarity(sh, cand)
     return scored.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash long) — 64-bit SimHash over word tokens.
+    """(id, simhash long) — ``bits``-bit SimHash over word tokens.
 
-    Per token: one xxhash64; per bit: ±1 contribution summed per doc, sign →
-    bit. All expression-level (shiftright/bitwise-and inside the aggregate);
-    one shuffle.
+    Per token: one 64-bit hash; per bit: ±1 contribution summed per doc,
+    sign → bit. All expression-level (shiftright/bitwise-and inside the
+    aggregate); one shuffle. With ``hash_method='portable'`` the hash carries
+    60 usable bits, so ``bits`` must be ≤ 60 there.
     """
+    if hash_method == "portable" and bits > 60:
+        raise ValueError("portable hash carries 60 bits; lower `bits`")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    h = _hash64(hash_method, F.col("tok"), 0)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

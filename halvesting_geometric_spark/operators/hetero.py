@@ -1,0 +1,233 @@
+"""Heterogeneous (typed) property graph: the reference's core data model.
+
+Reference parity: ``/root/reference/link_prediction.py:17-28`` declares 4 node
+types and 7 typed relations (including reverse relations added by
+``T.ToUndirected``); the per-type tables are built at
+``link_prediction_metadata.py:380-422``. SURVEY.md §1.5 promises exactly this
+shape: ``{vertex_type: DataFrame}`` + ``{(src_type, rel, dst_type): DataFrame}``.
+
+Every vertex table must expose an ``id`` column (plus arbitrary attribute
+columns); every edge table must expose ``src``/``dst`` columns typed like the
+endpoint tables' ids. All operations are plain DataFrame ops — per-relation
+degree aggregates, reverse-relation unions, endpoint validation via anti
+joins, and a typed→homogeneous lowering (dense global ids over the union of
+all typed vertices) so the homogeneous algorithms (PageRank, CC, LPA,
+triangles) run on any chosen relation subset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.ids import dense_ids_scalable
+
+EdgeKey = tuple[str, str, str]  # (src_type, relation, dst_type)
+
+
+@dataclass
+class HeteroGraph:
+    """``vertices``: type → DataFrame(id, *attrs); ``edges``: (src_type,
+    relation, dst_type) → DataFrame(src, dst, *attrs)."""
+
+    vertices: dict[str, DataFrame] = field(default_factory=dict)
+    edges: dict[EdgeKey, DataFrame] = field(default_factory=dict)
+
+    # -- construction -------------------------------------------------------
+    def add_vertices(self, vtype: str, df: DataFrame, id_col: str = "id") -> None:
+        if id_col != "id":
+            df = df.withColumnRenamed(id_col, "id")
+        if "id" not in df.columns:
+            raise ValueError(f"vertex table for {vtype!r} needs an 'id' column")
+        self.vertices[vtype] = df
+
+    def add_edges(
+        self,
+        src_type: str,
+        relation: str,
+        dst_type: str,
+        df: DataFrame,
+        src_col: str = "src",
+        dst_col: str = "dst",
+    ) -> None:
+        if src_type not in self.vertices or dst_type not in self.vertices:
+            raise ValueError(
+                f"add vertex types {src_type!r}/{dst_type!r} before the relation"
+            )
+        if src_col != "src":
+            df = df.withColumnRenamed(src_col, "src")
+        if dst_col != "dst":
+            df = df.withColumnRenamed(dst_col, "dst")
+        self.edges[(src_type, relation, dst_type)] = df
+
+    # -- lookup -------------------------------------------------------------
+    def relation(self, name: str) -> tuple[EdgeKey, DataFrame]:
+        """Resolve a relation by bare name; error if ambiguous/absent."""
+        hits = [(k, v) for k, v in self.edges.items() if k[1] == name]
+        if not hits:
+            raise KeyError(f"no relation named {name!r}")
+        if len(hits) > 1:
+            raise KeyError(
+                f"relation {name!r} is ambiguous: {[k for k, _ in hits]}"
+            )
+        return hits[0]
+
+    # -- transforms ---------------------------------------------------------
+    def add_reverse(
+        self, relation: str | None = None, prefix: str = "rev_"
+    ) -> "HeteroGraph":
+        """ToUndirected analog (``/root/reference/link_prediction.py:27``):
+        add ``(dst_type, prefix+rel, src_type)`` with src/dst swapped — for
+        ``relation=None`` every relation gets its reverse. Self-reverse
+        relations (same name both ways) are not duplicated."""
+        out = HeteroGraph(dict(self.vertices), dict(self.edges))
+        keys = (
+            [self.relation(relation)[0]]
+            if relation is not None
+            else list(self.edges.keys())
+        )
+        for (st, rel, dt) in keys:
+            rkey = (dt, prefix + rel, st)
+            if rkey in out.edges:
+                continue
+            df = self.edges[(st, rel, dt)]
+            out.edges[rkey] = df.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                *[c for c in df.columns if c not in ("src", "dst")],
+            )
+        return out
+
+    # -- analytics ----------------------------------------------------------
+    def degrees(self, relation: str, side: str = "dst") -> DataFrame:
+        """Per-vertex degree under one typed relation: (id, degree), zero
+        rows included for degree-0 vertices of the side's type."""
+        if side not in ("src", "dst"):
+            raise ValueError(f"side must be src|dst, got {side!r}")
+        key, df = self.relation(relation)
+        vtype = key[0] if side == "src" else key[2]
+        deg = df.groupBy(F.col(side).alias("id")).agg(
+            F.count("*").alias("degree")
+        )
+        return (
+            self.vertices[vtype]
+            .select("id")
+            .join(deg, "id", "left")
+            .select(
+                "id", F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
+            )
+        )
+
+    def meta_counts(self) -> DataFrame:
+        """One-row-per-type/relation cardinality summary:
+        (kind ∈ {vertex, edge}, name, n). Unions of tiny aggregates."""
+        parts = []
+        for vtype, df in sorted(self.vertices.items()):
+            parts.append(
+                df.agg(
+                    F.lit("vertex").alias("kind"),
+                    F.lit(vtype).alias("name"),
+                    F.count("*").alias("n"),
+                )
+            )
+        for (st, rel, dt), df in sorted(self.edges.items()):
+            parts.append(
+                df.agg(
+                    F.lit("edge").alias("kind"),
+                    F.lit(f"{st}-{rel}-{dt}").alias("name"),
+                    F.count("*").alias("n"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def validate(self) -> dict[str, int]:
+        """Dangling-endpoint audit: per relation, count edge endpoints missing
+        from their vertex table (anti joins — distributed, no collect)."""
+        report: dict[str, int] = {}
+        for (st, rel, dt), df in self.edges.items():
+            miss_src = (
+                df.select("src")
+                .join(
+                    self.vertices[st].select(F.col("id").alias("src")),
+                    "src",
+                    "left_anti",
+                )
+                .count()
+            )
+            miss_dst = (
+                df.select("dst")
+                .join(
+                    self.vertices[dt].select(F.col("id").alias("dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .count()
+            )
+            report[f"{st}-{rel}-{dt}"] = miss_src + miss_dst
+        return report
+
+    def to_homogeneous(
+        self, relations: list[str] | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """Lower to one (vertices, edges) pair with dense global vertex ids.
+
+        Global key = ``"<type>|<id>"``; ids assigned with the scalable
+        two-phase counter (no single-task window). Returns
+        (vertices(vertex_id, vtype, id), edges(src, dst, relation)).
+        """
+        keys = (
+            [self.relation(r)[0] for r in relations]
+            if relations is not None
+            else list(self.edges.keys())
+        )
+        vparts = [
+            df.select(
+                F.concat_ws("|", F.lit(vt), F.col("id").cast("string")).alias(
+                    "vkey"
+                )
+            )
+            for vt, df in sorted(self.vertices.items())
+        ]
+        allv = vparts[0]
+        for p in vparts[1:]:
+            allv = allv.unionByName(p)
+        vids = dense_ids_scalable(allv.distinct(), "vkey", id_col="vertex_id")
+        vertices = vids.select(
+            "vertex_id",
+            F.split(F.col("vkey"), r"\|", 2).getItem(0).alias("vtype"),
+            F.split(F.col("vkey"), r"\|", 2).getItem(1).alias("id"),
+        )
+        eparts = []
+        for (st, rel, dt) in keys:
+            df = self.edges[(st, rel, dt)]
+            eparts.append(
+                df.select(
+                    F.concat_ws("|", F.lit(st), F.col("src").cast("string")).alias(
+                        "skey"
+                    ),
+                    F.concat_ws("|", F.lit(dt), F.col("dst").cast("string")).alias(
+                        "dkey"
+                    ),
+                    F.lit(rel).alias("relation"),
+                )
+            )
+        alle = eparts[0]
+        for p in eparts[1:]:
+            alle = alle.unionByName(p)
+        edges = (
+            alle.join(
+                vids.select(F.col("vkey").alias("skey"), F.col("vertex_id").alias("src")),
+                "skey",
+            )
+            .join(
+                vids.select(F.col("vkey").alias("dkey"), F.col("vertex_id").alias("dst")),
+                "dkey",
+            )
+            .select("src", "dst", "relation")
+        )
+        return vertices, edges

@@ -98,9 +98,29 @@ def pagerank(
             .unionByName(edges.select(F.col("dst").alias("vertex_id")))
             .distinct()
         )
-    vertices = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
-    n = vertices.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # Loop-invariant vertex table carries a dangling flag so each superstep's
+    # single aggregate can also produce the NEXT iteration's dangling mass
+    # (= Σ new_rank over zero-out-degree vertices) — no separate mass job.
+    vertices = (
+        vertices.select("vertex_id")
+        .join(
+            out_deg.select(
+                F.col("src").alias("vertex_id"), F.lit(True).alias("_linked")
+            ),
+            "vertex_id",
+            "left",
+        )
+        .select(
+            "vertex_id", F.coalesce("_linked", F.lit(False)).alias("has_out")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vstats = vertices.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("has_out"), 1).otherwise(0)).alias("n_dangling"),
+    ).first()
+    n, n_dangling = int(vstats["n"]), int(vstats["n_dangling"])
     # loop-invariant edge table, hash-partitioned on the gather key once: when
     # the shuffle-join path is taken (big vertex state), each iteration only
     # shuffles the small rank table — the cached edge partitioning is reused
@@ -134,11 +154,17 @@ def pagerank(
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         start_iter = checkpoint.latest_iteration() + 1
         ranks = checkpoint.load_state(start_iter - 1)
+        dangling = float(
+            ranks.join(vertices.filter(~F.col("has_out")), "vertex_id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
     else:
         ranks = vertices.select(
             "vertex_id", (F.lit(1.0) / F.lit(float(n))).alias("rank")
         ).persist(StorageLevel.MEMORY_AND_DISK)
         ranks.count()
+        dangling = n_dangling / float(n)
 
     # Small vertex-state tables ride broadcast joins: the big (cached) edge
     # table is never reshuffled per superstep, only the scatter aggregate
@@ -180,13 +206,18 @@ def pagerank(
             )
         sums = _scatter(msgs, agg_mode, n_salts)
 
-        # ONE heavy job per superstep: materialize (vertex_id, msg_sum,
-        # old_rank) partials and take Σ msg_sum in the same pass. Dangling mass
-        # (= 1 − Σ msg_sum: total rank is analytically 1.0 every iteration —
-        # the update redistributes all mass; fp drift O(1e-16·iters) ≪ tol)
-        # becomes a driver scalar folded into the final rank expression, so
-        # the scatter subplan is scanned exactly once (no crossJoin that would
-        # duplicate it in the plan) and delta/state derive from the cache.
+        # TWO jobs per superstep (down from three): the single aggregate over
+        # the cached pair table yields the convergence delta (L1/L∞) AND the
+        # NEXT iteration's dangling mass (= Σ new_rank over zero-out-degree
+        # vertices) in one pass. Dangling mass for THIS iteration is a driver
+        # scalar carried from the previous aggregate (analytically Σ rank = 1
+        # every iteration; fp drift O(1e-16·iters) ≪ tol), so no separate
+        # mass job ever runs.
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank_expr = (
+            F.lit(base)
+            + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
+        ).alias("rank")
         paired = (
             vertices.join(
                 _b(sums.select(F.col("dst").alias("vertex_id"), "msg_sum")),
@@ -199,23 +230,38 @@ def pagerank(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        in_mass = float(
-            paired.agg(F.coalesce(F.sum("msg_sum"), F.lit(0.0))).first()[0]
-        )
-        dangling = max(1.0 - in_mass, 0.0)
-        base = (1.0 - damping) / n + damping * dangling / n
-        rank_expr = (
-            F.lit(base)
-            + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
-        ).alias("rank")
-        diff = paired.select(
-            (rank_expr.cast("double") - F.col("old_rank")).alias("d")
-        ).agg(
-            F.sum(F.abs(F.col("d"))).alias("l1"),
-            F.max(F.abs(F.col("d"))).alias("linf"),
+        _d = F.abs(rank_expr.cast("double") - F.col("old_rank"))
+        agg = paired.agg(
+            F.sum(_d).alias("l1"),
+            F.max(_d).alias("linf"),
+            F.sum(
+                F.when(~F.col("has_out"), rank_expr).otherwise(F.lit(0.0))
+            ).alias("next_dangling"),
         ).first()
-        new_ranks = paired.select("vertex_id", rank_expr)
-        delta_l1, delta_linf = float(diff["l1"]), float(diff["linf"])
+        delta_l1 = float(agg["l1"])
+        delta_linf = float(agg["linf"])
+        dangling = float(agg["next_dangling"] or 0.0)
+        state = paired.select("vertex_id", rank_expr)
+
+        # Lineage MUST truncate every iteration: each superstep references the
+        # state twice (gather join + delta), so an un-truncated plan doubles
+        # per iteration — exponential Catalyst analysis cost. The truncating
+        # copy reads from the cached pair table, so it is one cheap map job.
+        if checkpoint is not None and (
+            it % checkpoint_interval == 0 or it == target - 1
+        ):
+            ranks = checkpoint.save_state(
+                it,
+                state,
+                metrics={
+                    "iteration": it,
+                    "delta_l1": delta_l1,
+                    "delta_linf": delta_linf,
+                },
+            )
+        else:
+            ranks = state.localCheckpoint(eager=True)
+        paired.unpersist()
         wall = time.monotonic() - t0
         row = {
             "iteration": it,
@@ -224,19 +270,6 @@ def pagerank(
             "wall_sec": wall,
         }
         all_metrics.append(row)
-
-        # Lineage MUST truncate every iteration: each superstep references the
-        # state twice (gather join + delta), so an un-truncated plan doubles
-        # per iteration — exponential Catalyst analysis cost. The truncating
-        # copy reads from the cached pair table, so it is one cheap map job.
-        state = new_ranks
-        if checkpoint is not None and (
-            it % checkpoint_interval == 0 or it == target - 1
-        ):
-            ranks = checkpoint.save_state(it, state, metrics=row)
-        else:
-            ranks = state.localCheckpoint(eager=True)
-        paired.unpersist()
 
         if fixed_iters is None and delta_l1 < tol:
             converged = True

@@ -4,15 +4,96 @@ Reference analog: ``RandomLinkSplit`` + ``LinkNeighborLoader``
 (``/root/reference/halvesting_geometric/utils/data/link_prediction_datamodule.py:127-134,150-161``;
 split ratios ``configs/train_sage_config.yml:2-4``, fanout
 ``experiments/tune_link_prediction.py:30``). The reference uses torch RNG
-state; here every random choice is a pure function of ``(seed, edge)`` via
-xxhash64 — reproducible across partitionings, cluster sizes, and reruns
+state; here every random choice is a pure function of ``(seed, edge)`` via a
+64-bit hash — reproducible across partitionings, cluster sizes, and reruns
 (SURVEY.md §2.10 R1/R2).
+
+``hash_method`` on every operator selects the hash family:
+
+- ``"xxhash64"`` (default): Spark-native, fastest — the 100TB path.
+- ``"portable"``: md5-derived 60-bit hash bit-identical in ANSI SQL engines
+  (see functions.portable_hash64) — the externally-verifiable path used by the
+  correctness gate. Same algorithms either way.
+
+Scale notes: nothing here materializes per-vertex adjacency or funnels through
+a single-partition global sort — neighbor sampling is a windowed row_number
+(sort-based, spillable, no array buffers even for 10^8-degree hubs), and the
+exact quota cut in ``negative_edges`` is a two-phase bucket count + one-bucket
+window (``take_smallest_exact``), not a global ORDER BY ... LIMIT.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.functions import portable_hash64
+
+log = logging.getLogger(__name__)
+
+
+def hash64(method: str, *cols: Column | str, seed: int = 0) -> Column:
+    """The operator-selectable 64-bit hash (see module docstring)."""
+    if method == "xxhash64":
+        return F.xxhash64(*cols, F.lit(seed))
+    if method == "portable":
+        return portable_hash64(*cols, seed=seed)
+    raise ValueError(f"unknown hash_method {method!r}")
+
+
+def take_smallest_exact(
+    df: DataFrame,
+    n: int,
+    hash_col: str = "_h",
+    tie_cols: tuple[str, ...] = (),
+    n_bucket_bits: int = 10,
+) -> DataFrame:
+    """Exactly the ``n`` smallest rows by ``(hash_col, *tie_cols)`` — without
+    a single-partition global sort.
+
+    Phase 1 buckets rows by the hash's high bits (monotone in the hash value,
+    signed-shift safe) and counts per bucket (≤ 2^n_bucket_bits longs to the
+    driver). Phase 2 takes every row in buckets strictly below the cutoff and
+    row_numbers ONLY the cutoff bucket (one partition holding ~n/2^bits rows).
+    A LIMIT of billions never funnels through one task.
+    """
+    if n <= 0:
+        return df.limit(0)
+    shift = 64 - n_bucket_bits
+    bucketed = df.withColumn("_bkt", F.shiftright(F.col(hash_col), shift))
+    counts = sorted(
+        (r["_bkt"], r["cnt"])
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    )
+    cum = 0
+    cutoff_bucket = None
+    take_in_cutoff = 0
+    taken_whole: list[int] = []
+    for bkt, cnt in counts:
+        if cum + cnt <= n:
+            taken_whole.append(bkt)
+            cum += cnt
+            if cum == n:
+                break
+        else:
+            cutoff_bucket = bkt
+            take_in_cutoff = n - cum
+            break
+    whole = bucketed.filter(F.col("_bkt").isin(taken_whole or [-(1 << 62)]))
+    if cutoff_bucket is None:
+        return whole.drop("_bkt")
+    w = Window.partitionBy("_bkt").orderBy(
+        F.col(hash_col).asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    edge = (
+        bucketed.filter(F.col("_bkt") == cutoff_bucket)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= take_in_cutoff)
+        .drop("_rn")
+    )
+    return whole.unionByName(edge).drop("_bkt")
 
 
 def split_edges(
@@ -20,17 +101,18 @@ def split_edges(
     val_ratio: float = 0.1,
     test_ratio: float = 0.2,
     seed: int = 42,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Add a ``split`` column ∈ {train, val, test} by hashing the edge.
 
-    ``pmod(xxhash64(src, dst, seed), 1000)`` buckets the edge space; ratio
+    ``pmod(hash64(src, dst, seed), 1000)`` buckets the edge space; ratio
     boundaries carve it. Deterministic, partition-invariant, no RNG state.
     """
     if val_ratio < 0 or test_ratio < 0 or val_ratio + test_ratio >= 1:
         raise ValueError(
             f"ratios must satisfy 0 <= val+test < 1, got {val_ratio}+{test_ratio}"
         )
-    bucket = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1000))
+    bucket = F.pmod(hash64(hash_method, "src", "dst", seed=seed), F.lit(1000))
     val_hi = int(val_ratio * 1000)
     test_hi = val_hi + int(test_ratio * 1000)
     return edges.withColumn(
@@ -47,6 +129,9 @@ def negative_edges(
     ratio: float = 2.0,
     seed: int = 42,
     max_rounds: int = 4,
+    hash_method: str = "xxhash64",
+    id_col: str = "vertex_id",
+    early_stop: bool = True,
 ) -> DataFrame:
     """Sample ``ratio × |E|`` non-edges (negative examples).
 
@@ -55,8 +140,32 @@ def negative_edges(
     positives (the reference relies on PyG's rejection loop; here rejection is
     the anti-join, repeated over fresh seeds until the quota fills).
     Deterministic in ``seed``.
+
+    Precondition (checked): vertex ids are dense in ``[0, n_vertices)`` —
+    candidate destinations are ``pmod(hash, n_vertices)``, so sparse ids would
+    produce phantom endpoints (``dense_ids_*`` guarantees density). The final
+    quota cut keeps exactly the ``need`` candidates with the smallest
+    ``(hash, src, dst)`` via :func:`take_smallest_exact` — no global
+    ORDER BY + LIMIT single-partition funnel. If ``max_rounds`` exhausts the
+    candidate space before the quota fills, the shortfall is logged and the
+    available negatives are returned.
+
+    ``early_stop=False`` always runs all ``max_rounds`` rounds (skipping the
+    per-round count job): the result is then a pure function of
+    ``(edges, seed, max_rounds)`` regardless of when the quota would have
+    filled — the externally-verifiable mode, and cheaper when the quota is
+    known not to fill early.
     """
-    n_vertices = vertices.count()
+    lo, hi, n_vertices = vertices.agg(
+        F.min(id_col), F.max(id_col), F.count("*")
+    ).first()
+    if n_vertices == 0:
+        return edges.select("src", "dst").limit(0)
+    if lo != 0 or hi != n_vertices - 1:
+        raise ValueError(
+            f"negative_edges requires dense vertex ids in [0, n); got "
+            f"min={lo}, max={hi}, count={n_vertices} (use dense_ids_*)"
+        )
     need = int(edges.count() * ratio)
     out: DataFrame | None = None
     have = 0
@@ -70,7 +179,7 @@ def negative_edges(
                     F.array(
                         *[
                             F.pmod(
-                                F.xxhash64("src", F.lit(seed + r * 97 + i)),
+                                hash64(hash_method, "src", seed=seed + r * 97 + i),
                                 F.lit(n_vertices),
                             )
                             for i in range(k)
@@ -85,41 +194,46 @@ def negative_edges(
         out = negs if out is None else out.unionByName(negs).dropDuplicates(
             ["src", "dst"]
         )
+        if early_stop:
+            have = out.count()
+            if have >= need:
+                break
+    if not early_stop:
         have = out.count()
-        if have >= need:
-            break
-    # deterministic truncation to the quota: smallest hash first
-    return (
-        out.withColumn("_h", F.xxhash64("src", "dst", F.lit(seed)))
-        .orderBy("_h")
-        .limit(need)
-        .select("src", "dst")
-    )
+    if have < need:
+        log.warning(
+            "negative_edges: only %d of the requested %d negatives exist "
+            "after %d rounds (candidate space exhausted); returning %d",
+            have, need, max_rounds, have,
+        )
+    ranked = out.withColumn("_h", hash64(hash_method, "src", "dst", seed=seed))
+    return take_smallest_exact(
+        ranked, min(need, have), hash_col="_h", tie_cols=("src", "dst")
+    ).select("src", "dst")
 
 
 def sample_neighbors(
-    edges: DataFrame, fanout: int = 32, seed: int = 42
+    edges: DataFrame,
+    fanout: int = 32,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Per-source neighbor sampling with fanout cap (LinkNeighborLoader
-    analog): deterministic pseudo-shuffle by neighbor hash, keep first
-    ``fanout`` per src. One aggregate + one slice — no Python."""
+    analog): deterministic pseudo-shuffle by neighbor hash, keep the first
+    ``fanout`` per src.
+
+    Implemented as ``row_number()`` over ``Window.partitionBy(src)`` — the
+    sort is external/spillable, so a 10^8-degree hub streams through one
+    sorter without ever materializing its adjacency in an aggregation buffer
+    (the collect_list formulation OOMs exactly there).
+    """
     if fanout <= 0:
         raise ValueError(f"fanout must be positive, got {fanout}")
-    ranked = edges.select(
-        "src",
-        "dst",
-        F.xxhash64("src", "dst", F.lit(seed)).alias("_h"),
+    w = Window.partitionBy("src").orderBy(F.col("_h").asc(), F.col("dst").asc())
+    return (
+        edges.select("src", "dst")
+        .withColumn("_h", hash64(hash_method, "src", "dst", seed=seed))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= fanout)
+        .select("src", "dst")
     )
-    grouped = ranked.groupBy("src").agg(
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_h"), F.col("dst")))
-                ),
-                lambda s: s["dst"],
-            ),
-            1,
-            fanout,
-        ).alias("sampled")
-    )
-    return grouped.select("src", F.explode("sampled").alias("dst"))

@@ -96,24 +96,63 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 7,
+    n_tables: int = 1,
+    bucket_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k per vector: candidates = same LSH bucket, exact
-    cosine rerank inside the bucket. Shuffle is keyed on bucket — bounded
-    bucket sizes replace the all-pairs cross join at scale."""
-    b = lsh_bucket(emb, dim, n_planes, seed, id_col, vec_col).persist()
-    left = b.select(
-        "bucket", F.col("id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    right = b.select(
-        "bucket", F.col("id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    pairs = left.join(right, "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = pairs.select(
-        "query_id", "neighbor_id", cosine_similarity("qv", "cv").alias("cosine")
+    """Approximate top-k per vector: candidates = bucket collisions across
+    ``n_tables`` independent hash tables (different plane seeds), exact cosine
+    rerank on the deduped candidate set.
+
+    Scale levers (both deterministic, both oracle-replicable):
+
+    - ``n_tables`` > 1 is the multi-band/multi-probe recall lever — a true
+      neighbor missed by one table's planes is caught by another's.
+    - ``bucket_cap`` bounds the per-bucket candidate blow-up: at most
+      ``bucket_cap`` entries per (table, bucket), kept by ascending id, so the
+      bucket-local pair count is ≤ cap², never O(bucket²) on a degenerate
+      bucket (e.g. all-zero embeddings hashing together).
+
+    The candidate set is deduped BEFORE the embedding-rerank joins, so each
+    pair's cosine is computed once however many tables produced it.
+    """
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    cand: DataFrame | None = None
+    for t in range(n_tables):
+        b = lsh_bucket(
+            emb, dim, n_planes, seed + t * 1_000_003, id_col, vec_col
+        ).select("bucket", "id")
+        if bucket_cap is not None:
+            wc = Window.partitionBy("bucket").orderBy(F.col("id").asc())
+            b = (
+                b.withColumn("_rn", F.row_number().over(wc))
+                .filter(F.col("_rn") <= bucket_cap)
+                .drop("_rn")
+            )
+        pairs = (
+            b.select("bucket", F.col("id").alias("query_id"))
+            .join(b.select("bucket", F.col("id").alias("neighbor_id")), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    scored = (
+        cand.join(
+            emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id", "neighbor_id", cosine_similarity("qv", "cv").alias("cosine")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

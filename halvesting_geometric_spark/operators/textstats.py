@@ -66,7 +66,7 @@ def language_id(
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
             "lang_pred"
         ),
-        F.round(best["score"], 6).alias("lang_score"),
+        best["score"].alias("lang_score"),
     )
 
 
@@ -99,11 +99,11 @@ def quality_score(
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(composite, 4).alias("quality"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        composite.alias("quality"),
     )
 
 

@@ -105,17 +105,31 @@ class CheckpointManager:
             F.col("value").alias("metrics_json"),
         ).write.mode("append").parquet(self._metrics_path)
 
-        with open(self._manifest_path, "w") as fh:
+        # temp-file + os.replace: a crash mid-write can never leave a corrupt
+        # manifest visible (replace is atomic on POSIX), so the manifest stays
+        # a valid resume pointer or is absent — never half-written.
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(
                 {"algorithm": self.algorithm, "latest_iteration": iteration}, fh
             )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path)
         return reloaded
 
     def latest_iteration(self) -> int | None:
+        """Latest checkpointed iteration, or None when no (valid) manifest
+        exists. An unparsable manifest (e.g. torn write on a non-atomic
+        filesystem) is treated as absent rather than raising: the caller then
+        restarts from scratch, which is always safe."""
         if not os.path.exists(self._manifest_path):
             return None
-        with open(self._manifest_path) as fh:
-            return json.load(fh)["latest_iteration"]
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)["latest_iteration"]
+        except (json.JSONDecodeError, KeyError, OSError):
+            return None
 
     def load_state(self, iteration: int) -> DataFrame:
         return self.spark.read.parquet(self._state_path(iteration))
