@@ -422,6 +422,31 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.textstats import fingerprint
+
+    return fingerprint(
+        load_table(spark, sf_dir, "documents"), hash_method="portable"
+    )
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from halvesting_geometric_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, dim=64, threshold=0.3, n_planes=4, seed=7
+    ).select(
+        "a",
+        "b",
+        F.floor(F.col("cosine") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cosine_e6"),
+    )
+
+
 # -- heterogeneous typed graph / nested structs / entity resolution ----------
 
 
@@ -471,6 +496,14 @@ def _q_hetero_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _hetero_graph(spark, sf_dir)
     _, edges = g.to_homogeneous()
     return edges.select("src", "dst", "relation")
+
+
+def _q_hetero_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex side of the typed→homogeneous lowering: dense global ids over
+    the union of all typed vertex tables (scalable two-phase assignment)."""
+    g = _hetero_graph(spark, sf_dir)
+    v, _ = g.to_homogeneous()
+    return v.select("vertex_id", "vtype", "id")
 
 
 def _q_explode_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,10 +594,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_split": _q_edge_split,
         "negative_edges": _q_negative_edges,
         "neighbor_sample": _q_neighbor_sample,
+        "fingerprints": _q_fingerprints,
+        "embedding_near_dups": _q_embedding_near_dups,
         # typed graph / nested structs / entity resolution
         "hetero_degrees": _q_hetero_degrees,
         "hetero_meta": _q_hetero_meta,
         "hetero_edges": _q_hetero_edges,
+        "hetero_vertices": _q_hetero_vertices,
         "explode_structs": _q_explode_structs,
         "entity_resolution": _q_entity_resolution,
     }
@@ -867,6 +903,50 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id ASC) <= {k}"""
 
 
+def _fingerprint_sql() -> str:
+    norm = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS nt FROM documents)
+SELECT doc_id,
+       {_ph('nt', seed=0)} AS fp_full,
+       {_ph('substr(nt, 1, 256)', seed=0)} AS fp_head,
+       {_ph('reverse(substr(reverse(nt), 1, 256))', seed=0)} AS fp_tail
+FROM n"""
+
+
+def _embedding_near_dups_sql(
+    n_planes: int = 8, threshold: float = 0.5, seed: int = 7
+) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, 64))
+    terms = "\n   + ".join(
+        "CASE WHEN list_dot_product(e, [{vals}]) >= 0 "
+        "THEN CAST({p} AS BIGINT) ELSE CAST(0 AS BIGINT) END".format(
+            vals=", ".join(repr(float(x)) for x in row), p=1 << i
+        )
+        for i, row in enumerate(planes)
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS (SELECT vec_id, {terms} AS bucket FROM d),
+cand AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+scored AS (
+  SELECT c.a, c.b,
+         CASE WHEN sqrt(list_dot_product(x.e, x.e)) = 0
+                OR sqrt(list_dot_product(y.e, y.e)) = 0 THEN 0.0
+              ELSE list_dot_product(x.e, y.e)
+                   / (sqrt(list_dot_product(x.e, x.e))
+                      * sqrt(list_dot_product(y.e, y.e)))
+         END AS cosine
+  FROM cand c JOIN d x ON x.vec_id = c.a JOIN d y ON y.vec_id = c.b)
+SELECT DISTINCT a, b,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM scored WHERE cosine >= {threshold}"""
+
+
 def _negative_edges_sql(ratio: float = 0.5, seed: int = 42, rounds: int = 4) -> str:
     cand_rows = "\n    UNION\n    ".join(
         f"SELECT src, {_ph('src', seed=seed + r * 97)} % (SELECT n FROM nv) "
@@ -1072,6 +1152,10 @@ WHERE rn <= 5""",
         "simhash": _simhash_sql(bits=60),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
+        "fingerprints": _fingerprint_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(
+            n_planes=4, threshold=0.3, seed=7
+        ),
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         # -- typed graph / nested structs / entity resolution -----------------
@@ -1112,6 +1196,16 @@ SELECT s.vertex_id AS src, d.vertex_id AS dst, he.relation
 FROM he
 JOIN vid s ON he.skey = s.vkey
 JOIN vid d ON he.dkey = d.vkey""",
+        "hetero_vertices": f"""WITH {_BASE},{_WRITES_SQL},
+vk AS (
+  SELECT 'user|' || CAST(user_id AS VARCHAR) AS vkey
+  FROM (SELECT DISTINCT user_id FROM events) u
+  UNION ALL
+  SELECT 'conv|' || conv_id FROM verts)
+SELECT CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vertex_id,
+       string_split(vkey, '|')[1] AS vtype,
+       string_split(vkey, '|')[2] AS id
+FROM vk""",
         "explode_structs": """
 SELECT user_id, event_id AS eid, event_type AS role, u.aff
 FROM events,

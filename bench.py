@@ -112,7 +112,11 @@ def run_scaling_job(
     import statistics
 
     spark = get_spark(
-        app_name=f"hgs-scaling-{cores}", cores=cores, shuffle_partitions=cores * 2,
+        # cores*8 tasks per stage (Spark's 2-4+ tasks/core guidance): finer
+        # granularity lets the scheduler load-balance around transient
+        # external load on the shared host instead of one fat straggler task
+        # stretching the whole superstep
+        app_name=f"hgs-scaling-{cores}", cores=cores, shuffle_partitions=cores * 8,
         extra_conf={
             # AQE's 64MB advisory size would coalesce the scatter shuffle to a
             # handful of partitions, capping reduce-side parallelism below the
@@ -148,6 +152,9 @@ def run_scaling_job(
         "sec_per_iter_median": round(med, 3),
         "sec_per_iter_min": round(min(per_iter), 3) if per_iter else None,
         "edges_per_sec_median": round(m / med, 1),
+        # full per-superstep walls: lets a reader audit host-noise spikes
+        # inside the run instead of trusting the summary stats
+        "per_iter_sec": [round(x, 3) for x in per_iter],
     }
 
 
@@ -241,8 +248,17 @@ def main() -> None:
 def run_scaling(
     cpus: int, n_vertices: int, n_edges: int, iters: int, sf: float
 ) -> None:
-    """local[N] vs local[4N] on the same input, fresh JVM each."""
+    """local[N] vs local[4N] on the same input, fresh JVM each — BOTH levels
+    run back-to-back inside this single invocation (plus their controls), so
+    the emitted JSON is a self-contained single-run measurement: never pair
+    numbers across different invocations."""
     n_small = max(cpus // 4, 1)
+    run_meta = {
+        "started_unix": time.time(),
+        "loadavg_before": os.getloadavg(),
+        "single_run": True,
+        "order": [n_small, cpus],
+    }
     results: dict = {}
     controls: dict = {}
     for cores in (n_small, cpus):
@@ -305,6 +321,8 @@ Caveats: local mode shares one JVM, one memory bus and one shuffle disk across
 all threads; the sandbox host also carries variable external load.
 """
         )
+    run_meta["finished_unix"] = time.time()
+    run_meta["loadavg_after"] = os.getloadavg()
     print(json.dumps({
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
@@ -313,6 +331,7 @@ all threads; the sandbox host also carries variable external load.
         "n_small": n_small,
         "n_big": cpus,
         "control_efficiency": round(ctl_eff, 3),
+        "run_meta": run_meta,
         "small": small,
         "big": big,
         "controls": controls,

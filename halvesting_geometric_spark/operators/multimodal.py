@@ -100,24 +100,56 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one row per sampled frame (hash stands in for
     pixels). Frame count derives from meta.duration_ms — pure plumbing; the
-    real decoder slot is the same mapInPandas body."""
+    real decoder slot is the same mapInPandas body.
+
+    Frame expansion is fully vectorized (repeat + cumsum-arange, splitmix64
+    frame hash over uint64 arrays); the only per-item step is the codec slot
+    itself, which a real backend replaces wholesale."""
     if decode_backend != "deterministic_fake":
         raise NotImplementedError("only the deterministic_fake backend exists here")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_idx, out_hash = [], [], []
-            for mid, dur, payload in zip(
-                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
-            ):
-                n = max(int((dur or 0) // every_ms), 0)
-                base = _fake_decode(payload)[:4].sum()
-                for i in range(n):
-                    out_ids.append(mid)
-                    out_idx.append(i)
-                    out_hash.append(hash((float(base), i)) & 0x7FFFFFFFFFFFFFFF)
+            n = np.maximum(
+                pdf["duration_ms"].fillna(0).to_numpy(dtype=np.int64) // every_ms,
+                0,
+            )
+            total = int(n.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(dtype=np.int64),
+                        "frame_idx": pd.Series(dtype=np.int32),
+                        "frame_hash": pd.Series(dtype=np.int64),
+                    }
+                )
+                continue
+            # the codec slot — per item by nature; real backends batch inside
+            base = np.array(
+                [float(_fake_decode(p)[:4].sum()) for p in pdf["payload"]],
+                dtype=np.float64,
+            )
+            ids = np.repeat(pdf["media_id"].to_numpy(dtype=np.int64), n)
+            ends = np.cumsum(n)
+            idx = (np.arange(total, dtype=np.int64)
+                   - np.repeat(ends - n, n)).astype(np.int32)
+            # splitmix64 mix of (base bits, frame_idx) — deterministic across
+            # processes (unlike Python hash()), no per-frame Python
+            x = (np.repeat(base.view(np.uint64), n)
+                 + idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
             yield pd.DataFrame(
-                {"media_id": out_ids, "frame_idx": out_idx, "frame_hash": out_hash}
+                {
+                    "media_id": ids,
+                    "frame_idx": idx,
+                    "frame_hash": (x & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+                        np.int64
+                    ),
+                }
             )
 
     return (

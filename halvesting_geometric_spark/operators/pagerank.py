@@ -99,35 +99,64 @@ def pagerank(
             .distinct()
         )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # Loop-invariant vertex table carries a dangling flag so each superstep's
-    # single aggregate can also produce the NEXT iteration's dangling mass
-    # (= Σ new_rank over zero-out-degree vertices) — no separate mass job.
+    # Loop-invariant vertex table carries the out-degree. The rank state then
+    # rides (vertex_id, rank, out_deg), so each superstep divides rank/out_deg
+    # ONCE PER VERTEX (not once per edge), tests dangling as out_deg == 0, and
+    # the cached edge table is pure (src, dst) topology — minimum bytes
+    # through the cache and the gather join.
     vertices = (
         vertices.select("vertex_id")
         .join(
-            out_deg.select(
-                F.col("src").alias("vertex_id"), F.lit(True).alias("_linked")
-            ),
+            out_deg.select(F.col("src").alias("vertex_id"), "out_deg"),
             "vertex_id",
             "left",
         )
         .select(
-            "vertex_id", F.coalesce("_linked", F.lit(False)).alias("has_out")
+            "vertex_id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vstats = vertices.agg(
         F.count("*").alias("n"),
-        F.sum(F.when(~F.col("has_out"), 1).otherwise(0)).alias("n_dangling"),
+        F.sum(F.when(F.col("out_deg") == 0, 1).otherwise(0)).alias("n_dangling"),
+        F.min("vertex_id").alias("vmin"),
+        F.max("vertex_id").alias("vmax"),
     ).first()
     n, n_dangling = int(vstats["n"]), int(vstats["n_dangling"])
+    # id compaction: when every vertex id fits int32 (always true for the
+    # dense-id pipeline below ~2B vertices), carry ids as int through the
+    # cached edge table, the gather join and the scatter shuffle — half the
+    # bytes on the superstep's hottest data paths. Ids are keys only; the
+    # returned ranks are cast back to long so the API schema is unchanged.
+    _vid_type = dict(vertices.dtypes)["vertex_id"]
+    compact = (
+        _vid_type in ("bigint", "int", "smallint", "tinyint")
+        and vstats["vmin"] is not None
+        and -(2**31) <= int(vstats["vmin"])
+        and int(vstats["vmax"]) < 2**31
+    )
+    idt = "int" if compact else "long"
+    if compact:
+        vertices2 = vertices.select(
+            F.col("vertex_id").cast("int").alias("vertex_id"), "out_deg"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        vertices.unpersist()
+        vertices = vertices2
     # loop-invariant edge table, hash-partitioned on the gather key once: when
     # the shuffle-join path is taken (big vertex state), each iteration only
     # shuffles the small rank table — the cached edge partitioning is reused
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    _ecols = (
+        [
+            F.col("src").cast(idt).alias("src"),
+            F.col("dst").cast(idt).alias("dst"),
+        ]
+        if compact
+        else [F.col("src"), F.col("dst")]
+    )
     contrib_edges = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", "out_deg")
+        edges.select(*_ecols)
         .repartition(n_shuffle, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -153,17 +182,19 @@ def pagerank(
     start_iter = 0
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         start_iter = checkpoint.latest_iteration() + 1
-        ranks = checkpoint.load_state(start_iter - 1)
+        # saved state is (vertex_id, rank); re-attach the loop-invariant
+        # out_deg from the cached vertex table
+        ranks = checkpoint.load_state(start_iter - 1).join(vertices, "vertex_id")
         dangling = float(
-            ranks.join(vertices.filter(~F.col("has_out")), "vertex_id")
+            ranks.filter(F.col("out_deg") == 0)
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
     else:
+        # a lazy projection of the cached vertex table — no extra job/cache
         ranks = vertices.select(
-            "vertex_id", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        ranks.count()
+            "vertex_id", (F.lit(1.0) / F.lit(float(n))).alias("rank"), "out_deg"
+        )
         dangling = n_dangling / float(n)
 
     # Small vertex-state tables ride broadcast joins: the big (cached) edge
@@ -184,49 +215,51 @@ def pagerank(
     target = fixed_iters if fixed_iters is not None else max_iter
     converged = False
     all_metrics: list[dict] = []
+    prev_paired: DataFrame | None = None
     it = start_iter
     for it in range(start_iter, target):
         t0 = time.monotonic()
-        rank_src = ranks.select(
+        # per-VERTEX divide: each edge row then just carries the precomputed
+        # contribution through the gather join (no per-edge arithmetic)
+        rank_w = ranks.filter(F.col("out_deg") > 0).select(
             F.col("vertex_id").alias("src"),
-            (F.col("rank")).alias("src_rank"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )
+        # salted scatter derives its salt from src; other modes don't need it
+        mcols = ("src", "dst", "contrib") if agg_mode == "salted" else ("dst", "contrib")
         if hot_src is not None and hot_edges is not None:
-            hot_ranks = rank_src.filter(F.col("src").isin(list(hot_src) or [-1]))
-            msgs_hot = hot_edges.join(F.broadcast(hot_ranks), "src").select(
-                "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
+            hot_w = rank_w.filter(F.col("src").isin(list(hot_src) or [-1]))
+            msgs = (
+                cold_edges.join(_b(rank_w), "src")
+                .select(*mcols)
+                .unionByName(
+                    hot_edges.join(F.broadcast(hot_w), "src").select(*mcols)
+                )
             )
-            msgs_cold = cold_edges.join(_b(rank_src), "src").select(
-                "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
-            )
-            msgs = msgs_cold.unionByName(msgs_hot)
         else:
-            msgs = contrib_edges.join(_b(rank_src), "src").select(
-                "src", "dst", (F.col("src_rank") / F.col("out_deg")).alias("contrib")
-            )
+            msgs = contrib_edges.join(_b(rank_w), "src").select(*mcols)
         sums = _scatter(msgs, agg_mode, n_salts)
 
-        # TWO jobs per superstep (down from three): the single aggregate over
-        # the cached pair table yields the convergence delta (L1/L∞) AND the
-        # NEXT iteration's dangling mass (= Σ new_rank over zero-out-degree
-        # vertices) in one pass. Dangling mass for THIS iteration is a driver
-        # scalar carried from the previous aggregate (analytically Σ rank = 1
-        # every iteration; fp drift O(1e-16·iters) ≪ tol), so no separate
-        # mass job ever runs.
+        # ONE Spark job per superstep: a single left join pairs the previous
+        # state (rank and out_deg ride along) with the scatter sums, and one
+        # aggregate over that cached pair table yields the convergence delta
+        # (L1/L∞) AND the NEXT iteration's dangling mass (= Σ new_rank over
+        # zero-out-degree vertices). Dangling mass for THIS iteration is the
+        # driver scalar carried from the previous aggregate (analytically
+        # Σ rank = 1 every iteration; fp drift O(1e-16·iters) ≪ tol).
         base = (1.0 - damping) / n + damping * dangling / n
         rank_expr = (
             F.lit(base)
             + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
         ).alias("rank")
         paired = (
-            vertices.join(
+            ranks.select(
+                "vertex_id", F.col("rank").alias("old_rank"), "out_deg"
+            )
+            .join(
                 _b(sums.select(F.col("dst").alias("vertex_id"), "msg_sum")),
                 "vertex_id",
                 "left",
-            )
-            .join(
-                _b(ranks.select("vertex_id", F.col("rank").alias("old_rank"))),
-                "vertex_id",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -235,13 +268,13 @@ def pagerank(
             F.sum(_d).alias("l1"),
             F.max(_d).alias("linf"),
             F.sum(
-                F.when(~F.col("has_out"), rank_expr).otherwise(F.lit(0.0))
+                F.when(F.col("out_deg") == 0, rank_expr).otherwise(F.lit(0.0))
             ).alias("next_dangling"),
         ).first()
         delta_l1 = float(agg["l1"])
         delta_linf = float(agg["linf"])
         dangling = float(agg["next_dangling"] or 0.0)
-        state = paired.select("vertex_id", rank_expr)
+        state = paired.select("vertex_id", rank_expr, "out_deg")
 
         # Lineage MUST truncate every iteration: each superstep references the
         # state twice (gather join + delta), so an un-truncated plan doubles
@@ -252,16 +285,29 @@ def pagerank(
         ):
             ranks = checkpoint.save_state(
                 it,
-                state,
+                state.select("vertex_id", "rank"),
                 metrics={
                     "iteration": it,
                     "delta_l1": delta_l1,
                     "delta_linf": delta_linf,
                 },
-            )
+            ).join(vertices, "vertex_id")  # re-attach loop-invariant out_deg
+            if prev_paired is not None:
+                prev_paired.unpersist()
+            paired.unpersist()
+            prev_paired = None
         else:
-            ranks = state.localCheckpoint(eager=True)
-        paired.unpersist()
+            # Lineage MUST truncate every iteration (the state is referenced
+            # twice per superstep, so an un-truncated logical plan doubles per
+            # iteration). The LAZY localCheckpoint truncates the plan with NO
+            # extra job: it materializes inside the next iteration's single
+            # job as a cheap map over this iteration's cached pair table. That
+            # cache must outlive the materialization, so unpersist the
+            # PREVIOUS pair table (just consumed by this aggregate) instead.
+            ranks = state.localCheckpoint(eager=False)
+            if prev_paired is not None:
+                prev_paired.unpersist()
+            prev_paired = paired
         wall = time.monotonic() - t0
         row = {
             "iteration": it,
@@ -279,6 +325,18 @@ def pagerank(
         it = target
         converged = fixed_iters is not None
 
+    # materialize the (possibly lazy-checkpointed) final state BEFORE
+    # dropping the caches it reads from — one job total, not one per superstep.
+    # Compacted int ids are widened back so the API schema is input-stable.
+    out_id = (
+        F.col("vertex_id").cast("long").alias("vertex_id")
+        if compact and _vid_type == "bigint"
+        else F.col("vertex_id")
+    )
+    ranks = ranks.select(out_id, "rank")
+    ranks.count()
+    if prev_paired is not None:
+        prev_paired.unpersist()
     contrib_edges.unpersist()
     vertices.unpersist()
     return PageRankResult(

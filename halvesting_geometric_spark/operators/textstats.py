@@ -108,15 +108,24 @@ def quality_score(
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """Document fingerprints: whole-text xxhash64 over normalized text
+    """Document fingerprints: whole-text hash over normalized text
     (case/whitespace-insensitive exact dup key) + first/last-256-char hashes
-    (cheap containment probes)."""
+    (cheap containment probes). ``hash_method="portable"`` selects the
+    md5-derived cross-engine hash so an external SQL oracle can verify the
+    full dataflow bit-for-bit."""
+    from halvesting_geometric_spark.operators.sampling import hash64
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(
         F.col(id_col),
-        F.xxhash64(norm).alias("fp_full"),
-        F.xxhash64(F.substring(norm, 1, 256)).alias("fp_head"),
-        F.xxhash64(F.reverse(F.substring(F.reverse(norm), 1, 256))).alias("fp_tail"),
+        hash64(hash_method, norm).alias("fp_full"),
+        hash64(hash_method, F.substring(norm, 1, 256)).alias("fp_head"),
+        hash64(
+            hash_method, F.reverse(F.substring(F.reverse(norm), 1, 256))
+        ).alias("fp_tail"),
     )

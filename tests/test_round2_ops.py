@@ -305,3 +305,64 @@ def test_lsh_ann_bucket_cap_bounds_candidates(spark):
     pdf = capped.toPandas()
     assert (pdf.groupby("query_id").size() <= 5).all()
     assert pdf["query_id"].nunique() <= 8 * 4
+
+
+# -- round-2b: fingerprint portable path, embedding near-dups ------------------
+
+
+def test_fingerprint_portable_matches_duckdb(spark):
+    """The portable-hash fingerprint dataflow is bit-identical in DuckDB —
+    the property the gate oracle for `fingerprints` relies on."""
+    import duckdb
+
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+    from halvesting_geometric_spark.operators.textstats import fingerprint
+
+    rows = [
+        (0, "Hello   World"),
+        (1, "hello world"),
+        (2, "x" * 600),  # longer than the 256-char head/tail probes
+        (3, "  Mixed   CASE  and\tspacing "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        fingerprint(df, hash_method="portable")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    norm = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    want = con.execute(
+        f"""WITH n AS (SELECT doc_id, {norm} AS nt FROM docs)
+        SELECT doc_id,
+               {portable_hash64_sql('nt', seed=0)} AS fp_full,
+               {portable_hash64_sql('substr(nt, 1, 256)', seed=0)} AS fp_head,
+               {portable_hash64_sql('reverse(substr(reverse(nt), 1, 256))', seed=0)}
+                 AS fp_tail
+        FROM n ORDER BY doc_id"""
+    ).df()
+    for c in ("fp_full", "fp_head", "fp_tail"):
+        assert list(got[c]) == list(want[c]), c
+    # invariance carried over from the xxhash64 path
+    assert got.loc[0, "fp_full"] == got.loc[1, "fp_full"]
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    import numpy as np
+
+    from halvesting_geometric_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [(0, base.tolist()), (1, (base + rng.standard_normal(16) * 0.01).tolist())]
+    rows += [(i, rng.standard_normal(16).tolist()) for i in range(2, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dups(emb, dim=16, threshold=0.95, n_planes=6).toPandas()
+    assert (0, 1) in set(zip(got["a"], got["b"]))
+    assert (got["cosine"] >= 0.95).all()
+    assert (got["a"] < got["b"]).all()
