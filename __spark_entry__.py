@@ -149,6 +149,43 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.per_vertex.select("vertex_id", "triangles")
 
 
+def _q_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, 5 iterations, seed set = dense ids {0,1,2}."""
+    from halvesting_geometric_spark.operators.centrality import (
+        personalized_pagerank,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    seeds = verts.filter(F.col("vertex_id") < 3).select("vertex_id")
+    r = personalized_pagerank(edges, verts, seeds, damping=0.85, fixed_iters=5)
+    return r.select(
+        "vertex_id",
+        F.floor(F.col("rank") * 1_000_000 + F.lit(0.5)).cast("long").alias("rank_e6"),
+    )
+
+
+def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 5 L1-normalized iterations."""
+    from halvesting_geometric_spark.operators.centrality import hits
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    h = hits(edges, verts, fixed_iters=5)
+    e6 = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * 1_000_000 + F.lit(0.5)).cast("long").alias(f"{c}_e6")
+    )
+    return h.select("vertex_id", e6("hub"), e6("auth"))
+
+
+def _q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership + in-core degree after 8 peeling rounds."""
+    from halvesting_geometric_spark.operators.kcore import kcore_members
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return kcore_members(edges, verts, k=3, fixed_rounds=8).select(
+        "vertex_id", F.col("core_degree").cast("long").alias("core_degree")
+    )
+
+
 def _q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, edges = _pipeline(spark, sf_dir)
     return canonical_edges(edges).select(
@@ -569,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop3": _q_labelprop3,
         "triangle_total": _q_triangle_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "ppr5": _q_ppr5,
+        "hits5": _q_hits5,
+        "kcore3": _q_kcore3,
         "canonical_edges": _q_canonical_edges,
         "degree_histogram": _q_degree_histogram,
         "dedup_exact": _q_dedup_exact,
@@ -669,6 +709,99 @@ r{k} AS (
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_e6 "
         f"FROM r{iters}"
+    )
+
+
+def _ppr_sql(iters: int) -> str:
+    """Personalized PageRank twin: teleport + dangling mass restart at the
+    seed set {vertex_id < 3} — unrolled like _pagerank_sql."""
+    parts = [
+        _BASE,
+        "ns AS (SELECT COUNT(*) AS s FROM verts WHERE vertex_id < 3)",
+        """r0 AS (
+  SELECT vertex_id AS v,
+         CASE WHEN vertex_id < 3 THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS r
+  FROM verts)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst AS v, SUM(r.r / o.d) AS m
+  FROM edges e JOIN r{p} r ON e.src = r.v JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+d{k} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.v = o.src WHERE o.src IS NULL),
+r{k} AS (
+  SELECT v.vertex_id AS v,
+         CASE WHEN v.vertex_id < 3
+              THEN 0.15 / (SELECT s FROM ns)
+                   + 0.85 * ((SELECT dm FROM d{k}) / (SELECT s FROM ns))
+              ELSE 0.0 END
+         + 0.85 * COALESCE(s.m, 0) AS r
+  FROM verts v LEFT JOIN s{k} s ON v.vertex_id = s.v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_e6 "
+        f"FROM r{iters}"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """HITS twin: auth_k = in-sum of hub_(k-1), L1-normalized; hub_k =
+    out-sum of auth_k, L1-normalized."""
+    parts = [
+        _BASE,
+        "h0 AS (SELECT vertex_id AS v, 1.0 / (SELECT n FROM nv) AS s FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""af{k} AS MATERIALIZED (
+  SELECT v.vertex_id AS v, COALESCE(a.raw, 0) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.s) AS raw FROM edges e JOIN h{p} h ON e.src = h.v
+    GROUP BY e.dst) a ON v.vertex_id = a.v),
+a{k} AS MATERIALIZED (
+  SELECT v, raw / (SELECT SUM(raw) FROM af{k}) AS s FROM af{k}),
+hf{k} AS MATERIALIZED (
+  SELECT v.vertex_id AS v, COALESCE(h.raw, 0) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS v, SUM(a.s) AS raw FROM edges e JOIN a{k} a ON e.dst = a.v
+    GROUP BY e.src) h ON v.vertex_id = h.v),
+h{k} AS MATERIALIZED (
+  SELECT v, raw / (SELECT SUM(raw) FROM hf{k}) AS s FROM hf{k})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT h.v AS vertex_id, "
+        f"CAST(floor(h.s * 1000000 + 0.5) AS BIGINT) AS hub_e6, "
+        f"CAST(floor(a.s * 1000000 + 0.5) AS BIGINT) AS auth_e6 "
+        f"FROM h{iters} h JOIN a{iters} a ON h.v = a.v"
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """k-core twin: unrolled peeling over the symmetrized edge set."""
+    parts = [_BASE, "a0 AS (SELECT vertex_id FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""d{r} AS (
+  SELECT s.src AS vertex_id, COUNT(*) AS cd
+  FROM sym s JOIN a{p} x ON s.src = x.vertex_id
+             JOIN a{p} y ON s.dst = y.vertex_id
+  GROUP BY s.src HAVING COUNT(*) >= {k}),
+a{r} AS (SELECT vertex_id FROM d{r})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vertex_id, CAST(cd AS BIGINT) AS core_degree FROM d{rounds}"
     )
 
 
@@ -992,6 +1125,9 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        "ppr5": _ppr_sql(5),
+        "hits5": _hits_sql(5),
+        "kcore3": _kcore_sql(3, 8),
         "components": f"""WITH RECURSIVE {_BASE},
 reach AS (
   SELECT vertex_id AS a, vertex_id AS b FROM verts
