@@ -109,21 +109,35 @@ def connected_components(
     prev_sig = _signature(cur)
     rounds = start_round
     all_metrics: list[dict] = []
+    prev_cache: DataFrame | None = cur
     for rounds in range(start_round, max_rounds):
         t0 = time.monotonic()
-        nxt = _small_star(_large_star(cur))
+        nxt_raw = _small_star(_large_star(cur)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         row = {"iteration": rounds}
         if checkpoint is not None:
-            nxt = checkpoint.save_state(rounds, nxt, metrics=row)
+            nxt = checkpoint.save_state(rounds, nxt_raw, metrics=row)
+            sig = _signature(nxt)
+            nxt_raw.unpersist()
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = None
         else:
-            nxt = nxt.localCheckpoint(eager=True)
-        sig = _signature(nxt)
+            # ONE job per round: the signature aggregate materializes the
+            # round's cache; lineage truncates through a LAZY localCheckpoint
+            # that computes inside the NEXT round's job, so the previous
+            # round's cache is the one released here (see pagerank.py)
+            sig = _signature(nxt_raw)
+            nxt = nxt_raw.localCheckpoint(eager=False)
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = nxt_raw
         row.update(
             {"edges": sig[0], "signature": sig[1],
              "wall_sec": time.monotonic() - t0}
         )
         all_metrics.append(row)
-        cur.unpersist()
         cur = nxt
         if sig == prev_sig:
             rounds += 1
@@ -151,6 +165,8 @@ def connected_components(
         )
     comp = comp.persist(StorageLevel.MEMORY_AND_DISK)
     n_comp = comp.select("component").distinct().count()
+    if prev_cache is not None:
+        prev_cache.unpersist()
     return ComponentsResult(
         components=comp, rounds=rounds, num_components=n_comp, metrics=all_metrics
     )

@@ -85,6 +85,7 @@ def label_propagation(
     target = fixed_iters if fixed_iters is not None else max_iter
     converged = False
     all_metrics: list[dict] = []
+    prev_paired: DataFrame | None = None
     it = start_iter
     for it in range(start_iter, target):
         t0 = time.monotonic()
@@ -124,9 +125,19 @@ def label_propagation(
         state = paired.select("vertex_id", "label")
         if checkpoint is not None:
             labels = checkpoint.save_state(it, state, metrics=row)
+            if prev_paired is not None:
+                prev_paired.unpersist()
+            paired.unpersist()
+            prev_paired = None
         else:
-            labels = state.localCheckpoint(eager=True)
-        paired.unpersist()
+            # LAZY truncation = ONE Spark job per superstep (the `changed`
+            # count): the checkpoint RDD materializes inside the next
+            # iteration's job from this iteration's cached pair table, so the
+            # PREVIOUS pair cache is the one released here (see pagerank.py)
+            labels = state.localCheckpoint(eager=False)
+            if prev_paired is not None:
+                prev_paired.unpersist()
+            prev_paired = paired
         if fixed_iters is None and changed == 0:
             converged = True
             it += 1
@@ -135,10 +146,12 @@ def label_propagation(
         it = target
         converged = fixed_iters is not None
 
-    sym.unpersist()
-    vertices.unpersist()
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     n_labels = labels.select("label").distinct().count()
+    if prev_paired is not None:
+        prev_paired.unpersist()
+    sym.unpersist()
+    vertices.unpersist()
     return LabelPropResult(
         labels=labels,
         iterations=it,
