@@ -91,6 +91,25 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     out["triangles_sec"] = round(time.monotonic() - t0, 3)
     out["triangles_total"] = tc.total
 
+    from halvesting_geometric_spark.operators.centrality import (
+        hits,
+        personalized_pagerank,
+    )
+    from halvesting_geometric_spark.operators.kcore import kcore_members
+
+    t0 = time.monotonic()
+    personalized_pagerank(g.edges, g.vertices, [0, 1, 2], fixed_iters=5)
+    out["ppr5_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    hits(g.edges, g.vertices, fixed_iters=5)
+    out["hits5_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    kc = kcore_members(g.edges, g.vertices, k=3)
+    out["kcore3_sec"] = round(time.monotonic() - t0, 3)
+    out["kcore3_members"] = kc.count()
+
     spark.stop()
     return out
 
@@ -239,6 +258,9 @@ def main() -> None:
             "connected_components": r["cc_sec"],
             "labelprop5": r["labelprop5_sec"],
             "triangles": r["triangles_sec"],
+            "ppr5": r["ppr5_sec"],
+            "hits5": r["hits5_sec"],
+            "kcore3": r["kcore3_sec"],
         },
         "detail": r,
     }
