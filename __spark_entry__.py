@@ -1314,33 +1314,34 @@ UNION ALL SELECT 'edge', 'conv-rev_cites-conv',
        CAST((SELECT COUNT(*) FROM ce) AS BIGINT)""",
         "hetero_edges": f"""WITH {_BASE},{_WRITES_SQL},
 vk AS (
-  SELECT 'user|' || CAST(user_id AS VARCHAR) AS vkey
+  SELECT 'user' || chr(31) || CAST(user_id AS VARCHAR) AS vkey
   FROM (SELECT DISTINCT user_id FROM events) u
   UNION ALL
-  SELECT 'conv|' || conv_id FROM verts),
+  SELECT 'conv' || chr(31) || conv_id FROM verts),
 vid AS (
   SELECT CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vertex_id,
          vkey
   FROM vk),
 he AS (
-  SELECT 'user|' || CAST(src AS VARCHAR) AS skey,
-         'conv|' || dst AS dkey, 'writes' AS relation
+  SELECT 'user' || chr(31) || CAST(src AS VARCHAR) AS skey,
+         'conv' || chr(31) || dst AS dkey, 'writes' AS relation
   FROM writes
   UNION ALL
-  SELECT 'conv|' || src_conv, 'conv|' || dst_conv, 'cites' FROM ce)
+  SELECT 'conv' || chr(31) || src_conv, 'conv' || chr(31) || dst_conv, 'cites'
+  FROM ce)
 SELECT s.vertex_id AS src, d.vertex_id AS dst, he.relation
 FROM he
 JOIN vid s ON he.skey = s.vkey
 JOIN vid d ON he.dkey = d.vkey""",
         "hetero_vertices": f"""WITH {_BASE},{_WRITES_SQL},
 vk AS (
-  SELECT 'user|' || CAST(user_id AS VARCHAR) AS vkey
+  SELECT 'user' || chr(31) || CAST(user_id AS VARCHAR) AS vkey
   FROM (SELECT DISTINCT user_id FROM events) u
   UNION ALL
-  SELECT 'conv|' || conv_id FROM verts)
+  SELECT 'conv' || chr(31) || conv_id FROM verts)
 SELECT CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vertex_id,
-       string_split(vkey, '|')[1] AS vtype,
-       string_split(vkey, '|')[2] AS id
+       string_split(vkey, chr(31))[1] AS vtype,
+       string_split(vkey, chr(31))[2] AS id
 FROM vk""",
         "explode_structs": """
 SELECT user_id, event_id AS eid, event_type AS role, u.aff

@@ -157,8 +157,10 @@ def hits(
         hub_k(u)  = Σ_{u→v} auth_k(v)      then hub_k  /= Σ hub_k
 
     Initial hub = 1/n. Returns (vertex_id, hub, auth); auth/hub are 0.0 for
-    vertices with no in/out edges respectively. Deterministic, so the gate's
-    DuckDB twin unrolls the same recurrence.
+    a vertex with no in/out edges respectively. Precondition: the graph has
+    at least one edge whose endpoints are in ``vertices`` (an edge-free graph
+    has no normalizable HITS solution — raises ValueError). Deterministic, so
+    the gate's DuckDB twin unrolls the same recurrence.
     """
     if fixed_iters < 1:
         raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")

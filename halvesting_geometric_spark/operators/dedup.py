@@ -19,15 +19,11 @@ from pyspark.sql import functions as F
 
 
 def _hash64(method: str, col, seed: int):
-    """xxhash64 (scale path) or the md5-derived portable hash (verifiable
-    path, bit-identical in ANSI SQL engines — see functions.portable_hash64)."""
-    from halvesting_geometric_spark.functions import portable_hash64
+    """Single hash-method dispatch shared with splits/sampling (one place to
+    extend — see operators/sampling.hash64 and functions.portable_hash64)."""
+    from halvesting_geometric_spark.operators.sampling import hash64
 
-    if method == "xxhash64":
-        return F.xxhash64(col, F.lit(seed))
-    if method == "portable":
-        return portable_hash64(col, seed=seed)
-    raise ValueError(f"unknown hash_method {method!r}")
+    return hash64(method, col, seed=seed)
 
 
 def exact_dedup(

@@ -26,6 +26,21 @@ from halvesting_geometric_spark.operators.ids import dense_ids_scalable
 
 EdgeKey = tuple[str, str, str]  # (src_type, relation, dst_type)
 
+# global-key separator for the homogeneous lowering: the ASCII unit separator
+# cannot appear in type names and is vanishingly unlikely in ids — '|' or '-'
+# would let an id containing the separator collide across types
+_SEP = "\x1f"
+
+
+def _vkey(vtype: str, id_col) -> "F.Column":
+    # concat_ws silently SKIPS nulls (a null id would collapse onto the bare
+    # type name, fusing all null-id rows into one phantom vertex) — fail loud
+    guarded = F.when(
+        id_col.isNull(),
+        F.raise_error(F.lit(f"null id in vertex/edge of type {vtype!r}")),
+    ).otherwise(id_col.cast("string"))
+    return F.concat_ws(_SEP, F.lit(vtype), guarded)
+
 
 @dataclass
 class HeteroGraph:
@@ -123,6 +138,8 @@ class HeteroGraph:
     def meta_counts(self) -> DataFrame:
         """One-row-per-type/relation cardinality summary:
         (kind ∈ {vertex, edge}, name, n). Unions of tiny aggregates."""
+        if not self.vertices and not self.edges:
+            raise ValueError("empty HeteroGraph: add vertices/edges first")
         parts = []
         for vtype, df in sorted(self.vertices.items()):
             parts.append(
@@ -186,11 +203,7 @@ class HeteroGraph:
             else list(self.edges.keys())
         )
         vparts = [
-            df.select(
-                F.concat_ws("|", F.lit(vt), F.col("id").cast("string")).alias(
-                    "vkey"
-                )
-            )
+            df.select(_vkey(vt, F.col("id")).alias("vkey"))
             for vt, df in sorted(self.vertices.items())
         ]
         allv = vparts[0]
@@ -199,20 +212,16 @@ class HeteroGraph:
         vids = dense_ids_scalable(allv.distinct(), "vkey", id_col="vertex_id")
         vertices = vids.select(
             "vertex_id",
-            F.split(F.col("vkey"), r"\|", 2).getItem(0).alias("vtype"),
-            F.split(F.col("vkey"), r"\|", 2).getItem(1).alias("id"),
+            F.split(F.col("vkey"), _SEP, 2).getItem(0).alias("vtype"),
+            F.split(F.col("vkey"), _SEP, 2).getItem(1).alias("id"),
         )
         eparts = []
         for (st, rel, dt) in keys:
             df = self.edges[(st, rel, dt)]
             eparts.append(
                 df.select(
-                    F.concat_ws("|", F.lit(st), F.col("src").cast("string")).alias(
-                        "skey"
-                    ),
-                    F.concat_ws("|", F.lit(dt), F.col("dst").cast("string")).alias(
-                        "dkey"
-                    ),
+                    _vkey(st, F.col("src")).alias("skey"),
+                    _vkey(dt, F.col("dst")).alias("dkey"),
                     F.lit(rel).alias("relation"),
                 )
             )

@@ -53,6 +53,7 @@ def kcore_members(
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     prev_deg: DataFrame | None = None
     deg = None
+    converged = False
     for _ in range(rounds):
         # degree within the surviving induced subgraph: keep only edges whose
         # BOTH endpoints are alive (two semi joins against the small alive set)
@@ -74,10 +75,23 @@ def kcore_members(
             prev_deg.unpersist()
         prev_deg = deg
         if fixed_rounds is None and n_next == n_alive:
+            converged = True
             break
         if n_next == 0:
+            converged = True  # the empty set is a fixpoint
             break
         n_alive = n_next
+    if fixed_rounds is None and not converged:
+        # peeling removes >= 1 vertex per non-converged round, so this only
+        # happens on adversarially chain-like graphs — returning the partially
+        # peeled set would silently violate the k-core contract
+        if prev_deg is not None:
+            prev_deg.unpersist()
+        sym.unpersist()
+        raise RuntimeError(
+            f"k-core peeling did not reach a fixpoint in {max_rounds} rounds "
+            f"({n_alive} vertices still alive); raise max_rounds"
+        )
     if deg is None:  # rounds == 0: degenerate gate mode, nobody peeled
         out = (
             sym.groupBy("src")

@@ -275,22 +275,23 @@ def pagerank(
         delta_linf = float(agg["linf"])
         dangling = float(agg["next_dangling"] or 0.0)
         state = paired.select("vertex_id", rank_expr, "out_deg")
+        # superstep wall excludes the (optional) checkpoint write below, and
+        # the saved metrics row carries it — same contract as round 1
+        wall = time.monotonic() - t0
+        row = {
+            "iteration": it,
+            "delta_l1": delta_l1,
+            "delta_linf": delta_linf,
+            "wall_sec": wall,
+        }
 
-        # Lineage MUST truncate every iteration: each superstep references the
-        # state twice (gather join + delta), so an un-truncated plan doubles
-        # per iteration — exponential Catalyst analysis cost. The truncating
-        # copy reads from the cached pair table, so it is one cheap map job.
         if checkpoint is not None and (
             it % checkpoint_interval == 0 or it == target - 1
         ):
             ranks = checkpoint.save_state(
                 it,
                 state.select("vertex_id", "rank"),
-                metrics={
-                    "iteration": it,
-                    "delta_l1": delta_l1,
-                    "delta_linf": delta_linf,
-                },
+                metrics=row,
             ).join(vertices, "vertex_id")  # re-attach loop-invariant out_deg
             if prev_paired is not None:
                 prev_paired.unpersist()
@@ -308,13 +309,6 @@ def pagerank(
             if prev_paired is not None:
                 prev_paired.unpersist()
             prev_paired = paired
-        wall = time.monotonic() - t0
-        row = {
-            "iteration": it,
-            "delta_l1": delta_l1,
-            "delta_linf": delta_linf,
-            "wall_sec": wall,
-        }
         all_metrics.append(row)
 
         if fixed_iters is None and delta_l1 < tol:

@@ -61,6 +61,13 @@ def resolve_entities(
     if not keys:
         raise ValueError("at least one key column required")
     pairs = [(k, k) if isinstance(k, str) else k for k in keys]
+    reserved = {"_kh", *(f"_k{i}" for i in range(len(pairs)))}
+    clashes = (set(left.columns) & (reserved | {out_col}))
+    if clashes:
+        raise ValueError(
+            f"left columns {sorted(clashes)} collide with out_col/internal "
+            f"key names — rename them (or pass a different out_col) first"
+        )
 
     def norm(c: str) -> Column:
         return normalize_key(c) if normalize else F.col(c).cast("string")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -198,18 +199,27 @@ def negative_edges(
             have = out.count()
             if have >= need:
                 break
+    # cache the full candidate chain once: without it the quota cut would
+    # recompute the k*rounds explode + anti-join + dedup pipeline 2-3 times
+    # (bucket-count pass, final filter, downstream consumption)
+    ranked = out.withColumn(
+        "_h", hash64(hash_method, "src", "dst", seed=seed)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if not early_stop:
-        have = out.count()
+        have = ranked.count()  # also materializes the cache
     if have < need:
         log.warning(
             "negative_edges: only %d of the requested %d negatives exist "
             "after %d rounds (candidate space exhausted); returning %d",
             have, need, max_rounds, have,
         )
-    ranked = out.withColumn("_h", hash64(hash_method, "src", "dst", seed=seed))
-    return take_smallest_exact(
+    result = take_smallest_exact(
         ranked, min(need, have), hash_col="_h", tie_cols=("src", "dst")
     ).select("src", "dst")
+    # hand the caller a cache-independent result before releasing the chain
+    result = result.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return result
 
 
 def sample_neighbors(
