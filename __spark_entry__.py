@@ -149,6 +149,20 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.per_vertex.select("vertex_id", "triangles")
 
 
+def _q_wpagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 iterations; deterministic synthetic edge weight
+    w = (src + dst) % 5 + 1 derived identically in the DuckDB twin."""
+    _, verts, edges = _pipeline(spark, sf_dir)
+    we = edges.withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    res = pagerank(we, verts, fixed_iters=3, weight_col="w")
+    return res.ranks.select(
+        "vertex_id",
+        F.floor(F.col("rank") * 1_000_000 + F.lit(0.5)).cast("long").alias("rank_e6"),
+    )
+
+
 def _q_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank, 5 iterations, seed set = dense ids {0,1,2}."""
     from halvesting_geometric_spark.operators.centrality import (
@@ -606,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop3": _q_labelprop3,
         "triangle_total": _q_triangle_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "wpagerank3": _q_wpagerank3,
         "ppr5": _q_ppr5,
         "hits5": _q_hits5,
         "kcore3": _q_kcore3,
@@ -697,6 +712,43 @@ def _pagerank_sql(iters: int) -> str:
 d{k} AS (
   SELECT COALESCE(SUM(r.r), 0) AS dm
   FROM r{p} r LEFT JOIN outdeg o ON r.v = o.src WHERE o.src IS NULL),
+r{k} AS (
+  SELECT v.vertex_id AS v,
+         0.15 / (SELECT n FROM nv)
+         + 0.85 * ((SELECT dm FROM d{k}) / (SELECT n FROM nv))
+         + 0.85 * COALESCE(s.m, 0) AS r
+  FROM verts v LEFT JOIN s{k} s ON v.vertex_id = s.v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_e6 "
+        f"FROM r{iters}"
+    )
+
+
+def _wpagerank_sql(iters: int) -> str:
+    """Weighted PageRank twin: contribution (r/W(u))·w(u,v) in the same
+    floating-point order as the engine (divide per vertex, multiply per
+    edge)."""
+    w = "CAST((e.src + e.dst) % 5 + 1 AS DOUBLE)"
+    parts = [
+        _BASE,
+        """ow AS (
+  SELECT src, SUM(CAST((src + dst) % 5 + 1 AS DOUBLE)) AS wsum
+  FROM edges GROUP BY src)""",
+        "r0 AS (SELECT vertex_id AS v, 1.0 / (SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst AS v, SUM((r.r / o.wsum) * {w}) AS m
+  FROM edges e JOIN r{p} r ON e.src = r.v JOIN ow o ON e.src = o.src
+  GROUP BY e.dst),
+d{k} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM r{p} r LEFT JOIN ow o ON r.v = o.src WHERE o.src IS NULL),
 r{k} AS (
   SELECT v.vertex_id AS v,
          0.15 / (SELECT n FROM nv)
@@ -1125,6 +1177,7 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        "wpagerank3": _wpagerank_sql(3),
         "ppr5": _ppr_sql(5),
         "hits5": _hits_sql(5),
         "kcore3": _kcore_sql(3, 8),

@@ -68,8 +68,15 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_interval: int = 1,
     resume: bool = False,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``tol`` convergence (or exactly ``fixed_iters`` steps).
+
+    ``weight_col``: optional edge-weight column (non-negative, finite) —
+    contributions become rank(u)·w(u,v)/W(u) with W(u) = Σ out-weights; a
+    vertex whose out-weights sum to zero is dangling. The per-vertex divide
+    (rank/W) still happens once per vertex; only the w(u,v) multiply is
+    per-edge.
 
     ``vertices``: DataFrame with a ``vertex_id`` column; defaults to the
     vertex set induced by ``edges`` (but pass the real vertex table so
@@ -98,12 +105,19 @@ def pagerank(
             .unionByName(edges.select(F.col("dst").alias("vertex_id")))
             .distinct()
         )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # Loop-invariant vertex table carries the out-degree. The rank state then
-    # rides (vertex_id, rank, out_deg), so each superstep divides rank/out_deg
-    # ONCE PER VERTEX (not once per edge), tests dangling as out_deg == 0, and
-    # the cached edge table is pure (src, dst) topology — minimum bytes
-    # through the cache and the gather join.
+    weighted = weight_col is not None
+    if weighted:
+        out_deg = edges.groupBy("src").agg(
+            F.sum(F.col(weight_col).cast("double")).alias("out_deg")
+        )
+    else:
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # Loop-invariant vertex table carries the out-degree (or out-weight sum).
+    # The rank state then rides (vertex_id, rank, out_deg), so each superstep
+    # divides rank/out_deg ONCE PER VERTEX (not once per edge), tests dangling
+    # as out_deg == 0, and the cached edge table is pure (src, dst) topology
+    # (plus the weight column when weighted) — minimum bytes through the
+    # cache and the gather join.
     vertices = (
         vertices.select("vertex_id")
         .join(
@@ -113,7 +127,9 @@ def pagerank(
         )
         .select(
             "vertex_id",
-            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("out_deg", F.lit(0))
+            .cast("double" if weighted else "long")
+            .alias("out_deg"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -155,6 +171,8 @@ def pagerank(
         if compact
         else [F.col("src"), F.col("dst")]
     )
+    if weighted:
+        _ecols.append(F.col(weight_col).cast("double").alias("_w"))
     contrib_edges = (
         edges.select(*_ecols)
         .repartition(n_shuffle, "src")
@@ -165,12 +183,26 @@ def pagerank(
     hot_edges = cold_edges = None
     hot_src: set[int] | None = None
     if hot_src_threshold is not None:
-        hot_src = {
-            r["src"]
-            for r in out_deg.filter(F.col("out_deg") >= hot_src_threshold)
-            .select("src")
+        # the hot set becomes a literal isin() predicate and a per-superstep
+        # broadcast — cap it so a mis-set threshold can't build a huge plan;
+        # the truncated tail still has the highest degrees below the cap
+        max_hot = 4096
+        hot_rows = (
+            out_deg.filter(F.col("out_deg") >= hot_src_threshold)
+            .orderBy(F.col("out_deg").desc(), F.col("src").asc())
+            .limit(max_hot + 1)
             .collect()
-        }
+        )
+        if len(hot_rows) > max_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pagerank: hot_src_threshold=%s selects >%d vertices; "
+                "keeping only the %d hottest (raise the threshold)",
+                hot_src_threshold, max_hot, max_hot,
+            )
+            hot_rows = hot_rows[:max_hot]
+        hot_src = {r["src"] for r in hot_rows}
         hot_edges = contrib_edges.filter(
             F.col("src").isin(list(hot_src) or [-1])
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -225,8 +257,19 @@ def pagerank(
             F.col("vertex_id").alias("src"),
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )
+        # weighted: the per-edge multiply happens here in the gather select;
+        # the divide stayed per-vertex above
+        _c = (
+            (F.col("contrib") * F.col("_w")).alias("contrib")
+            if weighted
+            else F.col("contrib")
+        )
         # salted scatter derives its salt from src; other modes don't need it
-        mcols = ("src", "dst", "contrib") if agg_mode == "salted" else ("dst", "contrib")
+        mcols = (
+            [F.col("src"), F.col("dst"), _c]
+            if agg_mode == "salted"
+            else [F.col("dst"), _c]
+        )
         if hot_src is not None and hot_edges is not None:
             hot_w = rank_w.filter(F.col("src").isin(list(hot_src) or [-1]))
             msgs = (

@@ -111,3 +111,39 @@ def test_kcore_fixed_rounds_converges_to_fixpoint(spark):
         .sort_values("vertex_id")
     )
     assert fix.reset_index(drop=True).equals(rnd.reset_index(drop=True))
+
+
+def test_weighted_pagerank_matches_numpy_and_reduces_to_unweighted(spark):
+    from halvesting_geometric_spark.operators.pagerank import pagerank
+
+    edges, verts, pairs, n = _random_graph(spark, seed=15)
+    we = edges.withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst")) % 4 + 1).cast("double")
+    )
+    got = (
+        pagerank(we, verts, fixed_iters=6, weight_col="w")
+        .ranks.toPandas()
+        .sort_values("vertex_id")["rank"]
+        .to_numpy()
+    )
+    # dense numpy reference
+    w = {(a, b): (a * 7 + b) % 4 + 1 for a, b in pairs}
+    wsum = np.zeros(n)
+    for (a, b), wt in w.items():
+        wsum[a] += wt
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        msg = np.zeros(n)
+        for (a, b), wt in w.items():
+            msg[b] += r[a] / wsum[a] * wt
+        dangling = r[wsum == 0].sum()
+        r = (0.15 + 0.85 * dangling) / n + 0.85 * msg
+    np.testing.assert_allclose(got, r, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+    # weight 1.0 everywhere must equal the unweighted path bit-for-bit
+    ones = edges.withColumn("w", F.lit(1.0))
+    a = pagerank(ones, verts, fixed_iters=4, weight_col="w").ranks.toPandas()
+    b = pagerank(edges, verts, fixed_iters=4).ranks.toPandas()
+    m = a.merge(b, on="vertex_id", suffixes=("_w", "_u"))
+    assert (m["rank_w"] == m["rank_u"]).all()
