@@ -473,6 +473,47 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/U1: vectorized split_domain over a derived domain column (the
+    reference's row-wise split_domain,
+    /root/reference/.../link_prediction_metadata.py:452-470)."""
+    from halvesting_geometric_spark.functions import domain_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    dom = F.when(
+        F.col("event_id") % 11 == 0, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.col("event_type"), F.lit(".example.org")))
+    return ev.select(
+        "event_id",
+        dom.alias("domain"),
+        domain_prefix(dom).alias("prefix"),
+    )
+
+
+def _q_parse_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/U3: parse_stringified_list over legacy "['a', 'b']" text (the
+    reference's row-wise str_to_list,
+    /root/reference/.../link_prediction_metadata.py:472-490)."""
+    from halvesting_geometric_spark.functions import parse_stringified_list
+
+    ev = load_table(spark, sf_dir, "events")
+    legacy = F.when(F.col("event_id") % 7 == 0, F.lit("[]")).otherwise(
+        F.concat(
+            F.lit("['"),
+            F.col("event_type"),
+            F.lit("', 'u"),
+            (F.col("user_id") % 13).cast("string"),
+            F.lit("']"),
+        )
+    )
+    parsed = parse_stringified_list(legacy)
+    return ev.select(
+        "event_id",
+        F.size(parsed).cast("long").alias("n_items"),
+        F.explode_outer(parsed).alias("item"),
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.textstats import fingerprint
 
@@ -649,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_split": _q_edge_split,
         "negative_edges": _q_negative_edges,
         "neighbor_sample": _q_neighbor_sample,
+        "domain_split": _q_domain_split,
+        "parse_list": _q_parse_list,
         "fingerprints": _q_fingerprints,
         "embedding_near_dups": _q_embedding_near_dups,
         # typed graph / nested structs / entity resolution
@@ -1341,6 +1384,27 @@ WHERE rn <= 5""",
         "simhash": _simhash_sql(bits=60),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
+        "domain_split": """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE event_type || '.example.org' END AS domain
+  FROM events)
+SELECT event_id, domain,
+       CASE WHEN domain IS NULL OR trim(domain) = '' THEN 'other'
+            ELSE COALESCE(string_split(domain, '.')[1], 'other') END AS prefix
+FROM t""",
+        "parse_list": """
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE [event_type, 'u' || CAST(user_id % 13 AS VARCHAR)] END
+           AS items
+  FROM events)
+SELECT event_id, CAST(len(items) AS BIGINT) AS n_items,
+       unnest(CASE WHEN len(items) = 0 THEN [CAST(NULL AS VARCHAR)]
+                   ELSE items END) AS item
+FROM base""",
         "fingerprints": _fingerprint_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(
             n_planes=4, threshold=0.3, seed=7
