@@ -30,7 +30,10 @@ from halvesting_geometric_spark.operators.triangles import triangle_count
 from halvesting_geometric_spark.plans.checkpoint import CheckpointManager
 from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 
-ALGORITHMS = ("pagerank", "components", "labelprop", "triangles", "extract")
+ALGORITHMS = (
+    "pagerank", "components", "labelprop", "triangles", "extract",
+    "ppr", "hits", "kcore",
+)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -51,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         help="two-phase dense-id assignment (default); "
         "--no-scalable-ids selects the single-window path",
     )
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0],
+                    help="ppr: teleport seed vertex ids")
+    ap.add_argument("--iters", type=int, default=10,
+                    help="ppr/hits: fixed iteration count")
+    ap.add_argument("--k", type=int, default=3, help="kcore: minimum degree")
     args = ap.parse_args(argv)
 
     # under spark-submit the session (master, executors) is externally owned
@@ -100,6 +108,29 @@ def main(argv: list[str] | None = None) -> int:
         res = triangle_count(g.edges, g.vertices)
         res.per_vertex.write.mode("overwrite").parquet(args.output)
         summary.update(total=res.total)
+    elif args.algorithm == "ppr":
+        from halvesting_geometric_spark.operators.centrality import (
+            personalized_pagerank,
+        )
+
+        ranks = personalized_pagerank(
+            g.edges, g.vertices, args.seeds,
+            damping=args.damping, fixed_iters=args.iters,
+        )
+        ranks.write.mode("overwrite").parquet(args.output)
+        summary.update(iterations=args.iters, seeds=args.seeds)
+    elif args.algorithm == "hits":
+        from halvesting_geometric_spark.operators.centrality import hits
+
+        scores = hits(g.edges, g.vertices, fixed_iters=args.iters)
+        scores.write.mode("overwrite").parquet(args.output)
+        summary.update(iterations=args.iters)
+    elif args.algorithm == "kcore":
+        from halvesting_geometric_spark.operators.kcore import kcore_members
+
+        members = kcore_members(g.edges, g.vertices, k=args.k)
+        members.write.mode("overwrite").parquet(args.output)
+        summary.update(k=args.k, members=members.count())
 
     print(json.dumps(summary))
     return 0
