@@ -190,6 +190,15 @@ def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("vertex_id", e6("hub"), e6("auth"))
 
 
+def _q_bfs4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to depth 4 from seed set {vertex_id < 3}."""
+    from halvesting_geometric_spark.operators.traversal import bfs_levels
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    seeds = verts.filter(F.col("vertex_id") < 3).select("vertex_id")
+    return bfs_levels(edges, verts, seeds, max_depth=4)
+
+
 def _q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core membership + in-core degree after 8 peeling rounds."""
     from halvesting_geometric_spark.operators.kcore import kcore_members
@@ -665,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr5": _q_ppr5,
         "hits5": _q_hits5,
         "kcore3": _q_kcore3,
+        "bfs4": _q_bfs4,
         "canonical_edges": _q_canonical_edges,
         "degree_histogram": _q_degree_histogram,
         "dedup_exact": _q_dedup_exact,
@@ -877,6 +887,30 @@ h{k} AS MATERIALIZED (
         f"CAST(floor(h.s * 1000000 + 0.5) AS BIGINT) AS hub_e6, "
         f"CAST(floor(a.s * 1000000 + 0.5) AS BIGINT) AS auth_e6 "
         f"FROM h{iters} h JOIN a{iters} a ON h.v = a.v"
+    )
+
+
+def _bfs_sql(depth: int) -> str:
+    """BFS twin: r_k(v) = min hop distance ≤ k from the seed set, unrolled."""
+    parts = [
+        _BASE,
+        "r0 AS (SELECT vertex_id AS v, 0 AS d FROM verts WHERE vertex_id < 3)",
+    ]
+    for k in range(1, depth + 1):
+        p = k - 1
+        parts.append(
+            f"""r{k} AS (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM r{p}
+    UNION ALL
+    SELECT e.dst AS v, r.d + 1 AS d
+    FROM edges e JOIN r{p} r ON e.src = r.v) u
+  GROUP BY v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM r{depth}"
     )
 
 
@@ -1224,6 +1258,7 @@ ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "ppr5": _ppr_sql(5),
         "hits5": _hits_sql(5),
         "kcore3": _kcore_sql(3, 8),
+        "bfs4": _bfs_sql(4),
         "components": f"""WITH RECURSIVE {_BASE},
 reach AS (
   SELECT vertex_id AS a, vertex_id AS b FROM verts

@@ -147,3 +147,36 @@ def test_weighted_pagerank_matches_numpy_and_reduces_to_unweighted(spark):
     b = pagerank(edges, verts, fixed_iters=4).ranks.toPandas()
     m = a.merge(b, on="vertex_id", suffixes=("_w", "_u"))
     assert (m["rank_w"] == m["rank_u"]).all()
+
+
+def test_bfs_levels_matches_python(spark):
+    from halvesting_geometric_spark.operators.traversal import bfs_levels
+
+    edges, verts, pairs, n = _random_graph(spark, seed=16)
+    got = bfs_levels(edges, verts, [0, 1], max_depth=50).toPandas()
+    # python BFS oracle (directed)
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    dist = {0: 0, 1: 0}
+    frontier = [0, 1]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert dict(zip(got["vertex_id"], got["dist"])) == dist
+
+
+def test_bfs_undirected_reaches_no_less(spark):
+    from halvesting_geometric_spark.operators.traversal import bfs_levels
+
+    edges, verts, _, _ = _random_graph(spark, seed=17)
+    d_dir = bfs_levels(edges, verts, [0], max_depth=50).count()
+    d_und = bfs_levels(edges, verts, [0], max_depth=50, directed=False).count()
+    assert d_und >= d_dir
