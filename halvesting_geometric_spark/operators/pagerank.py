@@ -69,8 +69,16 @@ def pagerank(
     checkpoint_interval: int = 1,
     resume: bool = False,
     weight_col: str | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``tol`` convergence (or exactly ``fixed_iters`` steps).
+
+    ``initial_ranks``: optional (vertex_id, rank) warm start — e.g. the
+    converged ranks of a slightly older graph snapshot; the vector is
+    L1-normalized over the CURRENT vertex set (missing vertices start at 0,
+    disappeared vertices' mass rescales away), so convergence semantics are
+    unchanged and re-convergence after a small graph delta takes far fewer
+    supersteps than a cold start. Ignored when ``resume`` finds a checkpoint.
 
     ``weight_col``: optional edge-weight column (non-negative, finite) —
     contributions become rank(u)·w(u,v)/W(u) with W(u) = Σ out-weights; a
@@ -222,6 +230,36 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
+    elif initial_ranks is not None:
+        base0 = vertices.join(
+            initial_ranks.select(
+                F.col("vertex_id").cast(idt).alias("vertex_id"),
+                F.col("rank").cast("double").alias("_r0"),
+            ),
+            "vertex_id",
+            "left",
+        ).select(
+            "vertex_id", F.coalesce("_r0", F.lit(0.0)).alias("_r0"), "out_deg"
+        )
+        st0 = base0.agg(
+            F.sum("_r0").alias("total"),
+            F.sum(
+                F.when(F.col("out_deg") == 0, F.col("_r0")).otherwise(F.lit(0.0))
+            ).alias("dang"),
+        ).first()
+        total = float(st0["total"] or 0.0)
+        if total <= 0.0:
+            ranks = vertices.select(
+                "vertex_id",
+                (F.lit(1.0) / F.lit(float(n))).alias("rank"),
+                "out_deg",
+            )
+            dangling = n_dangling / float(n)
+        else:
+            ranks = base0.select(
+                "vertex_id", (F.col("_r0") / total).alias("rank"), "out_deg"
+            ).localCheckpoint(eager=False)
+            dangling = float(st0["dang"] or 0.0) / total
     else:
         # a lazy projection of the cached vertex table — no extra job/cache
         ranks = vertices.select(

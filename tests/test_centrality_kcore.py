@@ -180,3 +180,20 @@ def test_bfs_undirected_reaches_no_less(spark):
     d_dir = bfs_levels(edges, verts, [0], max_depth=50).count()
     d_und = bfs_levels(edges, verts, [0], max_depth=50, directed=False).count()
     assert d_und >= d_dir
+
+
+def test_pagerank_warm_start_reconverges_immediately(spark):
+    from halvesting_geometric_spark.operators.pagerank import pagerank
+
+    edges, verts, _, _ = _random_graph(spark, seed=18)
+    cold = pagerank(edges, verts, tol=1e-9)
+    warm = pagerank(edges, verts, tol=1e-9, initial_ranks=cold.ranks)
+    assert warm.converged and warm.iterations <= 2 < cold.iterations
+    m = cold.ranks.toPandas().merge(
+        warm.ranks.toPandas(), on="vertex_id", suffixes=("_c", "_w")
+    )
+    np.testing.assert_allclose(m["rank_c"], m["rank_w"], atol=1e-7)
+    # a non-normalized warm vector is renormalized: same fixpoint
+    scaled = cold.ranks.withColumn("rank", F.col("rank") * 7.5)
+    warm2 = pagerank(edges, verts, tol=1e-9, initial_ranks=scaled)
+    assert warm2.iterations <= 2
