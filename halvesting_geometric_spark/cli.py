@@ -32,7 +32,7 @@ from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 
 ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
-    "ppr", "hits", "kcore",
+    "ppr", "hits", "kcore", "bfs",
 )
 
 
@@ -131,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
         members = kcore_members(g.edges, g.vertices, k=args.k)
         members.write.mode("overwrite").parquet(args.output)
         summary.update(k=args.k, members=members.count())
+    elif args.algorithm == "bfs":
+        from halvesting_geometric_spark.operators.traversal import bfs_levels
+
+        dists = bfs_levels(
+            g.edges, g.vertices, args.seeds, max_depth=args.max_iter
+        )
+        dists.write.mode("overwrite").parquet(args.output)
+        summary.update(seeds=args.seeds, reached=dists.count())
 
     print(json.dumps(summary))
     return 0
