@@ -658,6 +658,85 @@ def _q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("mention_id", "resolved_id")
 
 
+def _q_linkpred2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap link-prediction scores (CN/AA/RA/PA/Jaccard) for
+    pairs sharing >= 2 neighbors in the simple undirected graph."""
+    from halvesting_geometric_spark.operators.linkpred import neighborhood_scores
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    s = neighborhood_scores(edges, min_common=2)
+    e6 = lambda c, n: (  # noqa: E731
+        F.floor(F.col(c) * 1_000_000 + F.lit(0.5)).cast("long").alias(n)
+    )
+    return s.select(
+        "a",
+        "b",
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        e6("adamic_adar", "aa_e6"),
+        e6("resource_allocation", "ra_e6"),
+        F.col("preferential_attachment").cast("long").alias(
+            "preferential_attachment"
+        ),
+        e6("jaccard", "jac_e6"),
+    )
+
+
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex (reuses the degree-oriented
+    triangle listing)."""
+    from halvesting_geometric_spark.operators.linkpred import (
+        clustering_coefficients,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    tri = triangle_count(edges, verts)
+    cc = clustering_coefficients(edges, verts, tri.per_vertex)
+    return cc.select(
+        "vertex_id",
+        "degree",
+        "triangles",
+        F.floor(F.col("coeff") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("coeff_e6"),
+    )
+
+
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the citation graph."""
+    from halvesting_geometric_spark.operators.linkpred import graph_stats
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    g = graph_stats(edges, verts)
+    e6 = lambda c, n: (  # noqa: E731
+        F.floor(F.col(c) * 1_000_000 + F.lit(0.5)).cast("long").alias(n)
+    )
+    return g.select(
+        "n_vertices",
+        "n_edges",
+        "n_undirected",
+        "n_self_loops",
+        "n_reciprocal",
+        "max_out_deg",
+        e6("avg_out_deg", "avg_out_e6"),
+        e6("density", "density_e6"),
+    )
+
+
+def _q_sssp6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (Bellman-Ford, 6 relaxation supersteps) from
+    seed set {vertex_id < 3} with synthetic weight w = (src+dst) % 5 + 1 —
+    integer-valued doubles, so distances are exact and cast to long."""
+    from halvesting_geometric_spark.operators.traversal import sssp
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    we = edges.withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    seeds = verts.filter(F.col("vertex_id") < 3).select("vertex_id")
+    d = sssp(we, verts, seeds, weight_col="w", fixed_iters=6)
+    return d.select("vertex_id", F.col("dist").cast("long").alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -711,6 +790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hetero_vertices": _q_hetero_vertices,
         "explode_structs": _q_explode_structs,
         "entity_resolution": _q_entity_resolution,
+        # link-prediction heuristics / structure summaries / weighted paths
+        "linkpred2": _q_linkpred2,
+        "clustering": _q_clustering,
+        "graph_stats": _q_graph_stats,
+        "sssp6": _q_sssp6,
     }
 
 
@@ -911,6 +995,33 @@ def _bfs_sql(depth: int) -> str:
     return (
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM r{depth}"
+    )
+
+
+def _sssp_sql(iters: int) -> str:
+    """Weighted SSSP twin: k unrolled Bellman-Ford relaxations with the same
+    synthetic weight w = (src+dst) % 5 + 1 as the Spark query. MATERIALIZED
+    keeps DuckDB from exponentially inlining the doubly-referenced chain."""
+    parts = [
+        _BASE,
+        "r0 AS MATERIALIZED "
+        "(SELECT vertex_id AS v, 0.0 AS d FROM verts WHERE vertex_id < 3)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM r{p}
+    UNION ALL
+    SELECT e.dst AS v, r.d + CAST((e.src + e.dst) % 5 + 1 AS DOUBLE) AS d
+    FROM edges e JOIN r{p} r ON e.src = r.v) u
+  GROUP BY v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM r{iters}"
     )
 
 
@@ -1277,6 +1388,62 @@ SELECT v2.vertex_id, CAST(COALESCE(g.cnt, 0) AS BIGINT) AS triangles
 FROM verts v2
 LEFT JOIN (SELECT v, COUNT(*) AS cnt FROM m GROUP BY v) g ON v2.vertex_id = g.v""",
         "canonical_edges": f"WITH {_BASE} SELECT a, b FROM canon",
+        "linkpred2": f"""WITH {_BASE},
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+wedges AS (
+  SELECT s1.src AS a, s2.src AS b, d.deg AS zdeg
+  FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src
+  JOIN deg d ON d.v = s1.dst),
+sc AS (
+  SELECT a, b, COUNT(*) AS cn,
+         SUM(1.0 / ln(zdeg)) AS aa, SUM(1.0 / zdeg) AS ra
+  FROM wedges GROUP BY a, b HAVING COUNT(*) >= 2)
+SELECT sc.a, sc.b,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       CAST(floor(aa * 1000000 + 0.5) AS BIGINT) AS aa_e6,
+       CAST(floor(ra * 1000000 + 0.5) AS BIGINT) AS ra_e6,
+       CAST(da.deg * db.deg AS BIGINT) AS preferential_attachment,
+       CAST(floor(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn) * 1000000 + 0.5)
+            AS BIGINT) AS jac_e6
+FROM sc JOIN deg da ON sc.a = da.v JOIN deg db ON sc.b = db.v""",
+        "clustering": _TRI_BASE
+        + """, m AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+tpv AS (SELECT v, COUNT(*) AS t FROM m GROUP BY v),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src)
+SELECT vt.vertex_id,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tp.t, 0) AS BIGINT) AS triangles,
+       CAST(floor(
+         CASE WHEN COALESCE(d.deg, 0) >= 2
+              THEN 2.0 * COALESCE(tp.t, 0)
+                   / (d.deg * (d.deg - 1))
+              ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS coeff_e6
+FROM verts vt
+LEFT JOIN deg d ON vt.vertex_id = d.v
+LEFT JOIN tpv tp ON vt.vertex_id = tp.v""",
+        "graph_stats": f"""WITH {_BASE},
+recip AS (
+  SELECT COUNT(*) AS r FROM (
+    SELECT DISTINCT e1.src, e1.dst
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    WHERE e1.src < e1.dst) x)
+SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_undirected,
+       CAST((SELECT COUNT(*) FROM edges WHERE src = dst) AS BIGINT)
+         AS n_self_loops,
+       CAST((SELECT r FROM recip) AS BIGINT) AS n_reciprocal,
+       CAST((SELECT MAX(d) FROM outdeg) AS BIGINT) AS max_out_deg,
+       CAST(floor(CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+                  / (SELECT n FROM nv) * 1000000 + 0.5) AS BIGINT)
+         AS avg_out_e6,
+       CAST(floor(CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+                  / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1))
+                  * 1000000 + 0.5) AS BIGINT) AS density_e6""",
+        "sssp6": _sssp_sql(6),
         "degree_histogram": f"""WITH {_BASE}
 SELECT CAST(degree AS BIGINT) AS degree,
        CAST(COUNT(*) AS BIGINT) AS n_vertices

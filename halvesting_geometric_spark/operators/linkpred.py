@@ -1,0 +1,215 @@
+"""Classical link-prediction scores as relational operators (engine-new).
+
+The reference's whole downstream task is link prediction on the citation
+graph — it scores candidate author→paper edges with a GNN dot product
+(``/root/reference/halvesting_geometric/modules/link_classifier.py:33-36``)
+and evaluates splits built by ``RandomLinkSplit``
+(``.../utils/data/link_prediction_datamodule.py:117-135``). This module
+provides the standard *non-learned* heuristics over the same edge table —
+the baselines every link-prediction paper compares against (Liben-Nowell &
+Kleinberg 2003):
+
+- common neighbors        |N(a) ∩ N(b)|
+- Adamic–Adar             Σ_{z ∈ N(a)∩N(b)} 1/ln deg(z)
+- resource allocation     Σ_{z ∈ N(a)∩N(b)} 1/deg(z)
+- preferential attachment deg(a)·deg(b)
+- neighborhood Jaccard    |N∩| / |N∪|
+
+All five come out of ONE wedge self-join + one map-side-combinable aggregate
+— the same degree-bounded shape as triangle counting. Scale notes:
+
+- The wedge join fans out Σ_z deg(z)² rows; on power-law graphs hubs
+  dominate that sum, so ``max_degree`` excludes super-hubs from wedge
+  generation (the standard candidate-generation guard — a z with millions of
+  neighbors contributes ~nothing to AA/RA anyway since 1/ln deg(z) → 0, but
+  would alone produce 10¹² wedges at 100 TB).
+- The aggregate is a hash groupBy on (a, b): partial aggregation map-side,
+  AQE handles residual skew.
+- No Python anywhere in the dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.graph import canonical_edges
+
+
+def _undirected_with_deg(
+    edges: DataFrame, max_degree: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(symmetric (v, nbr, nbr_deg) adjacency, (v, deg) table) over the simple
+    undirected graph. ``max_degree`` drops hub *centers* z from the adjacency
+    used for wedge generation but never from the degree table."""
+    canon = canonical_edges(edges)
+    sym = canon.select(
+        F.col("src").alias("v"), F.col("dst").alias("nbr")
+    ).unionByName(canon.select(F.col("dst").alias("v"), F.col("src").alias("nbr")))
+    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+    adj = sym.join(
+        deg.select(F.col("v").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr"
+    )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        adj = adj.filter(F.col("nbr_deg") <= max_degree)
+    return adj, deg
+
+
+def neighborhood_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: int | None = None,
+    exclude_existing: bool = False,
+) -> DataFrame:
+    """All five neighborhood-overlap link-prediction scores per vertex pair.
+
+    Returns (a, b, common_neighbors, adamic_adar, resource_allocation,
+    preferential_attachment, jaccard) with a < b, one row per pair sharing at
+    least ``min_common`` neighbors in the simple undirected graph.
+
+    ``exclude_existing``: anti-join out pairs that are already edges — the
+    link-prediction candidate mode (score only *potential* links).
+    ``max_degree``: skip wedge centers whose degree exceeds the cap (scale
+    guard; scores then lower-bound the exact values).
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    adj, deg = _undirected_with_deg(edges, max_degree)
+    # wedge through common neighbor z = `nbr`-as-center: rows (z, a), (z, b)
+    left = adj.select(
+        F.col("nbr").alias("z"), F.col("v").alias("a"), F.col("nbr_deg").alias("zdeg")
+    )
+    right = adj.select(F.col("nbr").alias("z"), F.col("v").alias("b"))
+    wedges = left.join(right, "z").filter(F.col("a") < F.col("b"))
+    scores = wedges.groupBy("a", "b").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("zdeg"))).alias("adamic_adar"),
+        F.sum(F.lit(1.0) / F.col("zdeg")).alias("resource_allocation"),
+    )
+    if min_common > 1:
+        scores = scores.filter(F.col("common_neighbors") >= min_common)
+    out = (
+        scores.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "adamic_adar",
+            "resource_allocation",
+            (F.col("da") * F.col("db")).alias("preferential_attachment"),
+            (
+                F.col("common_neighbors")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    if exclude_existing:
+        out = out.join(
+            canonical_edges(edges).select(
+                F.col("src").alias("a"), F.col("dst").alias("b")
+            ),
+            ["a", "b"],
+            "left_anti",
+        )
+    return out
+
+
+def clustering_coefficients(
+    edges: DataFrame, vertices: DataFrame, triangles_per_vertex: DataFrame
+) -> DataFrame:
+    """Local clustering coefficient 2·tri(v) / (deg(v)·(deg(v)−1)).
+
+    Takes the per-vertex triangle table from
+    :func:`halvesting_geometric_spark.operators.triangles.triangle_count`
+    (degree-oriented, O(√E)-bounded) so the heavy work is shared; this is a
+    pure join + expression over it. Vertices with degree < 2 get coefficient
+    0. Returns (vertex_id, degree, triangles, coeff).
+    """
+    canon = canonical_edges(edges)
+    deg = (
+        canon.select(F.col("src").alias("vertex_id"))
+        .unionByName(canon.select(F.col("dst").alias("vertex_id")))
+        .groupBy("vertex_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        vertices.select("vertex_id")
+        .join(deg, "vertex_id", "left")
+        .join(triangles_per_vertex, "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+        .withColumn(
+            "coeff",
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def graph_stats(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """One-row structural summary: |V|, |E| directed, |E| simple-undirected,
+    self-loops, reciprocal directed pairs, max/avg out-degree, density.
+
+    Everything is computed in two jobs: one pass over the edge table with
+    conditional aggregates (self-loops, reciprocity via a self-join that
+    AQE plans as a shuffle hash join) and one count over vertices; no
+    driver-side iteration. Reciprocity = directed pairs (u,v), u≠v, where
+    (v,u) also exists (counted once per unordered pair).
+    """
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    n_vertices = vertices.select("vertex_id").distinct().count()
+    base = e.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias(
+            "n_self_loops"
+        ),
+    ).first()
+    n_edges = int(base["n_edges"])
+    n_self = int(base["n_self_loops"])
+    n_undirected = canonical_edges(e).count()
+    recip = (
+        e.filter(F.col("src") < F.col("dst"))
+        .join(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .distinct()
+        .count()
+    )
+    max_out = (
+        e.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
+        or 0
+    )
+    e.unpersist()
+    spark = edges.sparkSession
+    density = (
+        float(n_edges) / (n_vertices * (n_vertices - 1)) if n_vertices > 1 else 0.0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_vertices,
+                n_edges,
+                n_undirected,
+                n_self,
+                recip,
+                int(max_out),
+                float(n_edges) / n_vertices if n_vertices else 0.0,
+                density,
+            )
+        ],
+        "n_vertices long, n_edges long, n_undirected long, n_self_loops long, "
+        "n_reciprocal long, max_out_deg long, avg_out_deg double, density double",
+    )

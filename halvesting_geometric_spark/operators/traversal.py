@@ -84,3 +84,104 @@ def bfs_levels(
         p.unpersist()
     topo.unpersist()
     return out
+
+
+def sssp(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame | list[int],
+    weight_col: str | None = None,
+    fixed_iters: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """Single/multi-source weighted shortest paths — Bellman-Ford supersteps.
+
+    Each superstep relaxes every edge once: dist'(v) = min(dist(v),
+    min_{u→v}(dist(u) + w(u, v))) as one gather join + min-aggregate + one
+    full-outer pair — the same one-job-per-iteration shape as the PageRank
+    driver, lineage truncated via lazy localCheckpoint. After k supersteps
+    every distance using ≤ k hops is exact, so ``fixed_iters`` bounds both
+    the work and the externally-verifiable semantics (the gate's DuckDB twin
+    unrolls the same k relaxations). Converges early when no distance
+    improves. Weights must be non-negative (checked against the first
+    superstep's min); ``weight_col=None`` means unit weights (= BFS
+    distances, cross-checkable against :func:`bfs_levels`).
+
+    Returns (vertex_id, dist) for every vertex reached within
+    ``fixed_iters`` hops; unreached vertices are absent.
+    """
+    if fixed_iters < 0:
+        raise ValueError(f"fixed_iters must be >= 0, got {fixed_iters}")
+    spark = edges.sparkSession
+    if isinstance(sources, (list, tuple)):
+        sources = spark.createDataFrame(
+            [(int(s),) for s in sources], "vertex_id long"
+        )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    topo = edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        topo = topo.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+            )
+        )
+    topo = topo.repartition(n_shuffle, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    neg = topo.agg(F.min("w").alias("m")).first()["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(f"negative edge weight {neg}; sssp requires w >= 0")
+
+    dist = (
+        sources.select("vertex_id")
+        .distinct()
+        .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
+        .select("vertex_id", F.lit(0.0).alias("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if dist.count() == 0:
+        raise ValueError("source set is empty (or disjoint from vertices)")
+    prev_caches: list[DataFrame] = [dist]
+    for _ in range(fixed_iters):
+        relaxed = (
+            topo.join(dist.select(F.col("vertex_id").alias("src"), "dist"), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        paired = (
+            dist.join(
+                relaxed.select(F.col("dst").alias("vertex_id"), "cand"),
+                "vertex_id",
+                "full_outer",
+            )
+            .select(
+                "vertex_id",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce("cand", F.lit(float("inf"))) < F.col("dist"))
+                ).alias("_improved"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_improved = paired.filter(F.col("_improved")).count()
+        nxt = paired.select("vertex_id", "dist").localCheckpoint(eager=False)
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [paired]
+        dist = nxt
+        if n_improved == 0:
+            break
+    out = dist.select("vertex_id", "dist").localCheckpoint(eager=True)
+    for p in prev_caches:
+        p.unpersist()
+    topo.unpersist()
+    return out
