@@ -32,7 +32,8 @@ from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 
 ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
-    "ppr", "hits", "kcore", "bfs",
+    "ppr", "hits", "kcore", "bfs", "sssp", "linkpred", "clustering",
+    "stats",
 )
 
 
@@ -59,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--iters", type=int, default=10,
                     help="ppr/hits: fixed iteration count")
     ap.add_argument("--k", type=int, default=3, help="kcore: minimum degree")
+    ap.add_argument("--weight-col", default=None,
+                    help="sssp: edge weight column (None = unit weights)")
+    ap.add_argument("--min-common", type=int, default=1,
+                    help="linkpred: min shared neighbors per candidate pair")
+    ap.add_argument("--max-degree", type=int, default=None,
+                    help="linkpred: skip wedge centers above this degree")
     args = ap.parse_args(argv)
 
     # under spark-submit the session (master, executors) is externally owned
@@ -139,6 +146,43 @@ def main(argv: list[str] | None = None) -> int:
         )
         dists.write.mode("overwrite").parquet(args.output)
         summary.update(seeds=args.seeds, reached=dists.count())
+    elif args.algorithm == "sssp":
+        from halvesting_geometric_spark.operators.traversal import sssp
+
+        dists = sssp(
+            g.edges, g.vertices, args.seeds,
+            weight_col=args.weight_col, fixed_iters=args.max_iter,
+        )
+        dists.write.mode("overwrite").parquet(args.output)
+        summary.update(seeds=args.seeds, reached=dists.count())
+    elif args.algorithm == "linkpred":
+        from halvesting_geometric_spark.operators.linkpred import (
+            neighborhood_scores,
+        )
+
+        scores = neighborhood_scores(
+            g.edges, min_common=args.min_common,
+            max_degree=args.max_degree, exclude_existing=True,
+        )
+        scores.write.mode("overwrite").parquet(args.output)
+        summary.update(candidate_pairs=scores.count())
+    elif args.algorithm == "clustering":
+        from halvesting_geometric_spark.operators.linkpred import (
+            clustering_coefficients,
+        )
+
+        tri = triangle_count(g.edges, g.vertices)
+        cc = clustering_coefficients(g.edges, g.vertices, tri.per_vertex)
+        cc.write.mode("overwrite").parquet(args.output)
+        summary.update(triangles=tri.total)
+    elif args.algorithm == "stats":
+        from halvesting_geometric_spark.operators.linkpred import graph_stats
+
+        st = graph_stats(g.edges, g.vertices)
+        st.write.mode("overwrite").parquet(args.output)
+        # Row.asDict keeps ints as ints (pandas would coerce the mixed row
+        # to float64)
+        summary.update(st.first().asDict())
 
     print(json.dumps(summary))
     return 0

@@ -39,3 +39,23 @@ def test_cli_extract_writes_graph(spark, tmp_path, capsys):
     edges = spark.read.parquet(f"{out_dir}/edges")
     verts = spark.read.parquet(f"{out_dir}/vertices")
     assert edges.count() > 0 and verts.count() > 0
+
+
+def test_cli_linkpred_sssp_clustering_stats(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr3")
+    generate_transcripts(spark, 30, seed=5).write.parquet(tr_dir)
+    for algo, extra in [
+        ("linkpred", ["--min-common", "2"]),
+        ("sssp", ["--seeds", "0", "1", "--max-iter", "4"]),
+        ("clustering", []),
+        ("stats", []),
+    ]:
+        out_dir = str(tmp_path / f"out_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out_dir] + extra
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert spark.read.parquet(out_dir).count() > 0
+    assert summary["n_vertices"] > 0  # stats summary carries the row
