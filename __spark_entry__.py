@@ -737,6 +737,24 @@ def _q_sssp6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("vertex_id", F.col("dist").cast("long").alias("dist"))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    from halvesting_geometric_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = repetition_stats(docs)
+    e6 = lambda c, n: (  # noqa: E731
+        F.floor(F.col(c) * 1_000_000 + F.lit(0.5)).cast("long").alias(n)
+    )
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        e6("top_token_frac", "top_frac_e6"),
+        e6("dup_2gram_frac", "dup2_e6"),
+        e6("dup_3gram_frac", "dup3_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
         "sssp6": _q_sssp6,
+        "repetition": _q_repetition,
     }
 
 
@@ -1444,6 +1463,32 @@ SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vertices,
                   / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1))
                   * 1000000 + 0.5) AS BIGINT) AS density_e6""",
         "sssp6": _sssp_sql(6),
+        "repetition": f"""WITH {_TOKENS_SQL},
+base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
+grams AS (
+  SELECT doc_id, n,
+         [tk[i] || ' ' || tk[i+1] for i in range(1, n)] AS g2,
+         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          for i in range(1, n - 1)] AS g3
+  FROM base),
+tt AS (
+  SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_toks FROM (
+    SELECT b.doc_id, u.t, COUNT(*) AS c
+    FROM base b, unnest(b.tk) AS u(t) GROUP BY b.doc_id, u.t) q
+  GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(g.n AS BIGINT) AS n_tokens,
+       CAST(floor(COALESCE(CAST(tt.top_cnt AS DOUBLE) / tt.n_toks, 0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS top_frac_e6,
+       CAST(floor(CASE WHEN g.n >= 2
+                       THEN (len(g2) - len(list_distinct(g2)))
+                            / CAST(len(g2) AS DOUBLE)
+                       ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS dup2_e6,
+       CAST(floor(CASE WHEN g.n >= 3
+                       THEN (len(g3) - len(list_distinct(g3)))
+                            / CAST(len(g3) AS DOUBLE)
+                       ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS dup3_e6
+FROM grams g LEFT JOIN tt ON g.doc_id = tt.doc_id""",
         "degree_histogram": f"""WITH {_BASE}
 SELECT CAST(degree AS BIGINT) AS degree,
        CAST(COUNT(*) AS BIGINT) AS n_vertices

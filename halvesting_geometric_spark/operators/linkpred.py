@@ -47,7 +47,12 @@ def _undirected_with_deg(
     sym = canon.select(
         F.col("src").alias("v"), F.col("dst").alias("nbr")
     ).unionByName(canon.select(F.col("dst").alias("v"), F.col("src").alias("nbr")))
-    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+    # deg is referenced three times (zdeg, deg(a), deg(b)) and adj twice
+    # (both wedge sides) — persist so the canon/sym subtree is computed once,
+    # not re-scanned per plan branch
+    deg = sym.groupBy("v").agg(F.count("*").alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     adj = sym.join(
         deg.select(F.col("v").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr"
     )
@@ -55,6 +60,7 @@ def _undirected_with_deg(
         if max_degree < 1:
             raise ValueError(f"max_degree must be >= 1, got {max_degree}")
         adj = adj.filter(F.col("nbr_deg") <= max_degree)
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     return adj, deg
 
 

@@ -107,6 +107,72 @@ def quality_score(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate 2-grams /
+    3-grams and the mass of the single most frequent token.
+
+    The n-gram duplicate fractions are pure array expressions (transform +
+    array_distinct) — per-document work linear in tokens, no shuffle. The
+    top-token mass uses the explode → two-level aggregate shape (NOT a
+    per-document quadratic array scan): tokens explode to rows, count per
+    (doc, token), max/sum per doc — both aggregates combine map-side, so the
+    operator scales to arbitrarily long documents without a hot row.
+
+    Returns (id, n_tokens, top_token_frac, dup_2gram_frac, dup_3gram_frac);
+    documents with fewer tokens than an n-gram needs get fraction 0.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n = F.size(toks)
+
+    def dup_frac(k: int) -> Column:
+        total = n - (k - 1)
+        grams = F.transform(
+            F.slice(toks, 1, F.greatest(total, F.lit(0))),
+            lambda t, i: F.concat_ws(
+                " ",
+                t,
+                *[F.element_at(toks, i + F.lit(j + 1)) for j in range(1, k)],
+            ),
+        )
+        return F.when(
+            n >= k,
+            (total - F.size(F.array_distinct(grams)))
+            / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    per_doc = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_toks"))
+    )
+    return (
+        per_doc.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.when(
+                F.col("n_toks").isNotNull(),
+                F.col("top_cnt") / F.col("n_toks"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_frac"),
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -25,6 +25,7 @@ from halvesting_geometric_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from halvesting_geometric_spark.operators.textstats import (
+    repetition_stats,
     fingerprint,
     language_id,
     quality_score,
@@ -219,3 +220,26 @@ def test_multimodal_pillow_backend_is_explicit_stub(spark):
     media = generate_media_fixture(spark, n=3)
     with pytest.raises(NotImplementedError):
         extract_features(media, decode_backend="pillow")
+
+
+def test_repetition_stats_match_python(spark):
+    import re as _re
+
+    docs = DOCS + [
+        (5, "spam spam spam spam spam ham"),          # heavy token repetition
+        (6, "a b a b a b a b"),                       # duplicate 2-grams
+        (7, ""),                                      # empty doc
+        (8, "one"),                                   # single token
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = repetition_stats(df).toPandas().set_index("doc_id")
+    for doc_id, text in docs:
+        toks = [t for t in _re.split(r"[^0-9a-zA-Z\u00c0-\u024f]+", text.lower().strip()) if t]
+        n = len(toks)
+        assert got.loc[doc_id, "n_tokens"] == n
+        exp_top = max((toks.count(t) for t in set(toks)), default=0) / n if n else 0.0
+        assert got.loc[doc_id, "top_token_frac"] == pytest.approx(exp_top)
+        for k, col in [(2, "dup_2gram_frac"), (3, "dup_3gram_frac")]:
+            grams = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
+            exp = (len(grams) - len(set(grams))) / len(grams) if n >= k else 0.0
+            assert got.loc[doc_id, col] == pytest.approx(exp), (doc_id, col)
