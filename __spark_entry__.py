@@ -755,6 +755,37 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sage_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAGE-style neighbor mean aggregation over the embeddings table with a
+    deterministic derived edge set (src = vec_id, dst = vec_id % 97); three
+    sampled dimensions e4-rounded."""
+    from halvesting_geometric_spark.operators.neighbors import (
+        aggregate_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("vertex_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    edges = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") % 97).alias("dst")
+    )
+    r = aggregate_neighbors(feats, edges, dim=64, agg="mean")
+    e4 = lambda i, n: (  # noqa: E731
+        F.floor(F.element_at(F.col("agg_vec"), i) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias(n)
+    )
+    return r.select(
+        "vertex_id",
+        "nbr_count",
+        e4(1, "d1_e4"),
+        e4(32, "d32_e4"),
+        e4(64, "d64_e4"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -814,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "sssp6": _q_sssp6,
         "repetition": _q_repetition,
+        "sage_mean": _q_sage_mean,
     }
 
 
@@ -1489,6 +1521,15 @@ SELECT g.doc_id,
                             / CAST(len(g3) AS DOUBLE)
                        ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS dup3_e6
 FROM grams g LEFT JOIN tt ON g.doc_id = tt.doc_id""",
+        "sage_mean": """
+WITH e AS (SELECT vec_id AS src, vec_id % 97 AS dst FROM embeddings),
+g AS (SELECT e.dst, v.embedding::DOUBLE[] AS emb
+      FROM e JOIN embeddings v ON e.src = v.vec_id)
+SELECT dst AS vertex_id, CAST(COUNT(*) AS BIGINT) AS nbr_count,
+       CAST(floor(AVG(emb[1]) * 10000 + 0.5) AS BIGINT) AS d1_e4,
+       CAST(floor(AVG(emb[32]) * 10000 + 0.5) AS BIGINT) AS d32_e4,
+       CAST(floor(AVG(emb[64]) * 10000 + 0.5) AS BIGINT) AS d64_e4
+FROM g GROUP BY dst""",
         "degree_histogram": f"""WITH {_BASE}
 SELECT CAST(degree AS BIGINT) AS degree,
        CAST(COUNT(*) AS BIGINT) AS n_vertices

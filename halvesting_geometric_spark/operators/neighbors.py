@@ -1,0 +1,182 @@
+"""SAGE-style neighbor feature aggregation (gather + elementwise agg).
+
+The reference's GNN substrate is exactly this dataflow: ``SAGEConv`` mean-
+aggregates neighbor embeddings before the linear update
+(``/root/reference/halvesting_geometric/modules/sage.py:53-54``; message
+gather over ``edge_index``). Round 1 scoped the *learned* layers out
+(SURVEY §2.4) — this operator implements the relational core those layers
+sit on: for every destination vertex, the elementwise mean/sum/max of its
+in-neighbors' feature vectors.
+
+Scale design — explicit map-side combine, never a per-vertex vector list:
+
+1. gather: ``edges ⋈ features`` on the source id (one shuffle hash join);
+2. partial: an Arrow ``mapInPandas`` kernel reduces each partition to one
+   (dst, partial_vector, count) row per distinct dst in the partition —
+   C-level ``np.add.at`` / ``np.maximum.at``, no per-row Python;
+3. merge: groupBy(dst) over the partials. The collected list per dst is
+   bounded by the number of partitions (NOT by degree), so a 10⁸-degree hub
+   contributes at most one partial row per partition — hot vertices cost
+   the same as cold ones after phase 2.
+
+A pure-Catalyst ``positional`` variant (posexplode → groupBy(dst, pos) →
+re-assemble) cross-checks the kernel in tests; it shuffles dim× more rows
+but stays whole-stage-codegen, which can win for tiny dims.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGGS = ("mean", "sum", "max")
+
+
+def _gather(
+    features: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    feature_col: str,
+    direction: str,
+) -> DataFrame:
+    """(dst, vec): each edge's destination paired with its source's vector.
+
+    ``direction="in"`` aggregates over in-neighbors (messages flow src→dst,
+    the GNN convention); ``"out"`` reverses.
+    """
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    key, out = ("src", "dst") if direction == "in" else ("dst", "src")
+    return edges.select(
+        F.col(key).alias("_k"), F.col(out).alias("dst")
+    ).join(
+        features.select(
+            F.col(id_col).alias("_k"), F.col(feature_col).alias("vec")
+        ),
+        "_k",
+    ).select("dst", "vec")
+
+
+def aggregate_neighbors(
+    features: DataFrame,
+    edges: DataFrame,
+    dim: int,
+    id_col: str = "vertex_id",
+    feature_col: str = "features",
+    agg: str = "mean",
+    direction: str = "in",
+) -> DataFrame:
+    """Elementwise ``agg`` of each vertex's neighbors' feature vectors.
+
+    Returns (vertex_id, nbr_count, agg_vec: array<double>). Vertices with no
+    neighbors in the chosen direction are absent. ``dim`` is the fixed vector
+    width (validated in the kernel).
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    gathered = _gather(features, edges, id_col, feature_col, direction)
+    is_max = agg == "max"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dst = pdf["dst"].to_numpy()
+            # one C-level stack of the Arrow batch; rows are already ndarrays
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"feature width {mat.shape[1]} != dim={dim}"
+                )
+            uniq, inv = np.unique(dst, return_inverse=True)
+            if is_max:
+                out = np.full((len(uniq), dim), -np.inf)
+                np.maximum.at(out, inv, mat)
+            else:
+                out = np.zeros((len(uniq), dim))
+                np.add.at(out, inv, mat)
+            cnt = np.bincount(inv, minlength=len(uniq))
+            yield pd.DataFrame(
+                {"dst": uniq, "pvec": list(out), "cnt": cnt}
+            )
+
+    partials = gathered.mapInPandas(
+        partial, schema="dst long, pvec array<double>, cnt long"
+    )
+    zero = (
+        F.array_repeat(F.lit(float("-inf")), dim)
+        if is_max
+        else F.array_repeat(F.lit(0.0), dim)
+    )
+    combine = (
+        (lambda acc, v: F.zip_with(acc, v, lambda a, b: F.greatest(a, b)))
+        if is_max
+        else (lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
+    )
+    merged = partials.groupBy("dst").agg(
+        F.aggregate(F.collect_list("pvec"), zero, combine).alias("_acc"),
+        F.sum("cnt").alias("nbr_count"),
+    )
+    if agg == "mean":
+        vec = F.transform(F.col("_acc"), lambda x: x / F.col("nbr_count"))
+    else:
+        vec = F.col("_acc")
+    return merged.select(
+        F.col("dst").alias("vertex_id"),
+        F.col("nbr_count").cast("long").alias("nbr_count"),
+        vec.alias("agg_vec"),
+    )
+
+
+def aggregate_neighbors_positional(
+    features: DataFrame,
+    edges: DataFrame,
+    id_col: str = "vertex_id",
+    feature_col: str = "features",
+    agg: str = "mean",
+    direction: str = "in",
+) -> DataFrame:
+    """Pure-Catalyst twin of :func:`aggregate_neighbors`: posexplode each
+    gathered vector, aggregate per (dst, position), re-assemble ordered by
+    position. dim× the shuffle rows, zero Python — used to cross-check the
+    Arrow kernel and as the fallback where Arrow is unavailable."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
+    gathered = _gather(features, edges, id_col, feature_col, direction)
+    per_dim = (
+        gathered.select("dst", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("dst", "pos")
+        .agg(
+            (
+                F.max("val")
+                if agg == "max"
+                else F.sum("val")
+            ).alias("v"),
+            F.count("*").alias("c"),
+        )
+    )
+    if agg == "mean":
+        per_dim = per_dim.withColumn("v", F.col("v") / F.col("c"))
+    return (
+        per_dim.groupBy("dst")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("agg_vec"),
+            F.max("c").alias("nbr_count"),
+        )
+        .select(
+            F.col("dst").alias("vertex_id"),
+            F.col("nbr_count").cast("long").alias("nbr_count"),
+            "agg_vec",
+        )
+    )
