@@ -786,6 +786,55 @@ def _q_sage_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the citation graph, e6-rounded."""
+    from halvesting_geometric_spark.operators.linkpred import (
+        degree_assortativity,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return degree_assortativity(edges).select(
+        F.floor(F.col("assortativity") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("assort_e6")
+    )
+
+
+def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over documents with deterministically injected
+    URLs / emails / IPs / long digit runs (the raw corpus has none)."""
+    from halvesting_geometric_spark.operators.textstats import scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" see https://docs.example.org/page?id="),
+                    d,
+                    F.lit("&x=1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" from 192.168.1."), d % 255),
+            ).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" acct 9021000099")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return scrub_text(aug)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -846,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp6": _q_sssp6,
         "repetition": _q_repetition,
         "sage_mean": _q_sage_mean,
+        "assortativity": _q_assortativity,
+        "scrub": _q_scrub,
     }
 
 
@@ -1521,6 +1572,57 @@ SELECT g.doc_id,
                             / CAST(len(g3) AS DOUBLE)
                        ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS dup3_e6
 FROM grams g LEFT JOIN tt ON g.doc_id = tt.doc_id""",
+        "assortativity": f"""WITH {_BASE},
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+p AS (SELECT da.deg AS x, db.deg AS y
+      FROM sym s JOIN deg da ON s.src = da.v JOIN deg db ON s.dst = db.v)
+SELECT CAST(floor(corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS assort_e6 FROM p""",
+        "scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://docs.example.org/page?id=' || doc_id
+                      || '&x=1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 192.168.1.' || (doc_id % 255)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' acct 9021000099'
+                 ELSE '' END AS t0
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t0, 'https?://[^\s]+')) AS n_url,
+              regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
+       FROM aug),
+s2 AS (SELECT doc_id, n_url,
+              len(regexp_extract_all(
+                  t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS n_email,
+              regexp_replace(
+                  t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_url, n_email,
+              len(regexp_extract_all(t2, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+                AS n_ip,
+              regexp_replace(t2, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+                AS t3
+       FROM s2),
+s4 AS (SELECT doc_id, n_url, n_email, n_ip,
+              len(regexp_extract_all(t3, '\b\d{9,}\b')) AS n_longnum,
+              regexp_replace(t3, '\b\d{9,}\b', '<NUM>', 'g') AS scrubbed
+       FROM s3)
+SELECT doc_id, scrubbed,
+       CAST(n_url AS BIGINT) AS n_url,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ip AS BIGINT) AS n_ip,
+       CAST(n_longnum AS BIGINT) AS n_longnum
+FROM s4""",
         "sage_mean": """
 WITH e AS (SELECT vec_id AS src, vec_id % 97 AS dst FROM embeddings),
 g AS (SELECT e.dst, v.embedding::DOUBLE[] AS emb

@@ -163,6 +163,35 @@ def clustering_coefficients(
     )
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree assortativity coefficient on the simple undirected
+    graph: the Pearson correlation of (deg(u), deg(v)) over all directed
+    stub pairs (both orientations of every edge, the standard convention).
+
+    One edge pass + two degree joins + a single `corr` aggregate — all
+    map-side combinable; no driver-side math beyond the final scalar.
+    Returns a one-row DataFrame (assortativity: double); NaN→null when the
+    graph is degree-regular (zero variance).
+    """
+    canon = canonical_edges(edges)
+    sym = canon.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        canon.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    paired = sym.join(
+        deg.select(F.col("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("a").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    return paired.agg(
+        F.corr(F.col("da").cast("double"), F.col("db").cast("double")).alias(
+            "assortativity"
+        )
+    )
+
+
 def graph_stats(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """One-row structural summary: |V|, |E| directed, |E| simple-undirected,
     self-loops, reciprocal directed pairs, max/avg out-degree, density.

@@ -173,6 +173,46 @@ def repetition_stats(
     )
 
 
+# (name, pattern, replacement) — patterns restricted to syntax valid in both
+# Java regex (Spark) and RE2 (external SQL oracles). Order matters: URLs are
+# scrubbed before emails so credentials-in-URL don't leave an email behind.
+DEFAULT_SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """PII-style pattern redaction: replace each pattern with its placeholder
+    and count the hits. Pure `regexp_replace`/`regexp_extract_all` chain —
+    codegen'd, no Python, no shuffle.
+
+    Patterns apply in list order to the progressively-scrubbed text (so an
+    email inside a URL counts once, as a URL). Returns
+    (id, scrubbed, n_<name>... counts per pattern).
+    """
+    pats = DEFAULT_SCRUB_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, rep in pats:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

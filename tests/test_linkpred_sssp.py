@@ -220,3 +220,24 @@ def test_sssp_rejects_negative_weights_and_empty_sources(spark):
         sssp(
             edges.select("src", "dst"), verts, [99], fixed_iters=2
         )
+
+
+def test_degree_assortativity_matches_python(spark):
+    from halvesting_geometric_spark.operators.linkpred import (
+        degree_assortativity,
+    )
+
+    edges, verts, pairs, n = _random_graph(spark, seed=29)
+    adj = _undirected_adj(pairs, n)
+    stubs = [
+        (len(adj[a]), len(adj[b]))
+        for a in adj
+        for b in adj[a]
+    ]
+    xs = np.array([s[0] for s in stubs], dtype=float)
+    ys = np.array([s[1] for s in stubs], dtype=float)
+    expect = np.corrcoef(xs, ys)[0, 1]
+    got = degree_assortativity(edges).first()["assortativity"]
+    assert got == pytest.approx(expect, abs=1e-9)
+    # stub-pair symmetry: the coefficient is exchange-invariant
+    assert expect == pytest.approx(np.corrcoef(ys, xs)[0, 1])

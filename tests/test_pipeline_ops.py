@@ -243,3 +243,39 @@ def test_repetition_stats_match_python(spark):
             grams = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
             exp = (len(grams) - len(set(grams))) / len(grams) if n >= k else 0.0
             assert got.loc[doc_id, col] == pytest.approx(exp), (doc_id, col)
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    from halvesting_geometric_spark.operators.textstats import scrub_text
+
+    rows = [
+        (0, "mail bob@example.com or visit https://ex.org/a?u=x@y.zz now"),
+        (1, "server 10.0.0.1 acct 123456789 short 12345678"),
+        (2, "clean text with nothing to hide"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = scrub_text(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "scrubbed"] == "mail <EMAIL> or visit <URL> now"
+    # the email inside the URL was consumed by the URL pattern first
+    assert got.loc[0, "n_url"] == 1 and got.loc[0, "n_email"] == 1
+    assert got.loc[1, "scrubbed"] == "server <IP> acct <NUM> short 12345678"
+    assert got.loc[1, "n_ip"] == 1 and got.loc[1, "n_longnum"] == 1
+    assert got.loc[2, "scrubbed"] == rows[2][1]
+    assert (
+        got.loc[2, ["n_url", "n_email", "n_ip", "n_longnum"]] == 0
+    ).all()
+
+
+def test_scrub_text_custom_patterns_and_validation(spark):
+    import pytest as _pytest
+
+    from halvesting_geometric_spark.operators.textstats import scrub_text
+
+    df = spark.createDataFrame([(0, "id ABC-123 ok")], "doc_id long, text string")
+    got = scrub_text(
+        df, patterns=[("code", r"[A-Z]{3}-\d{3}", "<CODE>")]
+    ).toPandas()
+    assert got.iloc[0]["scrubbed"] == "id <CODE> ok"
+    assert got.iloc[0]["n_code"] == 1
+    with _pytest.raises(ValueError, match="non-empty"):
+        scrub_text(df, patterns=[])
