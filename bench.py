@@ -110,6 +110,27 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     out["kcore3_sec"] = round(time.monotonic() - t0, 3)
     out["kcore3_members"] = kc.count()
 
+    from pyspark.sql import functions as F
+
+    from halvesting_geometric_spark.operators.linkpred import (
+        neighborhood_scores,
+    )
+    from halvesting_geometric_spark.operators.traversal import sssp
+
+    t0 = time.monotonic()
+    we = g.edges.withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    ss = sssp(we, g.vertices, [0, 1, 2], weight_col="w", fixed_iters=6)
+    out["sssp6_reached"] = ss.count()
+    out["sssp6_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    out["linkpred_pairs"] = neighborhood_scores(
+        g.edges, min_common=2, max_degree=256
+    ).count()
+    out["linkpred_sec"] = round(time.monotonic() - t0, 3)
+
     spark.stop()
     return out
 
@@ -261,6 +282,8 @@ def main() -> None:
             "ppr5": r["ppr5_sec"],
             "hits5": r["hits5_sec"],
             "kcore3": r["kcore3_sec"],
+            "sssp6": r["sssp6_sec"],
+            "linkpred": r["linkpred_sec"],
         },
         "detail": r,
     }
