@@ -39,3 +39,61 @@ def test_streaming_ingest_matches_batch_and_resumes(spark, tmp_path):
     raw_before = spark.read.parquet(edges_dir).count()
     ingest_available_now(spark, tr_dir, edges_dir, ckpt_dir)
     assert spark.read.parquet(edges_dir).count() == raw_before
+
+
+def test_running_degrees_match_batch_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from halvesting_geometric_spark.streaming.degrees import (
+        compact_degree_deltas,
+        degree_deltas_available_now,
+        read_running_degrees,
+    )
+
+    tr_dir = str(tmp_path / "tr")
+    deltas = str(tmp_path / "deg_deltas")
+    ckpt = str(tmp_path / "deg_ckpt")
+
+    # empty log reads as empty, not an error
+    assert read_running_degrees(spark, deltas).count() == 0
+
+    generate_transcripts(spark, 30, seed=8).write.mode("append").parquet(tr_dir)
+    degree_deltas_available_now(spark, tr_dir, deltas, ckpt)
+    got1 = read_running_degrees(spark, deltas).toPandas().set_index("src_conv")
+
+    def batch_degrees():
+        # batch twin over everything ingested so far (pre-dedup edge stream)
+        from halvesting_geometric_spark.operators.extract import (
+            extract_conv_edges,
+        )
+
+        return (
+            extract_conv_edges(spark.read.parquet(tr_dir), dedupe=False)
+            .groupBy("src_conv")
+            .agg(F.count("*").alias("out_deg"))
+            .toPandas()
+            .set_index("src_conv")
+        )
+
+    exp1 = batch_degrees()
+    assert got1["out_deg"].to_dict() == exp1["out_deg"].to_dict()
+
+    # second drop accumulates on top of the first
+    generate_transcripts(spark, 60, seed=8).filter(
+        "conv_id >= 'c00000030'"
+    ).write.mode("append").parquet(tr_dir)
+    degree_deltas_available_now(spark, tr_dir, deltas, ckpt)
+    got2 = read_running_degrees(spark, deltas).toPandas().set_index("src_conv")
+    exp2 = batch_degrees()
+    assert got2["out_deg"].to_dict() == exp2["out_deg"].to_dict()
+
+    # draining with no new files changes nothing
+    degree_deltas_available_now(spark, tr_dir, deltas, ckpt)
+    got3 = read_running_degrees(spark, deltas).toPandas().set_index("src_conv")
+    assert got3["out_deg"].to_dict() == exp2["out_deg"].to_dict()
+
+    # compaction preserves the merged view
+    compacted = str(tmp_path / "deg_compacted")
+    compact_degree_deltas(spark, deltas, compacted)
+    got4 = read_running_degrees(spark, compacted).toPandas().set_index("src_conv")
+    assert got4["out_deg"].to_dict() == exp2["out_deg"].to_dict()
