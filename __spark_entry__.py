@@ -835,6 +835,38 @@ def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_text(aug)
 
 
+def _q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rectangle count of the citation graph."""
+    from halvesting_geometric_spark.operators.linkpred import four_cycles
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return four_cycles(edges)
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment / overlap-coefficient pairs over 3-shingles
+    (subset-duplicate detection), overlap >= 0.5."""
+    from halvesting_geometric_spark.operators.dedup import (
+        containment_scores,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    c = containment_scores(sh, min_containment=0.5)
+    e6 = lambda col, n: (  # noqa: E731
+        F.floor(F.col(col) * 1_000_000 + F.lit(0.5)).cast("long").alias(n)
+    )
+    return c.select(
+        "a",
+        "b",
+        F.col("inter").cast("long").alias("inter"),
+        e6("containment_a", "cont_a_e6"),
+        e6("containment_b", "cont_b_e6"),
+        e6("overlap", "overlap_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -897,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sage_mean": _q_sage_mean,
         "assortativity": _q_assortativity,
         "scrub": _q_scrub,
+        "four_cycles": _q_four_cycles,
+        "containment": _q_containment,
     }
 
 
@@ -1623,6 +1657,26 @@ SELECT doc_id, scrubbed,
        CAST(n_ip AS BIGINT) AS n_ip,
        CAST(n_longnum AS BIGINT) AS n_longnum
 FROM s4""",
+        "four_cycles": f"""WITH {_BASE},
+w AS (SELECT s1.src AS a, s2.src AS b, COUNT(*) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src
+      GROUP BY s1.src, s2.src)
+SELECT CAST(SUM(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_four_cycles FROM w""",
+        "containment": f"""WITH {_SHINGLES_SQL.lstrip().lstrip(',')},
+sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY x.id, y.id)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(floor(CAST(i.inter AS DOUBLE) / sa.sz * 1000000 + 0.5) AS BIGINT)
+         AS cont_a_e6,
+       CAST(floor(CAST(i.inter AS DOUBLE) / sb.sz * 1000000 + 0.5) AS BIGINT)
+         AS cont_b_e6,
+       CAST(floor(CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz)
+                  * 1000000 + 0.5) AS BIGINT) AS overlap_e6
+FROM inter i JOIN sz sa ON i.a = sa.id JOIN sz sb ON i.b = sb.id
+WHERE CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5""",
         "sage_mean": """
 WITH e AS (SELECT vec_id AS src, vec_id % 97 AS dst FROM embeddings),
 g AS (SELECT e.dst, v.embedding::DOUBLE[] AS emb

@@ -133,19 +133,17 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_similarity(
-    shingle_df: DataFrame, pairs: DataFrame | None = None
+def _pair_intersections(
+    shingle_df: DataFrame, pairs: DataFrame | None
 ) -> DataFrame:
-    """Exact shingle-set Jaccard per pair: (a, b, inter, union_sz, jaccard).
-
-    With ``pairs`` given (the LSH path) only those pairs are scored via two
-    semi-constrained joins; without, an inverted-index self-join scores every
-    pair sharing ≥1 shingle (small-data path).
-    """
+    """(a, b, inter, sza, szb) per candidate pair — the shared core of every
+    set-overlap score. With ``pairs`` given (the LSH path) only those pairs
+    are scored via two semi-constrained joins; without, an inverted-index
+    self-join scores every pair sharing ≥1 shingle (small-data path)."""
     sizes = shingle_df.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = shingle_df.select(F.col("id").alias("a"), "shingle")
+    sb = shingle_df.select(F.col("id").alias("b"), "shingle")
     if pairs is not None:
-        sa = shingle_df.select(F.col("id").alias("a"), "shingle")
-        sb = shingle_df.select(F.col("id").alias("b"), "shingle")
         inter = (
             pairs.join(sa, "a")
             .join(sb, ["b", "shingle"])
@@ -153,8 +151,6 @@ def jaccard_similarity(
             .agg(F.count("*").alias("inter"))
         )
     else:
-        sa = shingle_df.select(F.col("id").alias("a"), "shingle")
-        sb = shingle_df.select(F.col("id").alias("b"), "shingle")
         inter = (
             sa.join(sb, "shingle")
             .filter(F.col("a") < F.col("b"))
@@ -164,17 +160,51 @@ def jaccard_similarity(
     return (
         inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
-        .select(
-            "a",
-            "b",
-            "inter",
-            (F.col("sza") + F.col("szb") - F.col("inter")).alias("union_sz"),
-            (
-                F.col("inter")
-                / (F.col("sza") + F.col("szb") - F.col("inter"))
-            ).alias("jaccard"),
-        )
     )
+
+
+def jaccard_similarity(
+    shingle_df: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard per pair: (a, b, inter, union_sz, jaccard)."""
+    return _pair_intersections(shingle_df, pairs).select(
+        "a",
+        "b",
+        "inter",
+        (F.col("sza") + F.col("szb") - F.col("inter")).alias("union_sz"),
+        (
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+        ).alias("jaccard"),
+    )
+
+
+def containment_scores(
+    shingle_df: DataFrame,
+    pairs: DataFrame | None = None,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Asymmetric set-overlap scores per pair: (a, b, inter, containment_a,
+    containment_b, overlap).
+
+    ``containment_a = |A∩B| / |A|`` — how much of document a is inside b;
+    Jaccard misses subset duplicates (a 100-word doc fully contained in a
+    10k-word doc has Jaccard ≈ 0.01 but containment_a = 1.0), and subset
+    duplication is the common failure mode in scraped training corpora.
+    ``overlap = |A∩B| / min(|A|,|B|)`` is the symmetric max of the two.
+    ``min_containment`` filters on the overlap coefficient.
+    """
+    out = _pair_intersections(shingle_df, pairs).select(
+        "a",
+        "b",
+        "inter",
+        (F.col("inter") / F.col("sza")).alias("containment_a"),
+        (F.col("inter") / F.col("szb")).alias("containment_b"),
+        (F.col("inter") / F.least("sza", "szb")).alias("overlap"),
+    )
+    if min_containment > 0.0:
+        out = out.filter(F.col("overlap") >= min_containment)
+    return out
 
 
 def minhash_near_dups(

@@ -163,6 +163,34 @@ def clustering_coefficients(
     )
 
 
+def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Exact 4-cycle (rectangle) count of the simple undirected graph.
+
+    Every 4-cycle a–x–b–y–a is determined by its two diagonal pairs; with
+    cn(a,b) = |N(a) ∩ N(b)|, each unordered pair contributes C(cn, 2)
+    rectangles and each rectangle is counted by exactly its two diagonals,
+    so #C4 = Σ_{a<b} C(cn(a,b), 2) / 2 — one wedge self-join + two
+    aggregates, the same degree-bounded shape as the link-prediction scores
+    (``max_degree`` applies the identical hub guard; counts then lower-bound
+    the exact value). Returns one row (n_four_cycles: long).
+    """
+    adj, _ = _undirected_with_deg(edges, max_degree)
+    left = adj.select(F.col("nbr").alias("z"), F.col("v").alias("a"))
+    right = adj.select(F.col("nbr").alias("z"), F.col("v").alias("b"))
+    cn = (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    total = cn.agg(
+        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
+        .cast("long")
+        .alias("n_four_cycles")
+    )
+    return total
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Newman's degree assortativity coefficient on the simple undirected
     graph: the Pearson correlation of (deg(u), deg(v)) over all directed

@@ -241,3 +241,28 @@ def test_degree_assortativity_matches_python(spark):
     assert got == pytest.approx(expect, abs=1e-9)
     # stub-pair symmetry: the coefficient is exchange-invariant
     assert expect == pytest.approx(np.corrcoef(ys, xs)[0, 1])
+
+
+def test_four_cycles_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from halvesting_geometric_spark.operators.linkpred import four_cycles
+
+    edges, verts, pairs, n = _random_graph(spark, n=20, m=70, seed=31)
+    adj = _undirected_adj(pairs, n)
+    # independent brute force: a 4-set {p,q,r,s} hosts one rectangle per way
+    # of splitting it into two diagonal pairs with all four rim edges present
+    expect = 0
+    for quad in combinations(range(n), 4):
+        for diag in range(3):
+            rest = [x for x in quad]
+            d1 = (rest[0], rest[diag + 1])
+            d2 = tuple(x for x in rest if x not in d1)
+            if all(
+                y in adj[x] for x in d1 for y in d2
+            ):
+                expect += 1
+    got = four_cycles(edges).first()["n_four_cycles"]
+    assert got == expect
+    capped = four_cycles(edges, max_degree=3).first()["n_four_cycles"]
+    assert capped <= got

@@ -279,3 +279,39 @@ def test_scrub_text_custom_patterns_and_validation(spark):
     assert got.iloc[0]["n_code"] == 1
     with _pytest.raises(ValueError, match="non-empty"):
         scrub_text(df, patterns=[])
+
+
+def test_containment_scores_catch_subset_duplicates(spark):
+    from halvesting_geometric_spark.operators.dedup import (
+        containment_scores,
+        jaccard_similarity,
+        word_shingles,
+    )
+
+    big = "w" + " w".join(str(i) for i in range(200))
+    small = " ".join(f"w{i}" for i in range(30))  # strict subset of big
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, big), (2, small)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, n=3)
+    cont = containment_scores(sh).toPandas().set_index(["a", "b"])
+    jac = jaccard_similarity(sh).toPandas().set_index(["a", "b"])
+    # small-inside-big: containment of the small side ~1.0, Jaccard tiny
+    row = cont.loc[(1, 2)]
+    assert row["containment_b"] == pytest.approx(1.0)
+    assert row["overlap"] == pytest.approx(1.0)
+    assert jac.loc[(1, 2)]["jaccard"] < 0.2
+    # consistency with the python sets
+    import re as _re
+
+    def shingles(text):
+        toks = [t for t in _re.split(r"\s+", text.lower().strip()) if t]
+        return {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))
+                if len(toks[i:i + 3]) > 0}
+
+    s1, s2 = shingles(big), shingles(small)
+    assert row["inter"] == len(s1 & s2)
+    assert row["containment_a"] == pytest.approx(len(s1 & s2) / len(s1))
+    # threshold filters on the overlap coefficient
+    hi = containment_scores(sh, min_containment=0.9).toPandas()
+    assert set(map(tuple, hi[["a", "b"]].to_numpy())) == {(1, 2)}
