@@ -12,17 +12,51 @@ and its raw corpus is a JSON directory (``helpers.py:306-332``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def read_transcripts_json(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Schema-pinned JSON scan (S2/S3) — never inferred (the reference's
-    pandas inference at helpers.py:306-332 is dynamic; ours is declared)."""
+    pandas inference at helpers.py:306-332 is dynamic; ours is declared).
+
+    Malformed lines are quarantined, not fatal (a web-scale corpus always
+    has some). Default: DROPMALFORMED — bad lines vanish at the scan, no
+    extra column, full pushdown. ``keep_corrupt=True``: the file is scanned
+    as text and parsed with ``from_json``, so the raw bad line lands in
+    ``_corrupt_record`` and — unlike the native reader's PERMISSIVE mode —
+    the result supports corrupt-only queries (`count`, reject inspection)
+    without caching (the JSON-source corrupt-column restriction applies to
+    raw scans, not to `from_json` over text).
+    """
     from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 
-    return spark.read.schema(schema or TRANSCRIPTS_SCHEMA).json(path)
+    base = schema or TRANSCRIPTS_SCHEMA
+    if not keep_corrupt:
+        return (
+            spark.read.schema(base)
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+    with_corrupt = T.StructType(
+        base.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            "value",
+            with_corrupt,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+            },
+        ).alias("r")
+    )
+    return parsed.select("r.*")
 
 
 def read_tsv(

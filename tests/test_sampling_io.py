@@ -97,3 +97,30 @@ def test_zstd_parquet_sink(spark, tmp_path):
     files = glob.glob(f"{out}/*.zstd.parquet") + glob.glob(f"{out}/*.parquet")
     assert files
     assert spark.read.parquet(out).count() == g.edges.count()
+
+
+def test_json_scan_quarantines_corrupt_lines(spark, tmp_path):
+    import json as _json
+
+    jdir = tmp_path / "mixed_json"
+    jdir.mkdir()
+    good = {
+        "conv_id": "c1", "turn_idx": 0, "role": "user",
+        "text": "hello", "tool": None, "ts": "2024-01-01T00:00:00Z",
+    }
+    lines = [
+        _json.dumps(good),
+        '{"conv_id": "c2", "turn_idx": BROKEN',
+        _json.dumps({**good, "conv_id": "c3", "turn_idx": 1}),
+        "not json at all",
+    ]
+    (jdir / "part.json").write_text("\n".join(lines))
+
+    clean = read_transcripts_json(spark, str(jdir))
+    assert sorted(r["conv_id"] for r in clean.collect()) == ["c1", "c3"]
+    assert "_corrupt_record" not in clean.columns
+
+    kept = read_transcripts_json(spark, str(jdir), keep_corrupt=True)
+    bad = kept.filter("_corrupt_record is not null").collect()
+    assert len(bad) == 2
+    assert any("BROKEN" in r["_corrupt_record"] for r in bad)
