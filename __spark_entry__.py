@@ -867,6 +867,21 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-step random walks from seeds {vertex_id < 5} using
+    the portable hash so DuckDB replays the walk bit-for-bit."""
+    from halvesting_geometric_spark.operators.walks import random_walks
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    starts = [r[0] for r in verts.filter(F.col("vertex_id") < 5).collect()]
+    w = random_walks(
+        edges, starts, walk_length=4, seed=42, hash_method="portable"
+    )
+    return w.select(
+        "walker_id", F.col("step").cast("long").alias("step"), "vertex_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -931,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub": _q_scrub,
         "four_cycles": _q_four_cycles,
         "containment": _q_containment,
+        "walks4": _q_walks4,
     }
 
 
@@ -1159,6 +1175,39 @@ def _sssp_sql(iters: int) -> str:
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM r{iters}"
     )
+
+
+def _walks_sql(length: int, seed: int = 42) -> str:
+    """Random-walk twin: ranked adjacency + unrolled steps, portable hash."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    parts = [
+        _BASE,
+        """de AS (SELECT DISTINCT src, dst FROM edges),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM de)""",
+        "w0 AS MATERIALIZED "
+        "(SELECT vertex_id AS walker_id, vertex_id AS v FROM verts "
+        "WHERE vertex_id < 5)",
+    ]
+    for t in range(1, length + 1):
+        h = portable_hash64_sql("c.walker_id", str(t), seed=seed)
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT c.walker_id, a.dst AS v
+  FROM w{t - 1} c JOIN adj a ON c.v = a.src
+  WHERE a.rnk = {h} % a.deg)"""
+        )
+    body = ",\n".join(parts)
+    selects = " UNION ALL ".join(
+        f"SELECT walker_id, CAST({t} AS BIGINT) AS step, v AS vertex_id "
+        f"FROM w{t}"
+        for t in range(0, length + 1)
+    )
+    return f"WITH {body}\n{selects}"
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -1657,6 +1706,7 @@ SELECT doc_id, scrubbed,
        CAST(n_ip AS BIGINT) AS n_ip,
        CAST(n_longnum AS BIGINT) AS n_longnum
 FROM s4""",
+        "walks4": _walks_sql(4),
         "four_cycles": f"""WITH {_BASE},
 w AS (SELECT s1.src AS a, s2.src AS b, COUNT(*) AS cn
       FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src

@@ -1,0 +1,96 @@
+"""Deterministic random walks (DeepWalk/node2vec-style corpus generation).
+
+The reference trains GNNs on neighbor samples; the sibling classic pipeline
+(DeepWalk, node2vec) feeds *walks* to an embedding trainer. This operator
+generates them as a relational superstep loop with a seeded hash instead of
+an RNG, so walks are reproducible across runs/partitionings AND externally
+verifiable: at step t, the walker at vertex v moves to the neighbor with
+rank ``hash(walker_id, t, seed) mod outdeg(v)`` in the dst-sorted adjacency.
+With ``hash_method="portable"`` an external SQL engine replays the walk
+bit-for-bit (the correctness-gate mode; xxhash64 is the fast default).
+
+Scale notes:
+- The ranked adjacency is built once (row_number over the per-src window;
+  a 10⁸-degree hub ranks in one task — at that scale swap in the two-phase
+  offset ranking from `operators/ids.py`, same contract) and cached; each
+  step is one join + filter on it, lineage truncated per step.
+- Every step shuffles only the walker frontier (|walkers| rows), never the
+  edge table.
+- Walkers stop silently at sinks (vertices with no out-neighbor): their
+  rows simply end at the step where they got stuck.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from halvesting_geometric_spark.operators.sampling import hash64
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame | list[int],
+    walk_length: int,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Walk ``walk_length`` steps from each start; returns
+    (walker_id, step, vertex_id) with step 0 = the start vertex.
+
+    ``starts``: DataFrame with (walker_id, vertex_id) — several walkers may
+    share a start vertex — or a list of vertex ids (walker_id = vertex id).
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    spark = edges.sparkSession
+    if isinstance(starts, (list, tuple)):
+        starts = spark.createDataFrame(
+            [(int(v), int(v)) for v in starts], "walker_id long, vertex_id long"
+        )
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy("dst")
+            )
+            - 1,
+        )
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+
+    cur = starts.select("walker_id", F.col("vertex_id"))
+    out = cur.select("walker_id", F.lit(0).alias("step"), "vertex_id")
+    prev_caches: list[DataFrame] = []
+    for t in range(1, walk_length + 1):
+        pick = F.pmod(
+            hash64(hash_method, F.col("walker_id"), F.lit(t), seed=seed),
+            F.col("deg"),
+        )
+        nxt = (
+            cur.join(adj, cur["vertex_id"] == adj["src"])
+            .filter(F.col("rank") == pick)
+            .select("walker_id", F.col("dst").alias("vertex_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_alive = nxt.count()
+        out = out.unionByName(
+            nxt.select("walker_id", F.lit(t).alias("step"), "vertex_id")
+        ).localCheckpoint(eager=False)
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [nxt]
+        cur = nxt
+        if n_alive == 0:
+            break
+    out = out.localCheckpoint(eager=True)
+    for p in prev_caches:
+        p.unpersist()
+    adj.unpersist()
+    return out

@@ -1,0 +1,95 @@
+"""Deterministic random walks: python md5-twin replay (portable hash),
+structural validity (every hop is an edge), sink termination."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.walks import random_walks
+
+
+def _ph(*vals, seed):
+    s = "\x1f".join([str(v) for v in vals] + [str(seed)])
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _python_walks(pairs, starts, length, seed):
+    adj: dict[int, list[int]] = {}
+    for a, b in sorted(set(pairs)):
+        adj.setdefault(a, []).append(b)
+    rows = []
+    for w in starts:
+        v = w
+        rows.append((w, 0, v))
+        for t in range(1, length + 1):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            v = sorted(nbrs)[_ph(w, t, seed=seed) % len(nbrs)]
+            rows.append((w, t, v))
+    return sorted(rows)
+
+
+def test_random_walks_match_python_md5_twin(spark):
+    rng = np.random.default_rng(5)
+    n = 25
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(150, 2))]
+    edges = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
+    starts = list(range(8))
+    got = sorted(
+        map(
+            tuple,
+            random_walks(
+                edges, starts, walk_length=5, seed=7, hash_method="portable"
+            )
+            .toPandas()
+            .to_numpy(),
+        )
+    )
+    assert got == _python_walks(pairs, starts, 5, 7)
+
+
+def test_random_walks_hops_are_edges_and_deterministic(spark):
+    rng = np.random.default_rng(11)
+    n = 30
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, size=(200, 2))})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    w = random_walks(edges, list(range(10)), walk_length=4, seed=1).toPandas()
+    edge_set = set(pairs)
+    by_walker = w.sort_values(["walker_id", "step"]).groupby("walker_id")
+    for wid, grp in by_walker:
+        vs = grp["vertex_id"].tolist()
+        steps = grp["step"].tolist()
+        assert steps == list(range(len(steps)))  # contiguous, no gaps
+        for a, b in zip(vs, vs[1:]):
+            assert (a, b) in edge_set
+    # same seed → identical output; different seed → different somewhere
+    w2 = random_walks(edges, list(range(10)), walk_length=4, seed=1).toPandas()
+    assert sorted(map(tuple, w.to_numpy())) == sorted(map(tuple, w2.to_numpy()))
+    w3 = random_walks(edges, list(range(10)), walk_length=4, seed=2).toPandas()
+    assert sorted(map(tuple, w.to_numpy())) != sorted(map(tuple, w3.to_numpy()))
+
+
+def test_random_walks_stop_at_sinks(spark):
+    # path graph 0->1->2; walks from 0 longer than the path truncate at 2
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    w = random_walks(edges, [0], walk_length=10, seed=3).toPandas()
+    assert sorted(map(tuple, w.to_numpy())) == [(0, 0, 0), (0, 1, 1), (0, 2, 2)]
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(edges, [0], walk_length=-1)
+
+
+def test_random_walks_multiple_walkers_per_start(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+    )
+    starts = edges.sparkSession.createDataFrame(
+        [(100, 0), (200, 0)], "walker_id long, vertex_id long"
+    )
+    w = random_walks(edges, starts, walk_length=3, seed=9).toPandas()
+    assert set(w["walker_id"]) == {100, 200}
+    assert (w.groupby("walker_id")["step"].max() == 3).all()
