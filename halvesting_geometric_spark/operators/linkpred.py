@@ -80,6 +80,10 @@ def neighborhood_scores(
     link-prediction candidate mode (score only *potential* links).
     ``max_degree``: skip wedge centers whose degree exceeds the cap (scale
     guard; scores then lower-bound the exact values).
+
+    Computes eagerly (the result is localCheckpoint-ed) so the shared
+    adjacency/degree caches can be released before returning — repeated
+    calls in one session don't accumulate cached tables.
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
@@ -121,6 +125,9 @@ def neighborhood_scores(
             ["a", "b"],
             "left_anti",
         )
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
     return out
 
 
@@ -172,11 +179,23 @@ def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     so #C4 = Σ_{a<b} C(cn(a,b), 2) / 2 — one wedge self-join + two
     aggregates, the same degree-bounded shape as the link-prediction scores
     (``max_degree`` applies the identical hub guard; counts then lower-bound
-    the exact value). Returns one row (n_four_cycles: long).
+    the exact value; without a cap the degree table isn't built at all).
+    Returns one row (n_four_cycles: long), computed eagerly.
     """
-    adj, _ = _undirected_with_deg(edges, max_degree)
-    left = adj.select(F.col("nbr").alias("z"), F.col("v").alias("a"))
-    right = adj.select(F.col("nbr").alias("z"), F.col("v").alias("b"))
+    if max_degree is None:
+        canon = canonical_edges(edges)
+        adj = canon.select(
+            F.col("dst").alias("z"), F.col("src").alias("v")
+        ).unionByName(
+            canon.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        deg = None
+        left = adj.select("z", F.col("v").alias("a"))
+        right = adj.select("z", F.col("v").alias("b"))
+    else:
+        adj, deg = _undirected_with_deg(edges, max_degree)
+        left = adj.select(F.col("nbr").alias("z"), F.col("v").alias("a"))
+        right = adj.select(F.col("nbr").alias("z"), F.col("v").alias("b"))
     cn = (
         left.join(right, "z")
         .filter(F.col("a") < F.col("b"))
@@ -187,7 +206,10 @@ def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
         (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
         .cast("long")
         .alias("n_four_cycles")
-    )
+    ).localCheckpoint(eager=True)
+    adj.unpersist()
+    if deg is not None:
+        deg.unpersist()
     return total
 
 
@@ -224,37 +246,50 @@ def graph_stats(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """One-row structural summary: |V|, |E| directed, |E| simple-undirected,
     self-loops, reciprocal directed pairs, max/avg out-degree, density.
 
-    Everything is computed in two jobs: one pass over the edge table with
-    conditional aggregates (self-loops, reciprocity via a self-join that
-    AQE plans as a shuffle hash join) and one count over vertices; no
-    driver-side iteration. Reciprocity = directed pairs (u,v), u≠v, where
-    (v,u) also exists (counted once per unordered pair).
+    Three jobs total: one per-source aggregate over the edge table (edge
+    count + self-loops + max out-degree, all map-side combinable), one
+    canonical-pair aggregate (undirected count + reciprocity in the same
+    pass: a normalized pair seen in both directions is reciprocal), and one
+    count over vertices. No driver-side iteration. Reciprocity = directed
+    pairs (u,v), u≠v, where (v,u) also exists (counted once per unordered
+    pair).
     """
     e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = vertices.select("vertex_id").distinct().count()
-    base = e.agg(
-        F.count("*").alias("n_edges"),
+    per_src = e.groupBy("src").agg(
+        F.count("*").alias("d"),
         F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias(
-            "n_self_loops"
+            "loops"
         ),
+    )
+    base = per_src.agg(
+        F.sum("d").alias("n_edges"),
+        F.sum("loops").alias("n_self_loops"),
+        F.max("d").alias("max_out"),
     ).first()
-    n_edges = int(base["n_edges"])
-    n_self = int(base["n_self_loops"])
-    n_undirected = canonical_edges(e).count()
-    recip = (
-        e.filter(F.col("src") < F.col("dst"))
-        .join(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            ["src", "dst"],
-            "left_semi",
+    n_edges = int(base["n_edges"] or 0)
+    n_self = int(base["n_self_loops"] or 0)
+    max_out = int(base["max_out"] or 0)
+    # one pass over normalized non-loop pairs: each distinct directed edge
+    # contributes one row; a pair with both directions present is reciprocal
+    pair_stats = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("src") < F.col("dst")).alias("fwd"),
         )
         .distinct()
-        .count()
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_dir"))
+        .agg(
+            F.count("*").alias("n_undirected"),
+            F.sum(F.when(F.col("n_dir") == 2, 1).otherwise(0)).alias("recip"),
+        )
+        .first()
     )
-    max_out = (
-        e.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
-        or 0
-    )
+    n_undirected = int(pair_stats["n_undirected"] or 0)
+    recip = int(pair_stats["recip"] or 0)
     e.unpersist()
     spark = edges.sparkSession
     density = (

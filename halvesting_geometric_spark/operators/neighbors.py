@@ -13,7 +13,9 @@ Scale design — explicit map-side combine, never a per-vertex vector list:
 1. gather: ``edges ⋈ features`` on the source id (one shuffle hash join);
 2. partial: an Arrow ``mapInPandas`` kernel reduces each partition to one
    (dst, partial_vector, count) row per distinct dst in the partition —
-   C-level ``np.add.at`` / ``np.maximum.at``, no per-row Python;
+   C-level ``np.add.at`` / ``np.maximum.at`` per Arrow batch, then one
+   final reduce across the task's batch results before emitting (so the
+   output really is per-*partition*, not per-10k-row Arrow batch);
 3. merge: groupBy(dst) over the partials. The collected list per dst is
    bounded by the number of partitions (NOT by degree), so a 10⁸-degree hub
    contributes at most one partial row per partition — hot vertices cost
@@ -83,7 +85,22 @@ def aggregate_neighbors(
     gathered = _gather(features, edges, id_col, feature_col, direction)
     is_max = agg == "max"
 
+    def _reduce(dst: np.ndarray, mat: np.ndarray, cnt: np.ndarray):
+        uniq, inv = np.unique(dst, return_inverse=True)
+        if is_max:
+            out = np.full((len(uniq), dim), -np.inf)
+            np.maximum.at(out, inv, mat)
+        else:
+            out = np.zeros((len(uniq), dim))
+            np.add.at(out, inv, mat)
+        total = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(total, inv, cnt)
+        return uniq, out, total
+
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_dst: list[np.ndarray] = []
+        acc_vec: list[np.ndarray] = []
+        acc_cnt: list[np.ndarray] = []
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -96,17 +113,22 @@ def aggregate_neighbors(
                 raise ValueError(
                     f"feature width {mat.shape[1]} != dim={dim}"
                 )
-            uniq, inv = np.unique(dst, return_inverse=True)
-            if is_max:
-                out = np.full((len(uniq), dim), -np.inf)
-                np.maximum.at(out, inv, mat)
-            else:
-                out = np.zeros((len(uniq), dim))
-                np.add.at(out, inv, mat)
-            cnt = np.bincount(inv, minlength=len(uniq))
-            yield pd.DataFrame(
-                {"dst": uniq, "pvec": list(out), "cnt": cnt}
+            uniq, out, cnt = _reduce(
+                dst, mat, np.ones(len(dst), dtype=np.int64)
             )
+            acc_dst.append(uniq)
+            acc_vec.append(out)
+            acc_cnt.append(cnt)
+        if not acc_dst:
+            return
+        # second reduce across the task's batches: one partial row per
+        # distinct dst in the PARTITION — a hub emits #partitions rows total
+        uniq, out, cnt = _reduce(
+            np.concatenate(acc_dst),
+            np.vstack(acc_vec),
+            np.concatenate(acc_cnt),
+        )
+        yield pd.DataFrame({"dst": uniq, "pvec": list(out), "cnt": cnt})
 
     partials = gathered.mapInPandas(
         partial, schema="dst long, pvec array<double>, cnt long"

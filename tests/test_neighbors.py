@@ -67,21 +67,32 @@ def test_aggregate_neighbors_matches_numpy(spark, agg, direction):
 
 def test_aggregate_neighbors_hub_is_partition_bounded(spark):
     # star: every vertex points at 0 — the hub's merge input is bounded by
-    # the number of partitions, not by its degree
+    # the number of partitions, not by its degree. Shrink the Arrow batch so
+    # each task sees many batches and the cross-batch reduce is exercised.
     n = 400
-    edges = spark.range(1, n).select(
-        F.col("id").alias("src"), F.lit(0).alias("dst")
-    ).repartition(8)
-    fdf = spark.range(n).select(
-        F.col("id").alias("vertex_id"),
-        F.array_repeat(F.col("id").cast("double"), DIM).alias("features"),
-    )
-    got = aggregate_neighbors(fdf, edges, dim=DIM).toPandas()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "50")
+    try:
+        edges = spark.range(1, n).select(
+            F.col("id").alias("src"), F.lit(0).alias("dst")
+        ).repartition(8)
+        fdf = spark.range(n).select(
+            F.col("id").alias("vertex_id"),
+            F.array_repeat(F.col("id").cast("double"), DIM).alias("features"),
+        )
+        got = aggregate_neighbors(fdf, edges, dim=DIM).toPandas()
+        mx = aggregate_neighbors(fdf, edges, dim=DIM, agg="max").toPandas()
+    finally:
+        spark.conf.set(key, old)
     assert len(got) == 1 and got.iloc[0]["vertex_id"] == 0
     assert got.iloc[0]["nbr_count"] == n - 1
     np.testing.assert_allclose(
         np.asarray(got.iloc[0]["agg_vec"]),
         np.full(DIM, (1 + n - 1) / 2.0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(mx.iloc[0]["agg_vec"]), np.full(DIM, float(n - 1))
     )
 
 

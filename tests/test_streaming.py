@@ -51,15 +51,15 @@ def test_running_degrees_match_batch_and_compact(spark, tmp_path):
     )
 
     tr_dir = str(tmp_path / "tr")
-    deltas = str(tmp_path / "deg_deltas")
+    root = str(tmp_path / "deg_log")
     ckpt = str(tmp_path / "deg_ckpt")
 
     # empty log reads as empty, not an error
-    assert read_running_degrees(spark, deltas).count() == 0
+    assert read_running_degrees(spark, root).count() == 0
+    assert compact_degree_deltas(spark, root) == 0  # nothing to fold
 
     generate_transcripts(spark, 30, seed=8).write.mode("append").parquet(tr_dir)
-    degree_deltas_available_now(spark, tr_dir, deltas, ckpt)
-    got1 = read_running_degrees(spark, deltas).toPandas().set_index("src_conv")
+    degree_deltas_available_now(spark, tr_dir, root, ckpt)
 
     def batch_degrees():
         # batch twin over everything ingested so far (pre-dedup edge stream)
@@ -72,28 +72,36 @@ def test_running_degrees_match_batch_and_compact(spark, tmp_path):
             .groupBy("src_conv")
             .agg(F.count("*").alias("out_deg"))
             .toPandas()
-            .set_index("src_conv")
+            .set_index("src_conv")["out_deg"]
+            .to_dict()
         )
 
-    exp1 = batch_degrees()
-    assert got1["out_deg"].to_dict() == exp1["out_deg"].to_dict()
+    got1 = read_running_degrees(spark, root).toPandas().set_index("src_conv")
+    assert got1["out_deg"].to_dict() == batch_degrees()
 
-    # second drop accumulates on top of the first
+    # compaction folds live into base; the merged view is unchanged
+    assert compact_degree_deltas(spark, root) > 0
+    got_c = read_running_degrees(spark, root).toPandas().set_index("src_conv")
+    assert got_c["out_deg"].to_dict() == batch_degrees()
+    # double-compaction is a no-op fold of base only — still unchanged
+    compact_degree_deltas(spark, root)
+    got_c2 = read_running_degrees(spark, root).toPandas().set_index("src_conv")
+    assert got_c2["out_deg"].to_dict() == batch_degrees()
+
+    # a second drop lands AFTER compaction and accumulates on top of base
     generate_transcripts(spark, 60, seed=8).filter(
         "conv_id >= 'c00000030'"
     ).write.mode("append").parquet(tr_dir)
-    degree_deltas_available_now(spark, tr_dir, deltas, ckpt)
-    got2 = read_running_degrees(spark, deltas).toPandas().set_index("src_conv")
-    exp2 = batch_degrees()
-    assert got2["out_deg"].to_dict() == exp2["out_deg"].to_dict()
+    degree_deltas_available_now(spark, tr_dir, root, ckpt)
+    got2 = read_running_degrees(spark, root).toPandas().set_index("src_conv")
+    assert got2["out_deg"].to_dict() == batch_degrees()
 
     # draining with no new files changes nothing
-    degree_deltas_available_now(spark, tr_dir, deltas, ckpt)
-    got3 = read_running_degrees(spark, deltas).toPandas().set_index("src_conv")
-    assert got3["out_deg"].to_dict() == exp2["out_deg"].to_dict()
+    degree_deltas_available_now(spark, tr_dir, root, ckpt)
+    got3 = read_running_degrees(spark, root).toPandas().set_index("src_conv")
+    assert got3["out_deg"].to_dict() == batch_degrees()
 
-    # compaction preserves the merged view
-    compacted = str(tmp_path / "deg_compacted")
-    compact_degree_deltas(spark, deltas, compacted)
-    got4 = read_running_degrees(spark, compacted).toPandas().set_index("src_conv")
-    assert got4["out_deg"].to_dict() == exp2["out_deg"].to_dict()
+    # final compaction after the post-compaction appends: still exact
+    compact_degree_deltas(spark, root)
+    got4 = read_running_degrees(spark, root).toPandas().set_index("src_conv")
+    assert got4["out_deg"].to_dict() == batch_degrees()
