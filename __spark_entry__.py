@@ -882,6 +882,18 @@ def _q_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nf4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(t), t = 0..4 (pairs within distance t).
+    The HyperBall HLL variant is the scale path, pytest-pinned against this
+    exact one."""
+    from halvesting_geometric_spark.operators.neighborhood import (
+        neighborhood_function_exact,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return neighborhood_function_exact(edges, verts, max_t=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -947,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cycles": _q_four_cycles,
         "containment": _q_containment,
         "walks4": _q_walks4,
+        "nf4": _q_nf4,
     }
 
 
@@ -1206,6 +1219,32 @@ adj AS (
         f"SELECT walker_id, CAST({t} AS BIGINT) AS step, v AS vertex_id "
         f"FROM w{t}"
         for t in range(0, length + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+def _nf_sql(max_t: int) -> str:
+    """Neighborhood-function twin: unrolled reachability closure."""
+    parts = [
+        _BASE,
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "r0 AS MATERIALIZED "
+        "(SELECT vertex_id AS u, vertex_id AS v FROM verts)",
+    ]
+    for t in range(1, max_t + 1):
+        p = t - 1
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM r{p}
+    UNION ALL
+    SELECT r.u, e.dst AS v FROM r{p} r JOIN de e ON r.v = e.src) q)"""
+        )
+    body = ",\n".join(parts)
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, "
+        f"CAST((SELECT COUNT(*) FROM r{t}) AS BIGINT) AS n_pairs"
+        for t in range(0, max_t + 1)
     )
     return f"WITH {body}\n{selects}"
 
@@ -1707,6 +1746,7 @@ SELECT doc_id, scrubbed,
        CAST(n_longnum AS BIGINT) AS n_longnum
 FROM s4""",
         "walks4": _walks_sql(4),
+        "nf4": _nf_sql(4),
         "four_cycles": f"""WITH {_BASE},
 w AS (SELECT s1.src AS a, s2.src AS b, COUNT(*) AS cn
       FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src

@@ -1,0 +1,95 @@
+"""Neighborhood function: exact frontier fixpoint vs python BFS closure;
+HyperBall HLL sketches vs exact within sketch error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.neighborhood import (
+    neighborhood_function_exact,
+    neighborhood_function_hll,
+)
+
+
+def _graph(spark, n=30, m=90, seed=19):
+    rng = np.random.default_rng(seed)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.range(n).select(F.col("id").alias("vertex_id"))
+    return edges, verts, pairs, n
+
+
+def _python_nf(pairs, n, max_t):
+    adj: dict[int, set[int]] = {v: set() for v in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+    reach = {v: {v} for v in range(n)}
+    counts = [sum(len(s) for s in reach.values())]
+    for _ in range(max_t):
+        reach = {
+            v: s | set().union(*(reach[w] for w in adj[v]) if adj[v] else [set()])
+            for v, s in reach.items()
+        }
+        counts.append(sum(len(s) for s in reach.values()))
+    return counts
+
+
+def test_neighborhood_function_exact_matches_python(spark):
+    edges, verts, pairs, n = _graph(spark)
+    got = (
+        neighborhood_function_exact(edges, verts, max_t=6)
+        .toPandas()
+        .sort_values("t")["n_pairs"]
+        .tolist()
+    )
+    assert got == _python_nf(pairs, n, 6)
+
+
+def test_neighborhood_function_exact_fixpoint_padding(spark):
+    # path 0->1->2: converges at t=2; later t repeat the converged count
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.range(3).select(F.col("id").alias("vertex_id"))
+    got = (
+        neighborhood_function_exact(edges, verts, max_t=5)
+        .toPandas()
+        .sort_values("t")["n_pairs"]
+        .tolist()
+    )
+    assert got == [3, 5, 6, 6, 6, 6]
+
+
+def test_neighborhood_function_hll_tracks_exact(spark):
+    edges, verts, pairs, n = _graph(spark, n=60, m=240, seed=23)
+    exact = (
+        neighborhood_function_exact(edges, verts, max_t=5)
+        .toPandas()
+        .sort_values("t")["n_pairs"]
+        .to_numpy()
+    )
+    est = (
+        neighborhood_function_hll(edges, verts, max_t=5, lgk=12)
+        .toPandas()
+        .sort_values("t")["n_pairs_est"]
+        .to_numpy()
+    )
+    # lgk=12 → ~1.6% relative standard error; allow 5x slack
+    np.testing.assert_allclose(est, exact, rtol=0.08)
+    # determinism for fixed lgk
+    est2 = (
+        neighborhood_function_hll(edges, verts, max_t=5, lgk=12)
+        .toPandas()
+        .sort_values("t")["n_pairs_est"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(est, est2)
+
+
+def test_neighborhood_function_validates(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    verts = spark.range(2).select(F.col("id").alias("vertex_id"))
+    with pytest.raises(ValueError, match="max_t"):
+        neighborhood_function_exact(edges, verts, max_t=-1)
+    with pytest.raises(ValueError, match="lgk"):
+        neighborhood_function_hll(edges, verts, max_t=1, lgk=2)
