@@ -33,7 +33,7 @@ from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
     "ppr", "hits", "kcore", "bfs", "sssp", "linkpred", "clustering",
-    "stats",
+    "stats", "walks", "nf",
 )
 
 
@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="linkpred: min shared neighbors per candidate pair")
     ap.add_argument("--max-degree", type=int, default=None,
                     help="linkpred: skip wedge centers above this degree")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="walks: hash seed for the walk picks")
+    ap.add_argument("--lgk", type=int, default=12,
+                    help="nf: HLL sketch precision (2^lgk bytes/vertex)")
+    ap.add_argument("--exact-nf", action="store_true",
+                    help="nf: exact frontier fixpoint instead of HyperBall")
     args = ap.parse_args(argv)
 
     # under spark-submit the session (master, executors) is externally owned
@@ -175,6 +181,30 @@ def main(argv: list[str] | None = None) -> int:
         cc = clustering_coefficients(g.edges, g.vertices, tri.per_vertex)
         cc.write.mode("overwrite").parquet(args.output)
         summary.update(triangles=tri.total)
+    elif args.algorithm == "walks":
+        from halvesting_geometric_spark.operators.walks import random_walks
+
+        w = random_walks(
+            g.edges, args.seeds, walk_length=args.max_iter, seed=args.seed
+        )
+        w.write.mode("overwrite").parquet(args.output)
+        summary.update(seeds=args.seeds, rows=w.count())
+    elif args.algorithm == "nf":
+        from halvesting_geometric_spark.operators.neighborhood import (
+            neighborhood_function_exact,
+            neighborhood_function_hll,
+        )
+
+        if args.exact_nf:
+            nf = neighborhood_function_exact(
+                g.edges, g.vertices, max_t=args.max_iter
+            )
+        else:
+            nf = neighborhood_function_hll(
+                g.edges, g.vertices, max_t=args.max_iter, lgk=args.lgk
+            )
+        nf.write.mode("overwrite").parquet(args.output)
+        summary.update(points=nf.count(), exact=args.exact_nf)
     elif args.algorithm == "stats":
         from halvesting_geometric_spark.operators.linkpred import graph_stats
 

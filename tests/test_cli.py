@@ -59,3 +59,21 @@ def test_cli_linkpred_sssp_clustering_stats(spark, tmp_path, capsys):
         assert summary["algorithm"] == algo
         assert spark.read.parquet(out_dir).count() > 0
     assert summary["n_vertices"] > 0  # stats summary carries the row
+
+
+def test_cli_walks_and_nf(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr4")
+    generate_transcripts(spark, 25, seed=6).write.parquet(tr_dir)
+    for algo, extra in [
+        ("walks", ["--seeds", "0", "1", "--max-iter", "3"]),
+        ("nf", ["--max-iter", "3"]),
+        ("nf", ["--max-iter", "3", "--exact-nf"]),
+    ]:
+        out_dir = str(tmp_path / f"out4_{algo}_{'x' if '--exact-nf' in extra else 'h'}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out_dir] + extra
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert spark.read.parquet(out_dir).count() > 0
