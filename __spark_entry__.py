@@ -894,6 +894,76 @@ def _q_nf4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function_exact(edges, verts, max_t=4)
 
 
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem. Money is converted to
+    integer cents / basis points per row (deterministic double→int rounding)
+    so every aggregate is exact integer arithmetic — no FP-sum-order risk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("disc_bp"),
+        F.floor(F.col("l_tax") * 10000 + 0.5).cast("long").alias("tax_bp"),
+    )
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_c"),
+        F.sum(F.expr("price_c * (10000 - disc_bp) DIV 10000")).alias(
+            "sum_disc_c"
+        ),
+        F.sum(
+            F.expr(
+                "price_c * (10000 - disc_bp) * (10000 + tax_bp) "
+                "DIV 100000000"
+            )
+        ).alias("sum_charge_c"),
+    )
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: BUILDING-segment customers' orders
+    placed before the cutoff with lineitems shipped after it, top 10 by
+    exact integer revenue."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) "
+                "* (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) "
+                "DIV 10000"
+            ).alias("disc_c"),
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum("disc_c").alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -960,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "walks4": _q_walks4,
         "nf4": _q_nf4,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
     }
 
 
@@ -1747,6 +1819,41 @@ SELECT doc_id, scrubbed,
 FROM s4""",
         "walks4": _walks_sql(4),
         "nf4": _nf_sql(4),
+        "tpch_q1": """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+         CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(price_c) AS BIGINT) AS sum_base_c,
+       CAST(SUM(price_c * (10000 - disc_bp) // 10000) AS BIGINT)
+         AS sum_disc_c,
+       CAST(SUM(price_c * (10000 - disc_bp) * (10000 + tax_bp) // 100000000)
+            AS BIGINT) AS sum_charge_c
+FROM l GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+           // 10000 AS disc_c
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
+SELECT li.l_orderkey, o.o_orderpriority,
+       CAST(SUM(li.disc_c) AS BIGINT) AS revenue_c
+FROM li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+  AND c.c_mktsegment = 'BUILDING'
+GROUP BY li.l_orderkey, o.o_orderpriority
+ORDER BY revenue_c DESC, li.l_orderkey ASC
+LIMIT 10""",
         "four_cycles": f"""WITH {_BASE},
 w AS (SELECT s1.src AS a, s2.src AS b, COUNT(*) AS cn
       FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src
