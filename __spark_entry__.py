@@ -964,6 +964,18 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (portable-hash priorities, seed 42)."""
+    from halvesting_geometric_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return maximal_independent_set(
+        edges, verts, seed=42, hash_method="portable"
+    ).select("vertex_id", "round")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1032,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nf4": _q_nf4,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "mis": _q_mis,
     }
 
 
@@ -1317,6 +1330,51 @@ def _nf_sql(max_t: int) -> str:
         f"SELECT CAST({t} AS BIGINT) AS t, "
         f"CAST((SELECT COUNT(*) FROM r{t}) AS BIGINT) AS n_pairs"
         for t in range(0, max_t + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+def _mis_sql(rounds: int, seed: int = 42) -> str:
+    """Luby-MIS twin: unrolled rounds. The (priority, vertex) lexicographic
+    tie-break is encoded as priority·2³² + vertex (a HUGEINT; vertex ids are
+    dense and far below 2³²), which orders identically to Spark's struct
+    comparison. Over-unrolling is harmless: converged rounds are empty."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    parts = [
+        _BASE,
+        "lv0 AS MATERIALIZED (SELECT vertex_id FROM verts)",
+        "le0 AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        h = portable_hash64_sql("vertex_id", str(r), seed=seed)
+        parts.append(
+            f"""pr{r} AS MATERIALIZED (
+  SELECT vertex_id AS v,
+         CAST({h} AS HUGEINT) * 4294967296 + vertex_id AS enc
+  FROM lv{p}),
+nm{r} AS MATERIALIZED (
+  SELECT e.v, MIN(pp.enc) AS menc
+  FROM le{p} e JOIN pr{r} pp ON e.nbr = pp.v GROUP BY e.v),
+w{r} AS MATERIALIZED (
+  SELECT l.v FROM pr{r} l LEFT JOIN nm{r} m ON l.v = m.v
+  WHERE m.v IS NULL OR l.enc < m.menc),
+rm{r} AS MATERIALIZED (
+  SELECT v FROM w{r}
+  UNION SELECT e.nbr AS v FROM le{p} e JOIN w{r} w ON e.v = w.v),
+lv{r} AS MATERIALIZED (
+  SELECT vertex_id FROM lv{p}
+  WHERE vertex_id NOT IN (SELECT v FROM rm{r})),
+le{r} AS MATERIALIZED (
+  SELECT e.v, e.nbr FROM le{p} e
+  JOIN lv{r} a ON e.v = a.vertex_id
+  JOIN lv{r} b ON e.nbr = b.vertex_id)"""
+        )
+    body = ",\n".join(parts)
+    selects = " UNION ALL ".join(
+        f"SELECT v AS vertex_id, CAST({r} AS BIGINT) AS round FROM w{r}"
+        for r in range(1, rounds + 1)
     )
     return f"WITH {body}\n{selects}"
 
@@ -1819,6 +1877,7 @@ SELECT doc_id, scrubbed,
 FROM s4""",
         "walks4": _walks_sql(4),
         "nf4": _nf_sql(4),
+        "mis": _mis_sql(8),
         "tpch_q1": """
 WITH l AS (
   SELECT l_returnflag, l_linestatus,
