@@ -76,6 +76,35 @@ def neighborhood_function_exact(
     return spark.createDataFrame(counts, "t long, n_pairs long")
 
 
+def effective_diameter(
+    nf: DataFrame, fraction: float = 0.9
+) -> float:
+    """Interpolated effective diameter from a neighborhood-function result
+    (either variant): the smallest (fractional) t at which N(t) reaches
+    ``fraction`` of the final point, linearly interpolated between integer
+    t — the HyperANF/ANF convention. Driver-side math on the handful of
+    collected (t, count) points."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    col = "n_pairs" if "n_pairs" in nf.columns else "n_pairs_est"
+    pts = sorted(
+        (int(r["t"]), float(r[col])) for r in nf.select("t", col).collect()
+    )
+    if not pts:
+        raise ValueError("neighborhood function is empty")
+    target = fraction * pts[-1][1]
+    prev_t, prev_n = pts[0]
+    if prev_n >= target:
+        return float(prev_t)
+    for t, n in pts[1:]:
+        if n >= target:
+            if n == prev_n:
+                return float(t)
+            return prev_t + (target - prev_n) / (n - prev_n)
+        prev_t, prev_n = t, n
+    return float(pts[-1][0])
+
+
 def neighborhood_function_hll(
     edges: DataFrame, vertices: DataFrame, max_t: int, lgk: int = 12
 ) -> DataFrame:

@@ -93,3 +93,19 @@ def test_neighborhood_function_validates(spark):
         neighborhood_function_exact(edges, verts, max_t=-1)
     with pytest.raises(ValueError, match="lgk"):
         neighborhood_function_hll(edges, verts, max_t=1, lgk=2)
+
+
+def test_effective_diameter_interpolation(spark):
+    from halvesting_geometric_spark.operators.neighborhood import (
+        effective_diameter,
+    )
+
+    # path 0->1->2: N = [3, 5, 6]; target 0.9*6 = 5.4 → between t=1 and t=2
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.range(3).select(F.col("id").alias("vertex_id"))
+    nf = neighborhood_function_exact(edges, verts, max_t=2)
+    d = effective_diameter(nf, fraction=0.9)
+    assert d == pytest.approx(1 + (5.4 - 5) / (6 - 5))
+    assert effective_diameter(nf, fraction=0.5) == 0.0  # 3 >= 0.5*6 at t=0
+    with pytest.raises(ValueError, match="fraction"):
+        effective_diameter(nf, fraction=1.5)
