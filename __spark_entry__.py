@@ -976,6 +976,23 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "round")
 
 
+def _q_harmonic4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality within a 4-hop horizon (HyperBall HLL
+    variant is the scale path, pytest-pinned against this exact one)."""
+    from halvesting_geometric_spark.operators.neighborhood import (
+        harmonic_centrality_exact,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    h = harmonic_centrality_exact(edges, verts, max_t=4)
+    return h.select(
+        "vertex_id",
+        F.floor(F.col("harmonic") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("harmonic_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1045,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "mis": _q_mis,
+        "harmonic4": _q_harmonic4,
     }
 
 
@@ -1332,6 +1350,38 @@ def _nf_sql(max_t: int) -> str:
         for t in range(0, max_t + 1)
     )
     return f"WITH {body}\n{selects}"
+
+
+def _harmonic_sql(max_t: int) -> str:
+    """Harmonic-centrality twin: unrolled min-distance closure, then
+    Σ 1/d per destination."""
+    parts = [
+        _BASE,
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "d0 AS MATERIALIZED "
+        "(SELECT vertex_id AS u, vertex_id AS v, 0 AS d FROM verts)",
+    ]
+    for t in range(1, max_t + 1):
+        p = t - 1
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT u, v, MIN(d) AS d FROM (
+    SELECT u, v, d FROM d{p}
+    UNION ALL
+    SELECT x.u, e.dst AS v, x.d + 1 AS d
+    FROM d{p} x JOIN de e ON x.v = e.src) q
+  GROUP BY u, v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vt.vertex_id, "
+        f"CAST(floor(COALESCE(h.harm, 0) * 1000000 + 0.5) AS BIGINT) "
+        f"AS harmonic_e6 "
+        f"FROM verts vt LEFT JOIN ("
+        f"SELECT v, SUM(1.0 / d) AS harm FROM d{max_t} WHERE d > 0 "
+        f"GROUP BY v) h ON vt.vertex_id = h.v"
+    )
 
 
 def _mis_sql(rounds: int, seed: int = 42) -> str:
@@ -1878,6 +1928,7 @@ FROM s4""",
         "walks4": _walks_sql(4),
         "nf4": _nf_sql(4),
         "mis": _mis_sql(8),
+        "harmonic4": _harmonic_sql(4),
         "tpch_q1": """
 WITH l AS (
   SELECT l_returnflag, l_linestatus,

@@ -76,6 +76,164 @@ def neighborhood_function_exact(
     return spark.createDataFrame(counts, "t long, n_pairs long")
 
 
+def distances_exact(
+    edges: DataFrame, vertices: DataFrame, max_t: int
+) -> DataFrame:
+    """All-pairs hop distances up to ``max_t``: (u, v, dist) for every v
+    reachable from u in ≤ max_t hops (dist 0 for u=v). The same frontier
+    fixpoint as :func:`neighborhood_function_exact` but keeping the
+    first-discovery round — validation-scale state (O(n·reach) rows)."""
+    if max_t < 0:
+        raise ValueError(f"max_t must be >= 0, got {max_t}")
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    topo = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(n_shuffle, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        vertices.select(
+            F.col("vertex_id").alias("u"),
+            F.col("vertex_id").alias("v"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = dist
+    prev_caches: list[DataFrame] = [dist]
+    for t in range(1, max_t + 1):
+        nxt = (
+            frontier.join(topo, frontier["v"] == topo["src"])
+            .select("u", F.col("dst").alias("v"))
+            .distinct()
+            .join(dist.select("u", "v"), ["u", "v"], "left_anti")
+            .select("u", "v", F.lit(t).cast("long").alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [nxt]
+        frontier = nxt
+    out = dist
+    for p in prev_caches:
+        p.unpersist()
+    topo.unpersist()
+    return out
+
+
+def harmonic_centrality_exact(
+    edges: DataFrame, vertices: DataFrame, max_t: int
+) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_{u≠v, d(u→v) ≤ max_t} 1/d(u→v) —
+    the centrality variant that handles disconnected graphs gracefully
+    (unreachable pairs contribute 0). Exact within the ``max_t`` horizon;
+    validation-scale (all-pairs state). Returns (vertex_id, harmonic).
+    """
+    d = distances_exact(edges, vertices, max_t)
+    h = (
+        d.filter(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )
+    return (
+        vertices.select("vertex_id")
+        .join(h.select(F.col("v").alias("vertex_id"), "harmonic"), "vertex_id", "left")
+        .select(
+            "vertex_id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+        )
+    )
+
+
+def harmonic_centrality_hll(
+    edges: DataFrame, vertices: DataFrame, max_t: int, lgk: int = 12
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi-Vigna 2013 §4): per-vertex
+    IN-neighborhood ball sizes |B(v,t)| estimated with HLL sketches;
+    H(v) ≈ Σ_t (|B(v,t)| − |B(v,t−1)|)/t. State O(n·2^lgk) regardless of
+    ball sizes — the web-scale path, pytest-pinned against exact. Sketches
+    propagate along REVERSED edges so the ball counts u with d(u→v) ≤ t.
+    Returns (vertex_id, harmonic: double).
+    """
+    if max_t < 0:
+        raise ValueError(f"max_t must be >= 0, got {max_t}")
+    if not 4 <= lgk <= 21:
+        raise ValueError(f"lgk must be in [4, 21], got {lgk}")
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # reverse: v's ball must collect sources u that can REACH v
+    topo = (
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        .distinct()
+        .repartition(n_shuffle, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sk = (
+        vertices.select("vertex_id")
+        .groupBy("vertex_id")
+        .agg(F.hll_sketch_agg("vertex_id", F.lit(lgk)).alias("sk"))
+        .select(
+            "vertex_id",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("ball"),
+            F.lit(0.0).alias("harmonic"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sk.count()
+    prev_caches: list[DataFrame] = [sk]
+    for t in range(1, max_t + 1):
+        gathered = (
+            topo.join(
+                sk.select(F.col("vertex_id").alias("dst"), "sk"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.hll_union_agg("sk", F.lit(False)).alias("nbr_sk"))
+        )
+        nxt = (
+            sk.join(
+                gathered.select(F.col("src").alias("vertex_id"), "nbr_sk"),
+                "vertex_id",
+                "left",
+            )
+            .select(
+                "vertex_id",
+                F.when(F.col("nbr_sk").isNull(), F.col("sk"))
+                .otherwise(F.hll_union("sk", "nbr_sk"))
+                .alias("sk"),
+                F.col("ball").alias("prev_ball"),
+                "harmonic",
+            )
+            .withColumn("ball", F.hll_sketch_estimate("sk"))
+            .withColumn(
+                "harmonic",
+                F.col("harmonic")
+                + F.greatest(
+                    F.col("ball") - F.col("prev_ball"), F.lit(0.0)
+                )
+                / F.lit(float(t)),
+            )
+            .select("vertex_id", "sk", "ball", "harmonic")
+            .localCheckpoint(eager=True)
+        )
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [nxt]
+        sk = nxt
+    out = sk.select("vertex_id", "harmonic").localCheckpoint(eager=True)
+    for p in prev_caches:
+        p.unpersist()
+    topo.unpersist()
+    return out
+
+
 def effective_diameter(
     nf: DataFrame, fraction: float = 0.9
 ) -> float:

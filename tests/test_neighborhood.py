@@ -109,3 +109,69 @@ def test_effective_diameter_interpolation(spark):
     assert effective_diameter(nf, fraction=0.5) == 0.0  # 3 >= 0.5*6 at t=0
     with pytest.raises(ValueError, match="fraction"):
         effective_diameter(nf, fraction=1.5)
+
+
+def _python_harmonic(pairs, n, max_t):
+    adj = {v: set() for v in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+    import collections
+
+    h = {v: 0.0 for v in range(n)}
+    for u in range(n):
+        dist = {u: 0}
+        q = collections.deque([u])
+        while q:
+            x = q.popleft()
+            if dist[x] >= max_t:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += 1.0 / d
+    return h
+
+
+def test_harmonic_exact_matches_python(spark):
+    from halvesting_geometric_spark.operators.neighborhood import (
+        harmonic_centrality_exact,
+    )
+
+    edges, verts, pairs, n = _graph(spark, n=25, m=80, seed=29)
+    got = (
+        harmonic_centrality_exact(edges, verts, max_t=6)
+        .toPandas()
+        .set_index("vertex_id")["harmonic"]
+        .to_dict()
+    )
+    expect = _python_harmonic(pairs, n, 6)
+    assert got.keys() == expect.keys()
+    for v in expect:
+        assert got[v] == pytest.approx(expect[v], abs=1e-9), v
+
+
+def test_harmonic_hll_tracks_exact(spark):
+    from halvesting_geometric_spark.operators.neighborhood import (
+        harmonic_centrality_exact,
+        harmonic_centrality_hll,
+    )
+
+    edges, verts, pairs, n = _graph(spark, n=60, m=240, seed=31)
+    exact = (
+        harmonic_centrality_exact(edges, verts, max_t=5)
+        .toPandas()
+        .set_index("vertex_id")["harmonic"]
+    )
+    est = (
+        harmonic_centrality_hll(edges, verts, max_t=5, lgk=12)
+        .toPandas()
+        .set_index("vertex_id")["harmonic"]
+    )
+    # aggregate mass within HLL error; per-vertex within looser bound
+    assert est.sum() == pytest.approx(exact.sum(), rel=0.08)
+    big = exact[exact > 1.0]
+    for v in big.index:
+        assert est[v] == pytest.approx(exact[v], rel=0.25), v
