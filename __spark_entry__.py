@@ -993,6 +993,22 @@ def _q_harmonic4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_modularity3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the labelprop-3 partition."""
+    from halvesting_geometric_spark.operators.linkpred import modularity
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    lp = label_propagation(edges, verts, fixed_iters=3)
+    r = modularity(edges, lp.labels)
+    return r.select(
+        "m",
+        "n_communities",
+        F.floor(F.col("modularity") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("modularity_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1063,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "mis": _q_mis,
         "harmonic4": _q_harmonic4,
+        "modularity3": _q_modularity3,
     }
 
 
@@ -1449,7 +1466,7 @@ a{r} AS (SELECT vertex_id FROM d{r})"""
     )
 
 
-def _labelprop_sql(iters: int) -> str:
+def _labelprop_parts(iters: int) -> str:
     parts = [_BASE, "l0 AS (SELECT vertex_id AS v, vertex_id AS lab FROM verts)"]
     for k in range(1, iters + 1):
         p = k - 1
@@ -1466,8 +1483,35 @@ l{k} AS (
   SELECT l.v, COALESCE(p.lab, l.lab) AS lab
   FROM l{p} l LEFT JOIN p{k} p ON l.v = p.v)"""
         )
-    body = ",\n".join(parts)
-    return f"WITH {body}\nSELECT v AS vertex_id, lab AS label FROM l{iters}"
+    return ",\n".join(parts)
+
+
+def _labelprop_sql(iters: int) -> str:
+    return (
+        f"WITH {_labelprop_parts(iters)}\n"
+        f"SELECT v AS vertex_id, lab AS label FROM l{iters}"
+    )
+
+
+def _modularity_sql(iters: int) -> str:
+    """Modularity of the labelprop-{iters} partition over the simple graph."""
+    return f"""WITH {_labelprop_parts(iters)},
+tg AS (
+  SELECT c.a, c.b, x.lab AS la, y.lab AS lb
+  FROM canon c JOIN l{iters} x ON c.a = x.v JOIN l{iters} y ON c.b = y.v),
+mm AS (SELECT COUNT(*) AS m FROM tg),
+dsum AS (
+  SELECT label, COUNT(*) AS d_c FROM (
+    SELECT la AS label FROM tg UNION ALL SELECT lb FROM tg) u
+  GROUP BY label),
+ic AS (SELECT la AS label, COUNT(*) AS e_c FROM tg WHERE la = lb GROUP BY la)
+SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(floor(SUM(
+         COALESCE(ic.e_c, 0) / CAST((SELECT m FROM mm) AS DOUBLE)
+         - pow(dsum.d_c / (2.0 * (SELECT m FROM mm)), 2)
+       ) * 1000000 + 0.5) AS BIGINT) AS modularity_e6
+FROM dsum LEFT JOIN ic ON dsum.label = ic.label"""
 
 
 _TRI_BASE = f"""WITH {_BASE},
@@ -1929,6 +1973,7 @@ FROM s4""",
         "nf4": _nf_sql(4),
         "mis": _mis_sql(8),
         "harmonic4": _harmonic_sql(4),
+        "modularity3": _modularity_sql(3),
         "tpch_q1": """
 WITH l AS (
   SELECT l_returnflag, l_linestatus,

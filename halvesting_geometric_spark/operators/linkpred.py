@@ -242,6 +242,71 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition on the simple undirected
+    graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c the intra-community edge
+    count, d_c the community's degree sum, m the undirected edge count.
+
+    The standard quality metric for community assignments (e.g. the label
+    propagation output). ``labels``: (vertex_id, label). Two joins + two
+    aggregates, all map-side combinable. Returns one row
+    (m: long, n_communities: long, modularity: double).
+    """
+    canon = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    lab = labels.select("vertex_id", "label")
+    tagged = canon.join(
+        lab.select(F.col("vertex_id").alias("src"), F.col("label").alias("la")),
+        "src",
+    ).join(
+        lab.select(F.col("vertex_id").alias("dst"), F.col("label").alias("lb")),
+        "dst",
+    )
+    m_row = tagged.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias(
+            "intra"
+        ),
+    ).first()
+    m = int(m_row["m"] or 0)
+    canon.unpersist()
+    spark = edges.sparkSession
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0.0)], "m long, n_communities long, modularity double"
+        )
+    # degree sum per community over the same simple graph
+    deg = tagged.select(
+        F.col("la").alias("label")
+    ).unionByName(tagged.select(F.col("lb").alias("label")))
+    per_c = deg.groupBy("label").agg(F.count("*").alias("d_c"))
+    intra_c = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy("la")
+        .agg(F.count("*").alias("e_c"))
+        .select(F.col("la").alias("label"), "e_c")
+    )
+    q = (
+        per_c.join(intra_c, "label", "left")
+        .select(
+            "label",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            "d_c",
+        )
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.sum(
+                F.col("e_c") / F.lit(float(m))
+                - (F.col("d_c") / F.lit(2.0 * m)) ** 2
+            ).alias("modularity"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [(m, int(q["n_communities"]), float(q["modularity"]))],
+        "m long, n_communities long, modularity double",
+    )
+
+
 def graph_stats(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """One-row structural summary: |V|, |E| directed, |E| simple-undirected,
     self-loops, reciprocal directed pairs, max/avg out-degree, density.

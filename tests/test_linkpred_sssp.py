@@ -266,3 +266,43 @@ def test_four_cycles_matches_bruteforce(spark):
     assert got == expect
     capped = four_cycles(edges, max_degree=3).first()["n_four_cycles"]
     assert capped <= got
+
+
+def test_modularity_matches_python(spark):
+    from halvesting_geometric_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from halvesting_geometric_spark.operators.linkpred import modularity
+
+    edges, verts, pairs, n = _random_graph(spark, seed=37)
+    lp = label_propagation(edges, verts, fixed_iters=3)
+    labels = {
+        r["vertex_id"]: r["label"] for r in lp.labels.collect()
+    }
+    row = modularity(edges, lp.labels).first()
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    m = len(simple)
+    from collections import defaultdict
+
+    e_c: dict = defaultdict(int)
+    d_c: dict = defaultdict(int)
+    for a, b in simple:
+        d_c[labels[a]] += 1
+        d_c[labels[b]] += 1
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+    q = sum(
+        e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c
+    )
+    assert row["m"] == m
+    assert row["n_communities"] == len(d_c)
+    assert row["modularity"] == pytest.approx(q, abs=1e-12)
+    # perfect partition sanity: two disjoint triangles, own labels -> Q = 1/2
+    tri2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)], "src long, dst long"
+    )
+    lab2 = spark.createDataFrame(
+        [(v, v // 3) for v in range(6)], "vertex_id long, label long"
+    )
+    row2 = modularity(tri2, lab2).first()
+    assert row2["modularity"] == pytest.approx(0.5)
