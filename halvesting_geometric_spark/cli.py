@@ -33,7 +33,7 @@ from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
     "ppr", "hits", "kcore", "bfs", "sssp", "linkpred", "clustering",
-    "stats", "walks", "nf",
+    "stats", "walks", "nf", "mis", "harmonic",
 )
 
 
@@ -205,6 +205,24 @@ def main(argv: list[str] | None = None) -> int:
             )
         nf.write.mode("overwrite").parquet(args.output)
         summary.update(points=nf.count(), exact=args.exact_nf)
+    elif args.algorithm == "mis":
+        from halvesting_geometric_spark.operators.mis import (
+            maximal_independent_set,
+        )
+
+        m = maximal_independent_set(g.edges, g.vertices, seed=args.seed)
+        m.write.mode("overwrite").parquet(args.output)
+        summary.update(members=m.count())
+    elif args.algorithm == "harmonic":
+        from halvesting_geometric_spark.operators.neighborhood import (
+            harmonic_centrality_hll,
+        )
+
+        h = harmonic_centrality_hll(
+            g.edges, g.vertices, max_t=args.max_iter, lgk=args.lgk
+        )
+        h.write.mode("overwrite").parquet(args.output)
+        summary.update(vertices=h.count())
     elif args.algorithm == "stats":
         from halvesting_geometric_spark.operators.linkpred import graph_stats
 

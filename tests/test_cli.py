@@ -77,3 +77,20 @@ def test_cli_walks_and_nf(spark, tmp_path, capsys):
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["algorithm"] == algo
         assert spark.read.parquet(out_dir).count() > 0
+
+
+def test_cli_mis_and_harmonic(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr5")
+    generate_transcripts(spark, 20, seed=9).write.parquet(tr_dir)
+    for algo, extra in [
+        ("mis", ["--seed", "3"]),
+        ("harmonic", ["--max-iter", "3", "--lgk", "10"]),
+    ]:
+        out_dir = str(tmp_path / f"out5_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out_dir] + extra
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert spark.read.parquet(out_dir).count() > 0
