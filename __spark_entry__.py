@@ -1009,6 +1009,15 @@ def _q_modularity3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss after 3 fixed peeling rounds (edge support = triangles
+    through the edge within the surviving subgraph)."""
+    from halvesting_geometric_spark.operators.ktruss import ktruss
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return ktruss(edges, k=4, fixed_rounds=3).select("src", "dst", "support")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1080,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "harmonic4": _q_harmonic4,
         "modularity3": _q_modularity3,
+        "ktruss4": _q_ktruss4,
     }
 
 
@@ -1398,6 +1408,42 @@ def _harmonic_sql(max_t: int) -> str:
         f"FROM verts vt LEFT JOIN ("
         f"SELECT v, SUM(1.0 / d) AS harm FROM d{max_t} WHERE d > 0 "
         f"GROUP BY v) h ON vt.vertex_id = h.v"
+    )
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """k-truss twin: unrolled peels. Edge support = common neighbors of its
+    endpoints within the current subgraph (sym self-join), then filter."""
+    parts = [_BASE, "e0 AS MATERIALIZED (SELECT a, b FROM canon)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""sy{r} AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM e{p}
+  UNION ALL SELECT b AS v, a AS nbr FROM e{p}),
+sp{r} AS MATERIALIZED (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS sup
+  FROM sy{r} s1 JOIN sy{r} s2 ON s1.nbr = s2.nbr AND s1.v < s2.v
+  GROUP BY s1.v, s2.v),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e LEFT JOIN sp{r} s ON e.a = s.a AND e.b = s.b
+  WHERE COALESCE(s.sup, 0) >= {k - 2})"""
+        )
+    parts.append(
+        f"""syf AS (
+  SELECT a AS v, b AS nbr FROM e{rounds}
+  UNION ALL SELECT b AS v, a AS nbr FROM e{rounds}),
+spf AS (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS sup
+  FROM syf s1 JOIN syf s2 ON s1.nbr = s2.nbr AND s1.v < s2.v
+  GROUP BY s1.v, s2.v)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT e.a AS src, e.b AS dst, "
+        f"CAST(COALESCE(s.sup, 0) AS BIGINT) AS support "
+        f"FROM e{rounds} e LEFT JOIN spf s ON e.a = s.a AND e.b = s.b"
     )
 
 
@@ -1974,6 +2020,7 @@ FROM s4""",
         "mis": _mis_sql(8),
         "harmonic4": _harmonic_sql(4),
         "modularity3": _modularity_sql(3),
+        "ktruss4": _ktruss_sql(4, 3),
         "tpch_q1": """
 WITH l AS (
   SELECT l_returnflag, l_linestatus,

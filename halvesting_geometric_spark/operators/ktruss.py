@@ -1,0 +1,95 @@
+"""k-truss decomposition (edge-level cohesion; engine-new).
+
+The k-truss is the maximal subgraph in which every edge closes at least
+k−2 triangles — the edge-wise analog of the k-core's vertex degrees, and a
+much stronger community signal. Standard iterative peeling:
+
+1. count each canonical edge's support (triangles through it) — reuses the
+   degree-oriented triangle listing (O(√E)-bounded wedge join), each
+   triangle crediting its three edges;
+2. drop edges with support < k−2;
+3. repeat until a fixed point (dropping an edge can break other edges'
+   triangles).
+
+``fixed_rounds`` runs exactly that many peels (the externally-verifiable
+mode the gate unrolls in SQL); ``fixed_rounds=None`` iterates to the
+fixpoint with early stop. Each round is bounded by the previous round's
+(shrinking) edge set; lineage truncates per round via eager
+localCheckpoint (same driver shape as k-core peeling).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.graph import canonical_edges
+from halvesting_geometric_spark.operators.triangles import triangle_listing
+
+
+def _support(canon: DataFrame) -> DataFrame:
+    """(src, dst, support) per canonical edge; zero-support edges included."""
+    tri = triangle_listing(canon)
+    # the lister orients by (degree, id), so (a, b, c) is NOT id-sorted;
+    # normalize each of the triangle's three edges with least/greatest
+    hits = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+    )
+    return canon.join(hits, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def ktruss(
+    edges: DataFrame, k: int, fixed_rounds: int | None = None, max_rounds: int = 64
+) -> DataFrame:
+    """Edges of the k-truss with their in-truss support.
+
+    Returns (src, dst, support) over the simple undirected graph
+    (src < dst); support is computed within the surviving subgraph of the
+    final round. Raises if the fixpoint isn't reached in ``max_rounds``
+    (fixpoint mode only).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cur = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n_cur = cur.count()
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    prev: DataFrame | None = cur
+    for r in range(rounds):
+        sup = _support(cur)
+        nxt = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        converged = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
+        if fixed_rounds is None and converged:
+            break
+        if n_cur == 0:
+            break
+    else:
+        if fixed_rounds is None:
+            raise RuntimeError(
+                f"k-truss did not converge within max_rounds={max_rounds}"
+            )
+    out = _support(cur).localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    return out
