@@ -1018,6 +1018,22 @@ def _q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges, k=4, fixed_rounds=3).select("src", "dst", "support")
 
 
+def _q_metapath2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metapath walks user -writes-> conv -cites-> conv from the 5
+    smallest user ids (portable hash, seed 42)."""
+    from halvesting_geometric_spark.operators.walks import metapath_walks
+
+    g = _hetero_graph(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    starts = [
+        r[0]
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(5).collect()
+    ]
+    return metapath_walks(
+        g, ["writes", "cites"], starts, seed=42, hash_method="portable"
+    ).select("walker_id", "step", "vtype", "vertex_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1090,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic4": _q_harmonic4,
         "modularity3": _q_modularity3,
         "ktruss4": _q_ktruss4,
+        "metapath2": _q_metapath2,
     }
 
 
@@ -1409,6 +1426,51 @@ def _harmonic_sql(max_t: int) -> str:
         f"SELECT v, SUM(1.0 / d) AS harm FROM d{max_t} WHERE d > 0 "
         f"GROUP BY v) h ON vt.vertex_id = h.v"
     )
+
+
+def _metapath_sql(seed: int = 42) -> str:
+    """Metapath-walk twin: user -writes-> conv -cites-> conv, replaying the
+    portable-hash picks over the string-ordered ranked adjacencies."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    h1 = portable_hash64_sql("c.walker_id", "1", seed=seed)
+    h2 = portable_hash64_sql("c.walker_id", "2", seed=seed)
+    return f"""WITH {_BASE},
+w_adj AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+         'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS dst
+  FROM events),
+w_rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM w_adj),
+c_adj AS (SELECT DISTINCT src_conv AS src, dst_conv AS dst FROM ce),
+c_rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM c_adj),
+s0 AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS walker_id,
+         CAST(user_id AS VARCHAR) AS v
+  FROM (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5) q),
+s1 AS MATERIALIZED (
+  SELECT c.walker_id, a.dst AS v
+  FROM s0 c JOIN w_rk a ON c.v = a.src
+  WHERE a.rnk = {h1} % a.deg),
+s2 AS MATERIALIZED (
+  SELECT c.walker_id, a.dst AS v
+  FROM s1 c JOIN c_rk a ON c.v = a.src
+  WHERE a.rnk = {h2} % a.deg)
+SELECT walker_id, CAST(0 AS BIGINT) AS step, 'user' AS vtype,
+       v AS vertex_id FROM s0
+UNION ALL
+SELECT walker_id, CAST(1 AS BIGINT) AS step, 'conv' AS vtype,
+       v AS vertex_id FROM s1
+UNION ALL
+SELECT walker_id, CAST(2 AS BIGINT) AS step, 'conv' AS vtype,
+       v AS vertex_id FROM s2"""
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -2021,6 +2083,7 @@ FROM s4""",
         "harmonic4": _harmonic_sql(4),
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),
+        "metapath2": _metapath_sql(),
         "tpch_q1": """
 WITH l AS (
   SELECT l_returnflag, l_linestatus,

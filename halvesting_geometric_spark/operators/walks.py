@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from halvesting_geometric_spark.operators.hetero import HeteroGraph
 from halvesting_geometric_spark.operators.sampling import hash64
 
 
@@ -93,4 +94,98 @@ def random_walks(
     for p in prev_caches:
         p.unpersist()
     adj.unpersist()
+    return out
+
+
+def metapath_walks(
+    hg: HeteroGraph,
+    metapath: list[str],
+    starts: DataFrame | list,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Typed walks constrained to a relation sequence (metapath2vec-style
+    corpus generation over the reference's heterogeneous model — e.g.
+    ``["writes", "cites"]`` walks user → conversation → cited conversation).
+
+    Step t uses relation ``metapath[t-1]``'s edge table; the pick is the
+    neighbor ranked ``hash(walker_id, t, seed) mod deg`` in the dst-sorted
+    (string-ordered) adjacency — deterministic and, with
+    ``hash_method="portable"``, externally replayable. Vertex ids are
+    carried as strings so heterogeneous id types compose. Walkers with no
+    matching out-edge stop at that step.
+
+    ``starts``: DataFrame (walker_id: string, vertex_id: string) — ids of
+    the first relation's source type — or a list of start ids
+    (walker_id = str(id)). Returns (walker_id, step, vtype, vertex_id).
+    """
+    if not metapath:
+        raise ValueError("metapath must be non-empty")
+    keys = [hg.relation(r)[0] for r in metapath]
+    for (k1, k2) in zip(keys, keys[1:]):
+        if k1[2] != k2[0]:
+            raise ValueError(
+                f"metapath breaks: relation {k1[1]!r} ends at {k1[2]!r} but "
+                f"{k2[1]!r} starts at {k2[0]!r}"
+            )
+    spark = hg.edges[keys[0]].sparkSession
+    if isinstance(starts, (list, tuple)):
+        starts = spark.createDataFrame(
+            [(str(v), str(v)) for v in starts],
+            "walker_id string, vertex_id string",
+        )
+    cur = starts.select(
+        F.col("walker_id").cast("string").alias("walker_id"),
+        F.col("vertex_id").cast("string").alias("vertex_id"),
+    )
+    out = cur.select(
+        "walker_id",
+        F.lit(0).cast("long").alias("step"),
+        F.lit(keys[0][0]).alias("vtype"),
+        "vertex_id",
+    )
+    prev_caches: list[DataFrame] = []
+    for t, key in enumerate(keys, start=1):
+        adj = (
+            hg.edges[key]
+            .select(
+                F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"),
+            )
+            .distinct()
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+                - 1,
+            )
+            .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        )
+        pick = F.pmod(
+            hash64(hash_method, F.col("walker_id"), F.lit(t), seed=seed),
+            F.col("deg"),
+        )
+        nxt = (
+            cur.join(adj, cur["vertex_id"] == adj["src"])
+            .filter(F.col("rank") == pick)
+            .select("walker_id", F.col("dst").alias("vertex_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_alive = nxt.count()
+        out = out.unionByName(
+            nxt.select(
+                "walker_id",
+                F.lit(t).cast("long").alias("step"),
+                F.lit(key[2]).alias("vtype"),
+                "vertex_id",
+            )
+        ).localCheckpoint(eager=True)
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [nxt]
+        cur = nxt
+        if n_alive == 0:
+            break
+    out = out.localCheckpoint(eager=True)
+    for p in prev_caches:
+        p.unpersist()
     return out

@@ -93,3 +93,70 @@ def test_random_walks_multiple_walkers_per_start(spark):
     w = random_walks(edges, starts, walk_length=3, seed=9).toPandas()
     assert set(w["walker_id"]) == {100, 200}
     assert (w.groupby("walker_id")["step"].max() == 3).all()
+
+
+def _hetero_fixture(spark):
+    from halvesting_geometric_spark.operators.hetero import HeteroGraph
+
+    g = HeteroGraph()
+    users = spark.createDataFrame([(u,) for u in range(4)], "id long")
+    convs = spark.createDataFrame(
+        [(f"c{i}",) for i in range(6)], "id string"
+    )
+    g.add_vertices("user", users)
+    g.add_vertices("conv", convs)
+    writes = [(0, "c0"), (0, "c1"), (1, "c1"), (2, "c2"), (3, "c3")]
+    cites = [("c0", "c2"), ("c0", "c4"), ("c1", "c3"), ("c2", "c5")]
+    g.add_edges("user", "writes", "conv",
+                spark.createDataFrame(writes, "src long, dst string"))
+    g.add_edges("conv", "cites", "conv",
+                spark.createDataFrame(cites, "src string, dst string"))
+    return g, writes, cites
+
+
+def test_metapath_walks_match_python_md5_twin(spark):
+    from halvesting_geometric_spark.operators.walks import metapath_walks
+
+    g, writes, cites = _hetero_fixture(spark)
+    got = sorted(
+        map(
+            tuple,
+            metapath_walks(
+                g, ["writes", "cites"], [0, 1, 2, 3], seed=11,
+                hash_method="portable",
+            )
+            .toPandas()
+            .to_numpy(),
+        )
+    )
+    adjs = [
+        {},  # step 1: writes
+        {},  # step 2: cites
+    ]
+    for s, d in writes:
+        adjs[0].setdefault(str(s), []).append(d)
+    for s, d in cites:
+        adjs[1].setdefault(s, []).append(d)
+    expect = []
+    for w in ["0", "1", "2", "3"]:
+        v = w
+        expect.append((w, 0, "user", v))
+        for t, (adj, vt) in enumerate(zip(adjs, ["conv", "conv"]), start=1):
+            nbrs = sorted(adj.get(v, []))
+            if not nbrs:
+                break
+            v = nbrs[_ph(w, t, seed=11) % len(nbrs)]
+            expect.append((w, t, vt, v))
+    assert got == sorted(expect)
+
+
+def test_metapath_walks_validates_chaining(spark):
+    import pytest as _pytest
+
+    from halvesting_geometric_spark.operators.walks import metapath_walks
+
+    g, _, _ = _hetero_fixture(spark)
+    with _pytest.raises(ValueError, match="metapath breaks"):
+        metapath_walks(g, ["cites", "writes"], ["c0"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        metapath_walks(g, [], [0])
