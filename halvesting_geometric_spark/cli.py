@@ -158,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         dists = sssp(
             g.edges, g.vertices, args.seeds,
             weight_col=args.weight_col, fixed_iters=args.max_iter,
+            checkpoint=ckpt, resume=args.resume,
         )
         dists.write.mode("overwrite").parquet(args.output)
         summary.update(seeds=args.seeds, reached=dists.count())

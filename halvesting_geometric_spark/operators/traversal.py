@@ -11,6 +11,8 @@ to the frontier's edge boundary.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -93,6 +95,9 @@ def sssp(
     weight_col: str | None = None,
     fixed_iters: int = 10,
     directed: bool = True,
+    checkpoint=None,
+    checkpoint_interval: int = 1,
+    resume: bool = False,
 ) -> DataFrame:
     """Single/multi-source weighted shortest paths — Bellman-Ford supersteps.
 
@@ -106,6 +111,12 @@ def sssp(
     improves. Weights must be non-negative (checked against the first
     superstep's min); ``weight_col=None`` means unit weights (= BFS
     distances, cross-checkable against :func:`bfs_levels`).
+
+    ``checkpoint``: a ``plans.checkpoint.CheckpointManager`` — each
+    ``checkpoint_interval``-th relaxation persists (vertex_id, dist) with
+    metrics + per-partition lineage; ``resume=True`` continues from the
+    latest saved relaxation (the remaining superstep count shrinks
+    accordingly — relaxation k is idempotent given state k−1).
 
     Returns (vertex_id, dist) for every vertex reached within
     ``fixed_iters`` hops; unreached vertices are absent.
@@ -137,17 +148,24 @@ def sssp(
     if neg is not None and neg < 0:
         raise ValueError(f"negative edge weight {neg}; sssp requires w >= 0")
 
-    dist = (
-        sources.select("vertex_id")
-        .distinct()
-        .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
-        .select("vertex_id", F.lit(0.0).alias("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    start_iter = 1
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        last = checkpoint.latest_iteration()
+        start_iter = last + 1
+        dist = checkpoint.load_state(last).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        dist = (
+            sources.select("vertex_id")
+            .distinct()
+            .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
+            .select("vertex_id", F.lit(0.0).alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     if dist.count() == 0:
         raise ValueError("source set is empty (or disjoint from vertices)")
     prev_caches: list[DataFrame] = [dist]
-    for _ in range(fixed_iters):
+    for it in range(start_iter, fixed_iters + 1):
+        t0 = _time.monotonic()
         relaxed = (
             topo.join(dist.select(F.col("vertex_id").alias("src"), "dist"), "src")
             .groupBy("dst")
@@ -174,6 +192,19 @@ def sssp(
         )
         n_improved = paired.filter(F.col("_improved")).count()
         nxt = paired.select("vertex_id", "dist").localCheckpoint(eager=False)
+        if checkpoint is not None and (
+            it % checkpoint_interval == 0
+            or it == fixed_iters
+            or n_improved == 0
+        ):
+            nxt = checkpoint.save_state(
+                it,
+                nxt,
+                metrics={
+                    "n_improved": n_improved,
+                    "wall_sec": _time.monotonic() - t0,
+                },
+            )
         for p in prev_caches:
             p.unpersist()
         prev_caches = [paired]

@@ -78,3 +78,25 @@ def test_power_law_edge_generator_deterministic_and_skewed(spark):
     counts = e1.groupby("dst").size().sort_values(ascending=False)
     # power-law: the hottest destination holds a big share; tail is long
     assert counts.iloc[0] > 20 * counts.median()
+
+
+def test_sssp_kill_resume_equals_full(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from halvesting_geometric_spark.operators.traversal import sssp
+
+    g = build_graph(generate_transcripts(spark, 70, seed=5))
+    we = g.edges.withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    ck = CheckpointManager(spark, str(tmp_path), "sssp")
+    sssp(we, g.vertices, [0, 1], weight_col="w", fixed_iters=3,
+         checkpoint=ck)  # "dies" after 3 relaxations
+    resumed = sssp(we, g.vertices, [0, 1], weight_col="w", fixed_iters=8,
+                   checkpoint=ck, resume=True)
+    full = sssp(we, g.vertices, [0, 1], weight_col="w", fixed_iters=8)
+    a = resumed.toPandas().sort_values("vertex_id").reset_index(drop=True)
+    b = full.toPandas().sort_values("vertex_id").reset_index(drop=True)
+    assert a.equals(b)
+    lin = ck.lineage_table().toPandas()
+    assert set(lin.columns) >= {"partition_id", "rows", "checksum", "iteration"}
