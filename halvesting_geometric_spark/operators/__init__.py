@@ -19,25 +19,70 @@ from halvesting_geometric_spark.operators.ids import (
     dense_ids_window,
     edges_to_ids,
 )
+from halvesting_geometric_spark.operators.ktruss import ktruss
 from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.linkpred import (
+    clustering_coefficients,
+    degree_assortativity,
+    four_cycles,
+    graph_stats,
+    modularity,
+    neighborhood_scores,
+)
+from halvesting_geometric_spark.operators.mis import maximal_independent_set
+from halvesting_geometric_spark.operators.neighborhood import (
+    effective_diameter,
+    harmonic_centrality_exact,
+    harmonic_centrality_hll,
+    neighborhood_function_exact,
+    neighborhood_function_hll,
+)
+from halvesting_geometric_spark.operators.neighbors import (
+    aggregate_neighbors,
+    aggregate_neighbors_positional,
+)
 from halvesting_geometric_spark.operators.pagerank import pagerank
+from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
 from halvesting_geometric_spark.operators.triangles import triangle_count
+from halvesting_geometric_spark.operators.walks import (
+    metapath_walks,
+    random_walks,
+)
 
 __all__ = [
     "PropertyGraph",
+    "aggregate_neighbors",
+    "aggregate_neighbors_positional",
+    "bfs_levels",
     "build_graph",
     "build_vertices",
     "canonical_edges",
+    "clustering_coefficients",
     "connected_components",
+    "degree_assortativity",
     "dense_ids_scalable",
     "dense_ids_window",
     "edges_to_ids",
+    "effective_diameter",
     "extract_conv_edges",
+    "four_cycles",
+    "graph_stats",
+    "harmonic_centrality_exact",
+    "harmonic_centrality_hll",
     "in_degrees",
+    "ktruss",
     "label_propagation",
+    "maximal_independent_set",
+    "metapath_walks",
+    "modularity",
+    "neighborhood_function_exact",
+    "neighborhood_function_hll",
+    "neighborhood_scores",
     "ordered_turns",
     "out_degrees",
     "pagerank",
+    "random_walks",
+    "sssp",
     "triangle_count",
     "undirected",
 ]
