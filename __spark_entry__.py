@@ -1034,6 +1034,48 @@ def _q_metapath2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("walker_id", "step", "vtype", "vertex_id")
 
 
+def _q_vecops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding vector ops: L2 norm + symmetric int8 quantization, reduced
+    to integer/e6 summaries per vector (q codes are exact integers, so the
+    plain and position-weighted sums pin every element)."""
+    from halvesting_geometric_spark.operators.similarity import (
+        l2_normalize,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = l2_normalize(emb)
+    q = quantize_int8(emb)
+    e6 = lambda c, a: (  # noqa: E731
+        F.floor(c * 1_000_000 + F.lit(0.5)).cast("long").alias(a)
+    )
+    nn = n.select(
+        "vec_id",
+        e6(F.col("norm"), "norm_e6"),
+        e6(
+            F.aggregate(F.col("unit"), F.lit(0.0), lambda a, x: a + x),
+            "unit_sum_e6",
+        ),
+    )
+    qq = q.select(
+        "vec_id",
+        e6(F.col("scale"), "scale_e6"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.sequence(F.lit(1), F.size("q")),
+                lambda x, i: x * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_wsum"),
+    )
+    return nn.join(qq, "vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1107,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity3": _q_modularity3,
         "ktruss4": _q_ktruss4,
         "metapath2": _q_metapath2,
+        "vecops": _q_vecops,
     }
 
 
@@ -2084,6 +2127,38 @@ FROM s4""",
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),
         "metapath2": _metapath_sql(),
+        "vecops": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         sqrt(list_sum([x * x for x in v])) AS norm,
+         v
+  FROM e),
+nn AS (
+  SELECT vec_id,
+         CAST(floor(norm * 1000000 + 0.5) AS BIGINT) AS norm_e6,
+         CAST(floor(
+           CASE WHEN norm > 0 THEN list_sum([x / norm for x in v])
+                ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS unit_sum_e6
+  FROM n),
+q AS (
+  SELECT vec_id,
+         CASE WHEN list_max([abs(x) for x in v]) > 0
+              THEN 127.0 / list_max([abs(x) for x in v])
+              ELSE 0.0 END AS scale,
+         v
+  FROM e),
+qq AS (
+  SELECT vec_id,
+         CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+         CAST(list_sum([CAST(floor(x * scale + 0.5) AS BIGINT) for x in v])
+              AS BIGINT) AS q_sum,
+         CAST(list_sum([CAST(floor(v[i] * scale + 0.5) AS BIGINT) * i
+                        for i in range(1, len(v) + 1)])
+              AS BIGINT) AS q_wsum
+  FROM q)
+SELECT nn.vec_id, nn.norm_e6, nn.unit_sum_e6, qq.scale_e6, qq.q_sum, qq.q_wsum
+FROM nn JOIN qq ON nn.vec_id = qq.vec_id""",
         "tpch_q1": """
 WITH l AS (
   SELECT l_returnflag, l_linestatus,

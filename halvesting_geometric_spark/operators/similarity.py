@@ -19,6 +19,44 @@ from pyspark.sql import functions as F
 from halvesting_geometric_spark.functions import cosine_similarity
 
 
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Unit-norm vectors: v / ||v||₂ as pure array expressions (aggregate +
+    transform — JVM-side, no UDF). Zero vectors pass through unchanged.
+    Returns (id, unit: array<double>, norm: double)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col),
+        F.when(norm > 0, F.transform(v, lambda x: x / norm))
+        .otherwise(v)
+        .alias("unit"),
+        norm.alias("norm"),
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q_i = round(x_i·scale) ∈ [−127, 127] — the standard storage/ANN
+    compression (4× vs float32, 8× vs float64). Pure array expressions;
+    round-half-up via floor(x+0.5) so external engines reproduce it
+    bit-for-bit. All-zero vectors get scale 0 and all-zero codes.
+    Returns (id, q: array<long>, scale: double).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(
+        v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    )
+    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     queries: DataFrame,

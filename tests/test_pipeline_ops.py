@@ -315,3 +315,36 @@ def test_containment_scores_catch_subset_duplicates(spark):
     # threshold filters on the overlap coefficient
     hi = containment_scores(sh, min_containment=0.9).toPandas()
     assert set(map(tuple, hi[["a", "b"]].to_numpy())) == {(1, 2)}
+
+
+def test_l2_normalize_and_quantize_int8(spark):
+    import numpy as np
+
+    from halvesting_geometric_spark.operators.similarity import (
+        l2_normalize,
+        quantize_int8,
+    )
+
+    rows = [
+        (0, [3.0, 4.0]),
+        (1, [0.0, 0.0]),           # zero vector passes through
+        (2, [-1.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    norm = l2_normalize(df).toPandas().set_index("vec_id")
+    assert norm.loc[0, "norm"] == pytest.approx(5.0)
+    np.testing.assert_allclose(norm.loc[0, "unit"], [0.6, 0.8])
+    assert norm.loc[1, "norm"] == 0.0
+    np.testing.assert_allclose(norm.loc[1, "unit"], [0.0, 0.0])
+
+    q = quantize_int8(df).toPandas().set_index("vec_id")
+    assert q.loc[0, "scale"] == pytest.approx(127 / 4.0)
+    assert list(q.loc[0, "q"]) == [
+        int(np.floor(3.0 * 127 / 4.0 + 0.5)),
+        127,
+    ]
+    assert q.loc[1, "scale"] == 0.0 and list(q.loc[1, "q"]) == [0, 0]
+    assert list(q.loc[2, "q"]) == [-127, int(np.floor(0.5 * (127 / 1.5) + 0.5))]
+    # codes bounded
+    for _, r in q.iterrows():
+        assert all(-127 <= c <= 127 for c in r["q"])
