@@ -800,14 +800,13 @@ def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-style redaction over documents with deterministically injected
-    URLs / emails / IPs / long digit runs (the raw corpus has none)."""
-    from halvesting_geometric_spark.operators.textstats import scrub_text
-
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected URLs / emails / IPs / long
+    digit runs (the raw corpus has none) — shared by the scrub and
+    clean-corpus gates; `_AUG_SQL` is the DuckDB twin of this expression."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    aug = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -832,7 +831,22 @@ def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    return scrub_text(aug)
+
+
+def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over documents with injected patterns."""
+    from halvesting_geometric_spark.operators.textstats import scrub_text
+
+    return scrub_text(_augmented_docs(spark, sf_dir))
+
+
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning pipeline (scrub → quality ≥ 0.5 → exact dedup)
+    over the injected-pattern corpus; survivors compared as full strings."""
+    from halvesting_geometric_spark.plans.cleaning import clean_corpus
+
+    res = clean_corpus(_augmented_docs(spark, sf_dir), min_quality=0.5)
+    return res.docs.select("doc_id", "text")
 
 
 def _q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss4": _q_ktruss4,
         "metapath2": _q_metapath2,
         "vecops": _q_vecops,
+        "clean_corpus": _q_clean_corpus,
     }
 
 
@@ -2120,6 +2135,61 @@ SELECT doc_id, scrubbed,
        CAST(n_ip AS BIGINT) AS n_ip,
        CAST(n_longnum AS BIGINT) AS n_longnum
 FROM s4""",
+        "clean_corpus": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://docs.example.org/page?id=' || doc_id
+                      || '&x=1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 192.168.1.' || (doc_id % 255)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' acct 9021000099'
+                 ELSE '' END AS t0
+  FROM documents),
+sc AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{9,}\b', '<NUM>', 'g') AS text
+  FROM aug),
+tokc AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+                     t -> t <> '') AS tk
+  FROM sc),
+qa AS (
+  SELECT doc_id, text,
+         len(tk) AS n_tokens,
+         greatest(len(tk), 1) AS n_tok,
+         greatest(length(text), 1) AS n_chars,
+         coalesce(list_sum([length(x) for x in tk]), 0) AS sum_len,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
+         len(list_filter(tk, x -> list_contains(
+           ['the','and','of','to','in','is','that','it','for','with'], x)))
+           AS n_stop
+  FROM tokc),
+qb AS (
+  SELECT doc_id, text,
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+               THEN 0.25 ELSE 0.0 END
+          + CASE WHEN sum_len / n_tok >= 2.0 AND sum_len / n_tok <= 12.0
+                 THEN 0.25 ELSE 0.0 END
+          + least(n_alpha / n_chars, 0.9) / 0.9 * 0.25
+          + least(n_stop / n_tok * 5, 1.0) * 0.25) AS quality
+  FROM qa)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "walks4": _walks_sql(4),
         "nf4": _nf_sql(4),
         "mis": _mis_sql(8),
