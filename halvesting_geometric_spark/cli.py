@@ -66,8 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="linkpred: min shared neighbors per candidate pair")
     ap.add_argument("--max-degree", type=int, default=None,
                     help="linkpred: skip wedge centers above this degree")
-    ap.add_argument("--seed", type=int, default=42,
-                    help="walks: hash seed for the walk picks")
+    # named --walk-seed (not --seed) so the historical abbreviation --seed
+    # keeps resolving unambiguously to --seeds
+    ap.add_argument("--walk-seed", type=int, default=42,
+                    help="walks/mis: hash seed")
     ap.add_argument("--lgk", type=int, default=12,
                     help="nf: HLL sketch precision (2^lgk bytes/vertex)")
     ap.add_argument("--exact-nf", action="store_true",
@@ -186,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
         from halvesting_geometric_spark.operators.walks import random_walks
 
         w = random_walks(
-            g.edges, args.seeds, walk_length=args.max_iter, seed=args.seed
+            g.edges, args.seeds, walk_length=args.max_iter, seed=args.walk_seed
         )
         w.write.mode("overwrite").parquet(args.output)
         summary.update(seeds=args.seeds, rows=w.count())
@@ -211,7 +213,7 @@ def main(argv: list[str] | None = None) -> int:
             maximal_independent_set,
         )
 
-        m = maximal_independent_set(g.edges, g.vertices, seed=args.seed)
+        m = maximal_independent_set(g.edges, g.vertices, seed=args.walk_seed)
         m.write.mode("overwrite").parquet(args.output)
         summary.update(members=m.count())
     elif args.algorithm == "harmonic":

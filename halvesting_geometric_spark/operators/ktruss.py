@@ -25,12 +25,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from halvesting_geometric_spark.operators.graph import canonical_edges
-from halvesting_geometric_spark.operators.triangles import triangle_listing
+from halvesting_geometric_spark.operators.triangles import (
+    _oriented,
+    triangle_listing,
+)
 
 
 def _support(canon: DataFrame) -> DataFrame:
-    """(src, dst, support) per canonical edge; zero-support edges included."""
-    tri = triangle_listing(canon)
+    """(src, dst, support) per canonical edge; zero-support edges included.
+
+    Builds the oriented table itself and materializes the result eagerly so
+    the per-round cache can be released — the peeling loop would otherwise
+    leak one cached table per round.
+    """
+    o = _oriented(canon).persist(StorageLevel.MEMORY_AND_DISK)
+    tri = triangle_listing(canon, oriented=o)
     # the lister orients by (degree, id), so (a, b, c) is NOT id-sorted;
     # normalize each of the triangle's three edges with least/greatest
     hits = (
@@ -44,11 +53,17 @@ def _support(canon: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("support"))
     )
-    return canon.join(hits, ["src", "dst"], "left").select(
-        "src",
-        "dst",
-        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    out = (
+        canon.join(hits, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        .localCheckpoint(eager=True)
     )
+    o.unpersist()
+    return out
 
 
 def ktruss(

@@ -252,15 +252,17 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     aggregates, all map-side combinable. Returns one row
     (m: long, n_communities: long, modularity: double).
     """
-    canon = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    canon = canonical_edges(edges)
     lab = labels.select("vertex_id", "label")
+    # tagged feeds three aggregates (edge count, degree-union, intra count)
+    # — cache it, not canon, and release only after the last one
     tagged = canon.join(
         lab.select(F.col("vertex_id").alias("src"), F.col("label").alias("la")),
         "src",
     ).join(
         lab.select(F.col("vertex_id").alias("dst"), F.col("label").alias("lb")),
         "dst",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     m_row = tagged.agg(
         F.count("*").alias("m"),
         F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias(
@@ -268,9 +270,9 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         ),
     ).first()
     m = int(m_row["m"] or 0)
-    canon.unpersist()
     spark = edges.sparkSession
     if m == 0:
+        tagged.unpersist()
         return spark.createDataFrame(
             [(0, 0, 0.0)], "m long, n_communities long, modularity double"
         )
@@ -301,6 +303,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
         .first()
     )
+    tagged.unpersist()
     return spark.createDataFrame(
         [(m, int(q["n_communities"]), float(q["modularity"]))],
         "m long, n_communities long, modularity double",

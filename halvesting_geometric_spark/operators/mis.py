@@ -130,10 +130,14 @@ def maximal_independent_set(
         if n_live == 0:
             break
         if n_win == 0 and n_live > 0:
+            for p in prev_caches:  # release caches on the error path too
+                p.unpersist()
             raise RuntimeError(
                 f"MIS round {r} made no progress with {n_live} live vertices"
             )
     else:
+        for p in prev_caches:  # release caches on the error path too
+            p.unpersist()
         raise RuntimeError(
             f"MIS did not converge within max_rounds={max_rounds}"
         )

@@ -51,6 +51,9 @@ def neighborhood_function_exact(
     counts = [(0, reach.count())]
     prev_caches: list[DataFrame] = [reach]
     for t in range(1, max_t + 1):
+        # eager localCheckpoint, not persist: reach is referenced twice per
+        # iteration (union + join), so an un-truncated plan doubles per
+        # superstep and the driver OOMs stringifying it at larger max_t
         nxt = (
             reach.unionByName(
                 reach.join(topo, reach["v"] == topo["src"]).select(
@@ -58,7 +61,7 @@ def neighborhood_function_exact(
                 )
             )
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         n = nxt.count()
         for p in prev_caches:
@@ -264,13 +267,21 @@ def effective_diameter(
 
 
 def neighborhood_function_hll(
-    edges: DataFrame, vertices: DataFrame, max_t: int, lgk: int = 12
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_t: int,
+    lgk: int = 12,
+    rel_tol: float = 1e-4,
 ) -> DataFrame:
     """HyperBall: approximate N(t) via per-vertex HLL sketches.
 
     sketch_{t+1}(v) = sketch_t(v) ∪ ⋃_{v→w} sketch_t(w); N(t) is the sum of
     per-vertex estimates. ``lgk`` trades memory (2^lgk bytes per vertex) for
-    accuracy (~1.04/√2^lgk relative error). Returns (t, n_pairs_est: double).
+    accuracy (~1.04/√2^lgk relative error). Stops early when the total
+    estimate grows by less than ``rel_tol`` relative (the HyperANF
+    convergence rule) — later t rows then repeat the converged value, same
+    padding convention as the exact variant. Returns
+    (t, n_pairs_est: double).
     """
     if max_t < 0:
         raise ValueError(f"max_t must be >= 0, got {max_t}")
@@ -303,6 +314,8 @@ def neighborhood_function_hll(
             .groupBy("src")
             .agg(F.hll_union_agg("sk", F.lit(False)).alias("nbr_sk"))
         )
+        # eager localCheckpoint: sk is referenced twice (gather + merge), so
+        # persist alone would double the logical plan per superstep
         nxt = (
             sk.join(
                 gathered.select(F.col("src").alias("vertex_id"), "nbr_sk"),
@@ -317,16 +330,22 @@ def neighborhood_function_hll(
                 .otherwise(F.hll_union("sk", "nbr_sk"))
                 .alias("sk"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         est = nxt.agg(
             F.sum(F.hll_sketch_estimate("sk")).alias("s")
         ).first()["s"]
+        prev_est = counts[-1][1]
         counts.append((t, float(est)))
         for p in prev_caches:
             p.unpersist()
         prev_caches = [nxt]
         sk = nxt
+        if prev_est > 0 and (float(est) - prev_est) / prev_est < rel_tol:
+            counts.extend(
+                (k, float(est)) for k in range(t + 1, max_t + 1)
+            )
+            break
     for p in prev_caches:
         p.unpersist()
     topo.unpersist()

@@ -97,10 +97,25 @@ def aggregate_neighbors(
         np.add.at(total, inv, cnt)
         return uniq, out, total
 
+    # cap on buffered partial rows before an intermediate re-reduce: bounds
+    # executor-Python memory at ~cap·dim float64s even when a partition's
+    # dst values are mostly distinct (a plain collect-all-then-reduce would
+    # hold the whole partition in the worker)
+    _REDUCE_CAP = 262_144
+
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc_dst: list[np.ndarray] = []
         acc_vec: list[np.ndarray] = []
         acc_cnt: list[np.ndarray] = []
+        acc_rows = 0
+
+        def fold() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            return _reduce(
+                np.concatenate(acc_dst),
+                np.vstack(acc_vec),
+                np.concatenate(acc_cnt),
+            )
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -119,15 +134,16 @@ def aggregate_neighbors(
             acc_dst.append(uniq)
             acc_vec.append(out)
             acc_cnt.append(cnt)
+            acc_rows += len(uniq)
+            if acc_rows > _REDUCE_CAP:
+                uniq, out, cnt = fold()
+                acc_dst, acc_vec, acc_cnt = [uniq], [out], [cnt]
+                acc_rows = len(uniq)
         if not acc_dst:
             return
-        # second reduce across the task's batches: one partial row per
+        # final reduce across the task's batches: one partial row per
         # distinct dst in the PARTITION — a hub emits #partitions rows total
-        uniq, out, cnt = _reduce(
-            np.concatenate(acc_dst),
-            np.vstack(acc_vec),
-            np.concatenate(acc_cnt),
-        )
+        uniq, out, cnt = fold()
         yield pd.DataFrame({"dst": uniq, "pvec": list(out), "cnt": cnt})
 
     partials = gathered.mapInPandas(

@@ -26,13 +26,25 @@ def l2_normalize(
     transform — JVM-side, no UDF). Zero vectors pass through unchanged.
     Returns (id, unit: array<double>, norm: double)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return df.select(
+    # materialize the norm as a column FIRST: embedding the aggregate inside
+    # the transform lambda would re-evaluate the O(d) reduction per element
+    # (no CSE across higher-order-function calls) — O(d²) per row
+    staged = df.select(
         F.col(id_col),
-        F.when(norm > 0, F.transform(v, lambda x: x / norm))
-        .otherwise(v)
+        v.alias("_v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("norm"),
+    )
+    return staged.select(
+        id_col,
+        F.when(
+            F.col("norm") > 0,
+            F.transform(F.col("_v"), lambda x: x / F.col("norm")),
+        )
+        .otherwise(F.col("_v"))
         .alias("unit"),
-        norm.alias("norm"),
+        "norm",
     )
 
 
@@ -50,11 +62,23 @@ def quantize_int8(
     amax = F.aggregate(
         v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
     )
-    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-    q = F.transform(
-        v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    # stage the scale as a column (see l2_normalize: an aggregate inlined in
+    # the transform lambda re-runs per element)
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0)).alias(
+            "scale"
+        ),
     )
-    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+    return staged.select(
+        id_col,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+        "scale",
+    )
 
 
 def cosine_topk_bruteforce(

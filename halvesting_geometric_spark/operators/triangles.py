@@ -61,9 +61,22 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_listing(edges: DataFrame) -> DataFrame:
-    """All triangles as rows (a, b, c); each triangle exactly once."""
-    o = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+def triangle_listing(
+    edges: DataFrame, oriented: DataFrame | None = None
+) -> DataFrame:
+    """All triangles as rows (a, b, c); each triangle exactly once.
+
+    ``oriented``: a caller-managed (and ideally persisted) table from
+    :func:`_oriented` — callers that list triangles repeatedly (k-truss
+    peeling) pass it in so THEY control the cache lifetime; the default
+    builds and persists one internally (left cached: the result derives
+    from it lazily).
+    """
+    o = (
+        oriented
+        if oriented is not None
+        else _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     e1 = o.select("a", F.col("b").alias("w1"), F.col("db").alias("dw1"))
     e2 = o.select("a", F.col("b").alias("w2"), F.col("db").alias("dw2"))
     wedges = e1.join(e2, "a").filter(

@@ -61,14 +61,22 @@ def clean_corpus(
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(list(languages)))
+    # one materialization of the regex-heavy scoring chain: the audit counts
+    # and the returned survivors all read the cached/truncated frames
+    # instead of re-running scrub+score per action
+    from pyspark import StorageLevel
+
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     keepers = (
         kept.groupBy(text_col)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, text_col)
+        .localCheckpoint(eager=True)
     )
     n_input = docs.count()
     n_kept = kept.count()
     n_out = keepers.count()
+    kept.unpersist()
     spark = docs.sparkSession
     audit = spark.createDataFrame(
         [(n_input, n_kept, n_kept - n_out, n_out)],

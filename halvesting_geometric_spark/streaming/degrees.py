@@ -10,24 +10,28 @@ merge-on-read pattern. Log layout under one root:
                                 micro-batch replaces itself, so the
                                 checkpointed file-source offsets give
                                 exactly-once end to end)
-    <root>/base/                the folded absolute counts from the last
-                                compaction (absent until one runs)
+    <root>/base/gen=<k>/        folded absolute counts (one generation per
+                                compaction)
+    <root>/MANIFEST.json        atomic pointer {gen, folded_upto}
 
-Readers merge-on-read: one groupBy-sum over base ∪ live. Compaction folds
-base + the live partitions present at its start into a new base and removes
-exactly those folded partitions, so the stream can keep appending new batch
-ids to live/ across compactions — batch ids never collide with base. On an
-Iceberg catalog the same dataflow lands as MERGE INTO; the swap here uses
-local-filesystem renames (same constraint as plans/checkpoint.py — the
-manifest/swap layer is the part an object-store deployment replaces).
+Correctness comes from the MANIFEST, not from deletion: readers use
+base/gen=<gen> plus only live partitions with batch_id > folded_upto
+(micro-batch ids are strictly increasing under one checkpoint), so a crash
+anywhere inside compaction leaves either the old manifest (old base + all
+live — consistent) or the new one (new base + the not-yet-folded live —
+consistent); removing folded partitions and stale generations is merely
+garbage collection, retried on the next compaction. All filesystem access
+goes through the Hadoop FileSystem API, so hdfs://, s3a:// and plain local
+paths all work; the manifest rename is atomic on HDFS/local (on S3 it is
+copy+delete — run compaction single-writer there, or land the same
+dataflow as an Iceberg MERGE, which is the intended production target).
 
 The reference is batch-only (SURVEY §2.10); no parity requirement.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +39,64 @@ from pyspark.sql import functions as F
 from halvesting_geometric_spark.streaming.ingest import stream_conv_edges
 
 _DELTA_SCHEMA = "src_conv string, out_deg_delta long"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for any scheme the session supports."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _list_dirs(spark: SparkSession, path: str) -> list[str]:
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+    ]
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def _write_manifest(spark: SparkSession, root: str, gen: int, upto: int) -> None:
+    """tmp-write + rename: atomic on HDFS/local (see module docstring)."""
+    fs, _ = _fs(spark, root)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_MANIFEST.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/MANIFEST.json")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps({"gen": gen, "folded_upto": upto}).encode()))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _read_manifest(spark: SparkSession, root: str) -> tuple[int | None, int]:
+    """(gen or None, folded_upto). Unparsable/missing manifest → no base,
+    nothing folded — the pre-compaction state, always safe."""
+    if not _exists(spark, f"{root}/MANIFEST.json"):
+        return None, -1
+    # a tiny Spark text read instead of py4j stream plumbing: works on any
+    # Hadoop-supported filesystem with no byte-array marshalling pitfalls
+    rows = spark.read.text(f"{root}/MANIFEST.json").collect()
+    try:
+        m = json.loads("".join(r["value"] for r in rows))
+        return int(m["gen"]), int(m["folded_upto"])
+    except (ValueError, KeyError):
+        return None, -1
 
 
 def degree_deltas_available_now(
@@ -66,29 +128,40 @@ def degree_deltas_available_now(
     q.awaitTermination()
 
 
-def _read_log_part(spark: SparkSession, path: str) -> DataFrame | None:
-    """One log directory as (src_conv, out_deg_delta); None if absent/empty.
-    Only genuinely-missing paths read as None — other read failures raise."""
-    if not os.path.isdir(path) or not os.listdir(path):
-        return None
-    # project away the discovered batch_id partition column so base (flat)
-    # and live (partitioned) parts union cleanly
-    return spark.read.schema(_DELTA_SCHEMA).parquet(path).select(
-        "src_conv", "out_deg_delta"
+def _live_parts(
+    spark: SparkSession, log_root: str, folded_upto: int
+) -> tuple[DataFrame | None, list[int]]:
+    """Un-folded live deltas as one frame + the batch ids it covers."""
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in _list_dirs(spark, f"{log_root}/live")
+        if d.startswith("batch_id=")
     )
+    fresh = [b for b in ids if b > folded_upto]
+    if not fresh:
+        return None, []
+    df = (
+        spark.read.schema(_DELTA_SCHEMA)
+        .parquet(*[f"{log_root}/live/batch_id={b}" for b in fresh])
+        .select("src_conv", "out_deg_delta")
+    )
+    return df, fresh
 
 
 def read_running_degrees(spark: SparkSession, log_root: str) -> DataFrame:
     """Merge-on-read view of the delta log: (src_conv, out_deg). An absent
     or empty log reads as zero rows."""
-    parts = [
-        p
-        for p in (
-            _read_log_part(spark, f"{log_root}/base"),
-            _read_log_part(spark, f"{log_root}/live"),
+    gen, upto = _read_manifest(spark, log_root)
+    parts: list[DataFrame] = []
+    if gen is not None and _exists(spark, f"{log_root}/base/gen={gen}"):
+        parts.append(
+            spark.read.schema(_DELTA_SCHEMA)
+            .parquet(f"{log_root}/base/gen={gen}")
+            .select("src_conv", "out_deg_delta")
         )
-        if p is not None
-    ]
+    live, _ = _live_parts(spark, log_root, upto)
+    if live is not None:
+        parts.append(live)
     if not parts:
         return spark.createDataFrame([], "src_conv string, out_deg long")
     log = parts[0]
@@ -100,41 +173,41 @@ def read_running_degrees(spark: SparkSession, log_root: str) -> DataFrame:
 
 
 def compact_degree_deltas(spark: SparkSession, log_root: str) -> int:
-    """Fold base + the live partitions currently present into a new base and
-    delete exactly those folded partitions. Returns the number of live
-    partitions folded. Safe between drains (the AvailableNow pattern is
-    caller-sequenced); a concurrent drain appending NEW batch ids is also
-    safe — only partitions snapshotted here are removed.
-    """
-    live_dir = f"{log_root}/live"
-    folded = sorted(
-        d
-        for d in (os.listdir(live_dir) if os.path.isdir(live_dir) else [])
-        if d.startswith("batch_id=")
-    )
-    base = _read_log_part(spark, f"{log_root}/base")
-    live_parts = [
-        p
-        for d in folded
-        if (p := _read_log_part(spark, f"{live_dir}/{d}")) is not None
-    ]
-    merged = None
-    for p in ([base] if base is not None else []) + live_parts:
-        merged = p if merged is None else merged.unionByName(p)
-    if merged is None:
+    """Fold base + the currently un-folded live partitions into a new base
+    generation and atomically advance the manifest. Returns the number of
+    live partitions folded. Crash-safe (see module docstring); folded
+    partitions and stale generations are garbage-collected best-effort here
+    and again on the next compaction."""
+    gen, upto = _read_manifest(spark, log_root)
+    live, fresh = _live_parts(spark, log_root, upto)
+    # GC debris from any earlier crash/partial cleanup first
+    for d in _list_dirs(spark, f"{log_root}/live"):
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto:
+            _delete(spark, f"{log_root}/live/{d}")
+    for d in _list_dirs(spark, f"{log_root}/base"):
+        if gen is None or d != f"gen={gen}":
+            _delete(spark, f"{log_root}/base/{d}")
+    if live is None:
         return 0
-    folded_abs = merged.groupBy("src_conv").agg(
+    parts = [live]
+    if gen is not None and _exists(spark, f"{log_root}/base/gen={gen}"):
+        parts.append(
+            spark.read.schema(_DELTA_SCHEMA)
+            .parquet(f"{log_root}/base/gen={gen}")
+            .select("src_conv", "out_deg_delta")
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    folded = merged.groupBy("src_conv").agg(
         F.sum("out_deg_delta").alias("out_deg_delta")
     )
-    tmp = f"{log_root}/_base_tmp"
-    folded_abs.write.mode("overwrite").parquet(tmp)
-    # swap: tmp becomes base, then drop exactly the folded live partitions
-    old = f"{log_root}/_base_old"
-    if os.path.isdir(f"{log_root}/base"):
-        os.replace(f"{log_root}/base", old)
-    os.replace(tmp, f"{log_root}/base")
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    for d in folded:
-        shutil.rmtree(f"{live_dir}/{d}", ignore_errors=True)
-    return len(folded)
+    new_gen = 0 if gen is None else gen + 1
+    folded.write.mode("overwrite").parquet(f"{log_root}/base/gen={new_gen}")
+    _write_manifest(spark, log_root, new_gen, max(fresh))
+    # best-effort cleanup; a crash here only leaves excluded debris
+    for b in fresh:
+        _delete(spark, f"{log_root}/live/batch_id={b}")
+    if gen is not None:
+        _delete(spark, f"{log_root}/base/gen={gen}")
+    return len(fresh)

@@ -83,7 +83,7 @@ def test_cli_mis_and_harmonic(spark, tmp_path, capsys):
     tr_dir = str(tmp_path / "tr5")
     generate_transcripts(spark, 20, seed=9).write.parquet(tr_dir)
     for algo, extra in [
-        ("mis", ["--seed", "3"]),
+        ("mis", ["--walk-seed", "3"]),
         ("harmonic", ["--max-iter", "3", "--lgk", "10"]),
     ]:
         out_dir = str(tmp_path / f"out5_{algo}")
