@@ -8,7 +8,8 @@ algorithms) on a Zipf-skewed graph sized by the scale factor, on
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``--scaling`` additionally runs the PageRank job at two parallelism levels
-(local[N] and local[4N]) in fresh JVMs and writes ``BENCH/BASELINE.md`` with
+(local[N] and local[4N]) in fresh JVMs and writes ``BENCH/SCALING_LAST.md`` +
+a raw JSON under ``BENCH/raw/`` with
 throughput at both plus efficiency = (T_N / T_4N) / 4 — the sandbox protocol
 for the north_rule's two-cluster-size criterion (see BASELINE.md).
 """
@@ -227,7 +228,8 @@ def run_control_job(cores: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
-                    help="run local[N] vs local[4N] and write BENCH/BASELINE.md")
+                    help="run local[N] vs local[4N]; writes BENCH/SCALING_LAST.md "
+                         "+ BENCH/raw/, never the curated BASELINE.md")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--n-convs", type=int, default=None)
     ap.add_argument("--n-vertices", type=int, default=1_000_000)
@@ -330,8 +332,8 @@ def run_scaling(
     eff = (
         small["sec_per_iter_median"] / big["sec_per_iter_median"]
     ) / (cpus / n_small)
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    os.makedirs("BENCH/raw", exist_ok=True)
+    with open("BENCH/SCALING_LAST.md", "w") as fh:
         fh.write(
             f"""# BENCH baseline — scaling-efficiency evidence (sandbox protocol)
 
@@ -368,7 +370,7 @@ all threads; the sandbox host also carries variable external load.
         )
     run_meta["finished_unix"] = time.time()
     run_meta["loadavg_after"] = os.getloadavg()
-    print(json.dumps({
+    result_json = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -380,7 +382,17 @@ all threads; the sandbox host also carries variable external load.
         "small": small,
         "big": big,
         "controls": controls,
-    }))
+    }
+    # raw JSON always lands in BENCH/raw (named by levels + start time) so
+    # no run is lost; BASELINE.md is the hand-curated evidence document and
+    # is never clobbered by a run (SCALING_LAST.md above is the per-run md)
+    raw_name = (
+        f"BENCH/raw/scaling_{n_small}v{cpus}_"
+        f"{int(run_meta['started_unix'])}.json"
+    )
+    with open(raw_name, "w") as fh:
+        json.dump(result_json, fh)
+    print(json.dumps(result_json))
 
 
 if __name__ == "__main__":
