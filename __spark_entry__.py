@@ -1090,6 +1090,22 @@ def _q_vecops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.join(qq, "vec_id")
 
 
+def _q_densest2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph after 2 fixed greedy peels (Bahmani et al.):
+    member vertices with the winning round's density attached."""
+    from halvesting_geometric_spark.operators.densest import densest_subgraph
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    res = densest_subgraph(edges, epsilon=0.1, fixed_rounds=2)
+    return res.vertices.select(
+        "vertex_id",
+        F.lit(int(res.density * 1_000_000 + 0.5)).cast("long").alias(
+            "density_e6"
+        ),
+        F.lit(res.round).cast("long").alias("best_round"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1165,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath2": _q_metapath2,
         "vecops": _q_vecops,
         "clean_corpus": _q_clean_corpus,
+        "densest2": _q_densest2,
     }
 
 
@@ -1564,6 +1581,63 @@ spf AS (
         f"SELECT e.a AS src, e.b AS dst, "
         f"CAST(COALESCE(s.sup, 0) AS BIGINT) AS support "
         f"FROM e{rounds} e LEFT JOIN spf s ON e.a = s.a AND e.b = s.b"
+    )
+
+
+def _densest_sql(rounds: int = 2, eps: float = 0.1) -> str:
+    """Densest-subgraph twin: unrolled peels; winner = first round whose
+    density is a strict maximum (matching the engine's first-wins argmax)."""
+    thr = f"2 * (1 + {eps})"
+    parts = [_BASE, "pe0 AS MATERIALIZED (SELECT a, b FROM canon)"]
+    for r in range(rounds + 1):
+        parts.append(
+            f"""pv{r} AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM pe{r} UNION ALL SELECT b AS v FROM pe{r}) u
+  GROUP BY v),
+pm{r} AS (
+  SELECT CAST((SELECT COUNT(*) FROM pe{r}) AS DOUBLE)
+         / NULLIF((SELECT COUNT(*) FROM pv{r}), 0) AS d)"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""pe{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM pe{r} e
+  JOIN pv{r} x ON e.a = x.v JOIN pv{r} y ON e.b = y.v
+  WHERE x.deg > {thr} * (SELECT d FROM pm{r})
+    AND y.deg > {thr} * (SELECT d FROM pm{r}))"""
+            )
+    ds = [f"COALESCE((SELECT d FROM pm{r}), -1)" for r in range(rounds + 1)]
+    # first-wins argmax over d0..dN
+    pick_cases = []
+    for r in range(rounds, 0, -1):
+        conds = " AND ".join(f"{ds[r]} > {ds[p]}" for p in range(r)) + (
+            ""
+            if r == rounds
+            else " AND "
+            + " AND ".join(f"{ds[r]} >= {ds[q]}" for q in range(r + 1, rounds + 1))
+        )
+        pick_cases.append(f"WHEN {conds} THEN {r}")
+    pick = "CASE " + " ".join(pick_cases) + " ELSE 0 END"
+    parts.append(f"pick AS (SELECT {pick} AS r)")
+    member_union = " UNION ALL ".join(
+        f"SELECT v FROM pv{r} WHERE (SELECT r FROM pick) = {r}"
+        for r in range(rounds + 1)
+    )
+    dens_case = (
+        "CASE (SELECT r FROM pick) "
+        + " ".join(
+            f"WHEN {r} THEN (SELECT d FROM pm{r})" for r in range(rounds + 1)
+        )
+        + " END"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT m.v AS vertex_id, "
+        f"CAST(floor(({dens_case}) * 1000000 + 0.5) AS BIGINT) AS density_e6, "
+        f"CAST((SELECT r FROM pick) AS BIGINT) AS best_round "
+        f"FROM ({member_union}) m"
     )
 
 
@@ -2193,6 +2267,7 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "walks4": _walks_sql(4),
         "nf4": _nf_sql(4),
         "mis": _mis_sql(8),
+        "densest2": _densest_sql(2, 0.1),
         "harmonic4": _harmonic_sql(4),
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),
