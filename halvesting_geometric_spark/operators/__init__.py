@@ -19,6 +19,7 @@ from halvesting_geometric_spark.operators.ids import (
     dense_ids_window,
     edges_to_ids,
 )
+from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
 from halvesting_geometric_spark.operators.labelprop import label_propagation
 from halvesting_geometric_spark.operators.linkpred import (
@@ -60,6 +61,7 @@ __all__ = [
     "clustering_coefficients",
     "connected_components",
     "degree_assortativity",
+    "densest_subgraph",
     "dense_ids_scalable",
     "dense_ids_window",
     "edges_to_ids",
