@@ -1106,6 +1106,17 @@ def _q_densest2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Leman colors after 3 refinements (portable hash, seed 42)
+    — per-vertex structural roles, externally replayed round by round."""
+    from halvesting_geometric_spark.operators.wl import wl_refinement
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return wl_refinement(
+        edges, verts, rounds=3, seed=42, hash_method="portable"
+    ).select("vertex_id", "color")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1182,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vecops": _q_vecops,
         "clean_corpus": _q_clean_corpus,
         "densest2": _q_densest2,
+        "wl3": _q_wl3,
     }
 
 
@@ -1581,6 +1593,40 @@ spf AS (
         f"SELECT e.a AS src, e.b AS dst, "
         f"CAST(COALESCE(s.sup, 0) AS BIGINT) AS support "
         f"FROM e{rounds} e LEFT JOIN spf s ON e.a = s.a AND e.b = s.b"
+    )
+
+
+def _wl_sql(rounds: int, seed: int = 42) -> str:
+    """WL-refinement twin: per round, numerically-sorted in-neighbor color
+    multiset string + portable hash of (own color, multiset)."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    h = portable_hash64_sql(
+        "c.color", "COALESCE(n.multiset, '')", seed=seed
+    )
+    parts = [
+        _BASE,
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "col0 AS MATERIALIZED "
+        "(SELECT vertex_id AS v, CAST(0 AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""nb{t} AS MATERIALIZED (
+  SELECT e.dst,
+         string_agg(CAST(c.color AS VARCHAR), ',' ORDER BY c.color)
+           AS multiset
+  FROM de e JOIN col{p} c ON e.src = c.v GROUP BY e.dst),
+col{t} AS MATERIALIZED (
+  SELECT c.v, {h} AS color
+  FROM col{p} c LEFT JOIN nb{t} n ON c.v = n.dst)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(color AS BIGINT) AS color "
+        f"FROM col{rounds}"
     )
 
 
@@ -2268,6 +2314,7 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "nf4": _nf_sql(4),
         "mis": _mis_sql(8),
         "densest2": _densest_sql(2, 0.1),
+        "wl3": _wl_sql(3),
         "harmonic4": _harmonic_sql(4),
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),

@@ -45,6 +45,7 @@ from halvesting_geometric_spark.operators.neighbors import (
 from halvesting_geometric_spark.operators.pagerank import pagerank
 from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
 from halvesting_geometric_spark.operators.triangles import triangle_count
+from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
 from halvesting_geometric_spark.operators.walks import (
     metapath_walks,
     random_walks,
@@ -87,4 +88,6 @@ __all__ = [
     "sssp",
     "triangle_count",
     "undirected",
+    "wl_histogram",
+    "wl_refinement",
 ]
