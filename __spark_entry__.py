@@ -1117,6 +1117,25 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact Jaccard >= 0.5 pairs → connected components
+    → smallest-id representative (transitive dedup, not pairwise)."""
+    from halvesting_geometric_spark.operators.dedup import (
+        jaccard_similarity,
+        near_dup_clusters,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    pairs = jaccard_similarity(sh).filter(F.col("jaccard") >= 0.5).select(
+        "a", "b"
+    )
+    return near_dup_clusters(pairs, docs).select(
+        "doc_id", "cluster_rep", "is_kept"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_edges": _q_extract_edges,
@@ -1194,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _q_clean_corpus,
         "densest2": _q_densest2,
         "wl3": _q_wl3,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -2315,6 +2335,36 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "mis": _mis_sql(8),
         "densest2": _densest_sql(2, 0.1),
         "wl3": _wl_sql(3),
+        "dedup_clusters": r"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 2, 1) + 1)])
+             AS shl
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+  ) x, unnest(x.shl) AS u(s)
+  WHERE u.s <> ''),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY x.id, y.id),
+prs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
+  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5),
+sym2 AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym2 s ON r.v = s.u)
+SELECT d.doc_id,
+       CAST(MIN(r.v) AS BIGINT) AS cluster_rep,
+       (d.doc_id = MIN(r.v)) AS is_kept
+FROM documents d JOIN reach r ON d.doc_id = r.u
+GROUP BY d.doc_id""",
         "harmonic4": _harmonic_sql(4),
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),

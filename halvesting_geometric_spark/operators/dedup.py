@@ -207,6 +207,51 @@ def containment_scores(
     return out
 
 
+def near_dup_clusters(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair table: transitive closure via
+    connected components, canonical representative = the smallest id in the
+    cluster.
+
+    Pairwise dedup under-deletes (A≈B, B≈C but A̸≈C still leaves two of the
+    three); production dedup clusters the near-dup graph and keeps one doc
+    per component. ``pairs``: (a, b) near-dup edges from any detector
+    (jaccard threshold, MinHash-LSH, SimHash, containment). Documents that
+    appear in no pair form singleton clusters of themselves. Returns
+    (id, cluster_rep, is_kept) — one row per input document.
+
+    Scale shape: the component step is the same Kiveris large-star /
+    small-star driver the citation graph uses — no transitive-closure
+    materialization.
+    """
+    from halvesting_geometric_spark.operators.components import (
+        connected_components,
+    )
+
+    ids = docs.select(F.col(id_col)).distinct()
+    verts = ids.select(F.col(id_col).alias("vertex_id"))
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(edges, verts).components
+    return (
+        ids.join(
+            comp.select(
+                F.col("vertex_id").alias(id_col),
+                F.col("component").alias("cluster_rep"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("cluster_rep"))
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

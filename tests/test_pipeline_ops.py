@@ -348,3 +348,27 @@ def test_l2_normalize_and_quantize_int8(spark):
     # codes bounded
     for _, r in q.iterrows():
         assert all(-127 <= c <= 127 for c in r["q"])
+
+
+def test_near_dup_clusters_transitive(spark):
+    from halvesting_geometric_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long"
+    )
+    # chain 0-1-2 (transitive cluster), pair 4-5, singletons 3 and 6
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "a long, b long"
+    )
+    got = (
+        near_dup_clusters(pairs, docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["cluster_rep"].to_dict() == {
+        0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6,
+    }
+    assert got["is_kept"].to_dict() == {
+        0: True, 1: False, 2: False, 3: True, 4: True, 5: False, 6: True,
+    }
