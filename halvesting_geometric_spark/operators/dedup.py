@@ -91,8 +91,11 @@ def lsh_candidate_pairs(
     """
     first = sig_df.select(F.size("sig")).first()
     if first is None:  # empty signature table → no candidate pairs
-        spark = sig_df.sparkSession
-        return spark.createDataFrame([], "a long, b long")
+        # derive the empty frame's schema from the caller's id column so the
+        # empty and non-empty cases union/join identically (string ids too)
+        return sig_df.select(
+            F.col("id").alias("a"), F.col("id").alias("b")
+        ).limit(0)
     n_hashes_row = first[0]
     rows_per_band = rows_per_band or n_hashes_row // bands
     if rows_per_band < 1 or bands * rows_per_band > n_hashes_row:
@@ -285,6 +288,13 @@ def simhash(
     sign → bit. All expression-level (shiftright/bitwise-and inside the
     aggregate); one shuffle. With ``hash_method='portable'`` the hash carries
     60 usable bits, so ``bits`` must be ≤ 60 there.
+
+    FORMAT BREAK (v2, since round 2): the token hash is the *seeded* form
+    ``xxhash64(tok, 0)``, not round-1's unseeded ``xxhash64(tok)`` — Spark
+    evaluates these differently, so simhashes persisted by round-1 code do
+    NOT match values computed here and must be recomputed (an exact-dup
+    join across old and new outputs would silently find nothing). Same
+    applies to :func:`textstats.fingerprint`.
     """
     if hash_method == "portable" and bits > 60:
         raise ValueError("portable hash carries 60 bits; lower `bits`")

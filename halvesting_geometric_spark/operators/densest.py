@@ -51,6 +51,7 @@ def densest_subgraph(
     best: tuple[float, int, DataFrame] | None = None
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     r = 0
+    emptied = n_e == 0
     for r in range(rounds + 1):
         verts = (
             cur.select(F.col("src").alias("v"))
@@ -61,6 +62,7 @@ def densest_subgraph(
         )
         n_v = verts.count()
         if n_v == 0:
+            emptied = True
             break
         density = n_e / n_v
         if best is None or density > best[0]:
@@ -78,12 +80,14 @@ def densest_subgraph(
         n_e = nxt.count()
         cur = nxt
         if n_e == 0:
+            emptied = True
             break
-    else:
-        if fixed_rounds is None:
-            raise RuntimeError(
-                f"densest_subgraph did not finish within max_rounds={max_rounds}"
-            )
+    if fixed_rounds is None and not emptied:
+        # fixpoint mode promises "peel until no edges remain"; returning
+        # best-so-far here would silently weaken the 2(1+eps) guarantee
+        raise RuntimeError(
+            f"densest_subgraph did not finish within max_rounds={max_rounds}"
+        )
     if best is None:  # edgeless input: no subgraph has positive density
         spark = edges.sparkSession
         return DensestResult(

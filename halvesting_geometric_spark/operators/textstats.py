@@ -223,7 +223,12 @@ def fingerprint(
     (case/whitespace-insensitive exact dup key) + first/last-256-char hashes
     (cheap containment probes). ``hash_method="portable"`` selects the
     md5-derived cross-engine hash so an external SQL oracle can verify the
-    full dataflow bit-for-bit."""
+    full dataflow bit-for-bit.
+
+    FORMAT BREAK (v2, since round 2): hashes are the *seeded* form
+    ``xxhash64(x, 0)``, not round-1's unseeded ``xxhash64(x)`` — persisted
+    round-1 fingerprints must be recomputed before joining against new
+    outputs (see the matching note on :func:`dedup.simhash`)."""
     from halvesting_geometric_spark.operators.sampling import hash64
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

@@ -12,19 +12,26 @@ merge-on-read pattern. Log layout under one root:
                                 exactly-once end to end)
     <root>/base/gen=<k>/        folded absolute counts (one generation per
                                 compaction)
-    <root>/MANIFEST.json        atomic pointer {gen, folded_upto}
+    <root>/MANIFEST-<k>.json    pointer {gen, folded_upto}; readers use the
+                                highest-numbered parsable manifest
 
 Correctness comes from the MANIFEST, not from deletion: readers use
 base/gen=<gen> plus only live partitions with batch_id > folded_upto
 (micro-batch ids are strictly increasing under one checkpoint), so a crash
 anywhere inside compaction leaves either the old manifest (old base + all
 live — consistent) or the new one (new base + the not-yet-folded live —
-consistent); removing folded partitions and stale generations is merely
-garbage collection, retried on the next compaction. All filesystem access
-goes through the Hadoop FileSystem API, so hdfs://, s3a:// and plain local
-paths all work; the manifest rename is atomic on HDFS/local (on S3 it is
-copy+delete — run compaction single-writer there, or land the same
-dataflow as an Iceberg MERGE, which is the intended production target).
+consistent); removing folded partitions, stale generations and superseded
+manifests is merely garbage collection, retried on the next compaction.
+Manifests are *monotonically versioned*, never updated in place: a new
+generation lands as a brand-new MANIFEST-<k>.json (tmp-write + rename to a
+name that does not exist yet), so there is no delete/rename gap in which no
+manifest exists — a crash at any point leaves the previous highest manifest
+readable. As a last-ditch guard, GC refuses to delete base generations when
+no manifest is readable at all. All filesystem access goes through the
+Hadoop FileSystem API, so hdfs://, s3a:// and plain local paths all work;
+single-writer compaction is assumed on S3 (rename is copy+delete there —
+or land the same dataflow as an Iceberg MERGE, the intended production
+target).
 
 The reference is batch-only (SURVEY §2.10); no parity requirement.
 """
@@ -70,33 +77,69 @@ def _delete(spark: SparkSession, path: str) -> None:
     fs.delete(p, True)
 
 
+def _manifest_versions(spark: SparkSession, root: str) -> list[int]:
+    """Versions of all MANIFEST-<n>.json files under root, ascending."""
+    fs, p = _fs(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("MANIFEST-") and name.endswith(".json"):
+            try:
+                out.append(int(name[len("MANIFEST-"):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _write_manifest(spark: SparkSession, root: str, gen: int, upto: int) -> None:
-    """tmp-write + rename: atomic on HDFS/local (see module docstring)."""
+    """tmp-write + rename to a NEW versioned name — the previous manifest is
+    never touched, so readers always find one (see module docstring)."""
     fs, _ = _fs(spark, root)
     jvm = spark._jvm
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_MANIFEST.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{root}/MANIFEST.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_MANIFEST-{gen}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/MANIFEST-{gen}.json")
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps({"gen": gen, "folded_upto": upto}).encode()))
     out.close()
+    # only a crashed retry of THIS generation can leave the target present;
+    # deleting it is safe because the previous generation's manifest remains
     if fs.exists(final):
         fs.delete(final, False)
     fs.rename(tmp, final)
+    # GC superseded manifests (legacy unversioned + lower versions); a crash
+    # mid-loop leaves extras that readers ignore (max-version wins)
+    legacy = jvm.org.apache.hadoop.fs.Path(f"{root}/MANIFEST.json")
+    if fs.exists(legacy):
+        fs.delete(legacy, False)
+    for n in _manifest_versions(spark, root):
+        if n < gen:
+            _delete(spark, f"{root}/MANIFEST-{n}.json")
 
 
-def _read_manifest(spark: SparkSession, root: str) -> tuple[int | None, int]:
-    """(gen or None, folded_upto). Unparsable/missing manifest → no base,
-    nothing folded — the pre-compaction state, always safe."""
-    if not _exists(spark, f"{root}/MANIFEST.json"):
-        return None, -1
+def _read_one_manifest(spark: SparkSession, path: str) -> tuple[int | None, int]:
     # a tiny Spark text read instead of py4j stream plumbing: works on any
     # Hadoop-supported filesystem with no byte-array marshalling pitfalls
-    rows = spark.read.text(f"{root}/MANIFEST.json").collect()
+    rows = spark.read.text(path).collect()
     try:
         m = json.loads("".join(r["value"] for r in rows))
         return int(m["gen"]), int(m["folded_upto"])
     except (ValueError, KeyError):
         return None, -1
+
+
+def _read_manifest(spark: SparkSession, root: str) -> tuple[int | None, int]:
+    """(gen or None, folded_upto) from the highest-numbered parsable
+    manifest, falling back to the legacy unversioned MANIFEST.json, else
+    (None, -1) — no base, nothing folded: the pre-compaction state."""
+    for n in reversed(_manifest_versions(spark, root)):
+        gen, upto = _read_one_manifest(spark, f"{root}/MANIFEST-{n}.json")
+        if gen is not None:
+            return gen, upto
+    if _exists(spark, f"{root}/MANIFEST.json"):
+        return _read_one_manifest(spark, f"{root}/MANIFEST.json")
+    return None, -1
 
 
 def degree_deltas_available_now(
@@ -184,9 +227,14 @@ def compact_degree_deltas(spark: SparkSession, log_root: str) -> int:
     for d in _list_dirs(spark, f"{log_root}/live"):
         if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto:
             _delete(spark, f"{log_root}/live/{d}")
-    for d in _list_dirs(spark, f"{log_root}/base"):
-        if gen is None or d != f"gen={gen}":
-            _delete(spark, f"{log_root}/base/{d}")
+    # gen is None means NO manifest was readable — never GC base history on
+    # that signal alone (a lost/corrupt manifest must not cascade into
+    # deleting every folded generation); stale gens get collected on the
+    # next compaction once a manifest exists again
+    if gen is not None:
+        for d in _list_dirs(spark, f"{log_root}/base"):
+            if d != f"gen={gen}":
+                _delete(spark, f"{log_root}/base/{d}")
     if live is None:
         return 0
     parts = [live]

@@ -71,3 +71,16 @@ def test_densest_edgeless(spark):
     assert got.density == 0.0 and got.vertices.count() == 0
     with pytest.raises(ValueError, match="epsilon"):
         densest_subgraph(edges, epsilon=0.0)
+
+
+def test_densest_fixpoint_raises_when_not_emptied(spark):
+    """Fixpoint mode promises peel-until-empty; exceeding max_rounds with
+    edges still alive must raise, not silently return best-so-far."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        densest_subgraph(edges, epsilon=0.1, max_rounds=0)
+    # fixed_rounds mode with the same budget returns best-so-far by contract
+    res = densest_subgraph(edges, epsilon=0.1, fixed_rounds=0)
+    assert res.density == pytest.approx(1.0)

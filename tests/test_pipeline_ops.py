@@ -372,3 +372,23 @@ def test_near_dup_clusters_transitive(spark):
     assert got["is_kept"].to_dict() == {
         0: True, 1: False, 2: False, 3: True, 4: True, 5: False, 6: True,
     }
+
+
+def test_lsh_candidate_pairs_empty_input_keeps_id_type(spark):
+    """Empty corpus: the (a, b) frame's id type must follow the caller's id
+    column (string here), matching the non-empty case for downstream unions."""
+    from halvesting_geometric_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame([], "doc_id string, text string")
+    sig = minhash_signatures(word_shingles(docs, n=2), num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, bands=8)
+    assert pairs.count() == 0
+    assert [f.dataType.simpleString() for f in pairs.schema.fields] == [
+        "string",
+        "string",
+    ]
+    assert pairs.columns == ["a", "b"]
