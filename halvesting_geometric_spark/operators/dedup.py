@@ -14,8 +14,12 @@ LSH candidates, never all pairs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _hash64(method: str, col, seed: int):
@@ -137,15 +141,41 @@ def lsh_candidate_pairs(
 
 
 def _pair_intersections(
-    shingle_df: DataFrame, pairs: DataFrame | None
+    shingle_df: DataFrame,
+    pairs: DataFrame | None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(a, b, inter, sza, szb) per candidate pair — the shared core of every
     set-overlap score. With ``pairs`` given (the LSH path) only those pairs
     are scored via two semi-constrained joins; without, an inverted-index
-    self-join scores every pair sharing ≥1 shingle (small-data path)."""
+    self-join scores every pair sharing ≥1 shingle (small-data path).
+
+    ``max_doc_freq`` (all-pairs path only): drop shingles present in more
+    than that many documents before the self-join. One ubiquitous shingle —
+    a stop-word n-gram — makes the inverted-index join quadratic in corpus
+    size; with the cap it degrades gracefully (intersections then
+    lower-bound the exact values, exactly like an IDF cutoff). The number
+    of dropped shingles is logged. Sizes (sza/szb) stay exact either way.
+    """
     sizes = shingle_df.groupBy("id").agg(F.count("*").alias("sz"))
-    sa = shingle_df.select(F.col("id").alias("a"), "shingle")
-    sb = shingle_df.select(F.col("id").alias("b"), "shingle")
+    joinable = shingle_df
+    if pairs is None and max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+        doc_freq = shingle_df.groupBy("shingle").agg(
+            F.count_distinct("id").alias("_df")
+        )
+        dropped = doc_freq.filter(F.col("_df") > max_doc_freq)
+        n_dropped = dropped.count()
+        if n_dropped:
+            log.info(
+                "_pair_intersections: dropping %d shingles with doc freq > %d "
+                "before the all-pairs self-join",
+                n_dropped, max_doc_freq,
+            )
+        joinable = shingle_df.join(dropped.select("shingle"), "shingle", "left_anti")
+    sa = joinable.select(F.col("id").alias("a"), "shingle")
+    sb = joinable.select(F.col("id").alias("b"), "shingle")
     if pairs is not None:
         inter = (
             pairs.join(sa, "a")
@@ -167,10 +197,15 @@ def _pair_intersections(
 
 
 def jaccard_similarity(
-    shingle_df: DataFrame, pairs: DataFrame | None = None
+    shingle_df: DataFrame,
+    pairs: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard per pair: (a, b, inter, union_sz, jaccard)."""
-    return _pair_intersections(shingle_df, pairs).select(
+    """Exact shingle-set Jaccard per pair: (a, b, inter, union_sz, jaccard).
+
+    ``max_doc_freq`` guards the all-pairs path against ubiquitous shingles
+    (see :func:`_pair_intersections`); scores then lower-bound exact."""
+    return _pair_intersections(shingle_df, pairs, max_doc_freq).select(
         "a",
         "b",
         "inter",
@@ -186,6 +221,7 @@ def containment_scores(
     shingle_df: DataFrame,
     pairs: DataFrame | None = None,
     min_containment: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Asymmetric set-overlap scores per pair: (a, b, inter, containment_a,
     containment_b, overlap).
@@ -196,8 +232,10 @@ def containment_scores(
     duplication is the common failure mode in scraped training corpora.
     ``overlap = |A∩B| / min(|A|,|B|)`` is the symmetric max of the two.
     ``min_containment`` filters on the overlap coefficient.
+    ``max_doc_freq`` guards the all-pairs path against ubiquitous shingles
+    (see :func:`_pair_intersections`).
     """
-    out = _pair_intersections(shingle_df, pairs).select(
+    out = _pair_intersections(shingle_df, pairs, max_doc_freq).select(
         "a",
         "b",
         "inter",

@@ -67,7 +67,7 @@ def _undirected_with_deg(
 def neighborhood_scores(
     edges: DataFrame,
     min_common: int = 1,
-    max_degree: int | None = None,
+    max_degree: int | None = 1024,
     exclude_existing: bool = False,
 ) -> DataFrame:
     """All five neighborhood-overlap link-prediction scores per vertex pair.
@@ -79,7 +79,11 @@ def neighborhood_scores(
     ``exclude_existing``: anti-join out pairs that are already edges — the
     link-prediction candidate mode (score only *potential* links).
     ``max_degree``: skip wedge centers whose degree exceeds the cap (scale
-    guard; scores then lower-bound the exact values).
+    guard; scores then lower-bound the exact values). The default cap of
+    1024 is the measured-feasible setting (BENCH/BASELINE.md: uncapped was
+    killed at 580s on 2M power-law edges; caps 64–1024 run in 11–15s) —
+    pass ``max_degree=None`` to opt into the exact-but-quadratic-in-hubs
+    computation explicitly.
 
     Computes eagerly (the result is localCheckpoint-ed) so the shared
     adjacency/degree caches can be released before returning — repeated
@@ -170,7 +174,7 @@ def clustering_coefficients(
     )
 
 
-def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+def four_cycles(edges: DataFrame, max_degree: int | None = 1024) -> DataFrame:
     """Exact 4-cycle (rectangle) count of the simple undirected graph.
 
     Every 4-cycle a–x–b–y–a is determined by its two diagonal pairs; with
@@ -179,7 +183,9 @@ def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     so #C4 = Σ_{a<b} C(cn(a,b), 2) / 2 — one wedge self-join + two
     aggregates, the same degree-bounded shape as the link-prediction scores
     (``max_degree`` applies the identical hub guard; counts then lower-bound
-    the exact value; without a cap the degree table isn't built at all).
+    the exact value; the default cap of 1024 matches
+    :func:`neighborhood_scores` — pass ``None`` explicitly for the exact
+    count, in which case the degree table isn't built at all).
     Returns one row (n_four_cycles: long), computed eagerly.
     """
     if max_degree is None:

@@ -306,3 +306,26 @@ def test_modularity_matches_python(spark):
     )
     row2 = modularity(tri2, lab2).first()
     assert row2["modularity"] == pytest.approx(0.5)
+
+
+def test_wedge_join_defaults_are_capped(spark):
+    """Scale-safe defaults: both wedge-join operators cap hub centers at
+    1024 unless the caller explicitly opts into max_degree=None (the repo's
+    own measurement: uncapped is infeasible at 2M power-law edges)."""
+    import inspect
+
+    from halvesting_geometric_spark.operators.linkpred import four_cycles
+
+    assert (
+        inspect.signature(neighborhood_scores).parameters["max_degree"].default
+        == 1024
+    )
+    assert (
+        inspect.signature(four_cycles).parameters["max_degree"].default == 1024
+    )
+
+    # behavioral check: a 1030-leaf star exceeds the default cap, so the hub
+    # is excluded as a wedge center by default and admitted with None
+    hub = spark.range(1, 1031).selectExpr("0 as src", "id as dst")
+    assert neighborhood_scores(hub).count() == 0
+    assert neighborhood_scores(hub, max_degree=None).count() > 0

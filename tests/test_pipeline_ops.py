@@ -392,3 +392,38 @@ def test_lsh_candidate_pairs_empty_input_keeps_id_type(spark):
         "string",
     ]
     assert pairs.columns == ["a", "b"]
+
+
+def test_jaccard_max_doc_freq_preserves_fixture_pairs(spark):
+    """The doc-frequency cap drops only ubiquitous shingles: on a fixture
+    with a planted near-dup pair plus a stop-shingle present in every doc,
+    pair recall is unchanged while the quadratic shingle is gone."""
+    from halvesting_geometric_spark.operators.dedup import (
+        jaccard_similarity,
+        word_shingles,
+    )
+
+    stop = "the quick brown"  # 3-shingle shared by every doc
+    rows = [
+        (1, stop + " alpha beta gamma delta epsilon"),
+        (2, stop + " alpha beta gamma delta zeta"),  # near-dup of 1
+        (3, stop + " one two three four five"),
+        (4, stop + " six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs, n=3)
+
+    exact = jaccard_similarity(sh).toPandas().set_index(["a", "b"])
+    capped = (
+        jaccard_similarity(sh, max_doc_freq=3).toPandas().set_index(["a", "b"])
+    )
+    # the planted pair survives with a lower-bounded score
+    assert (1, 2) in capped.index
+    assert capped.loc[(1, 2), "jaccard"] <= exact.loc[(1, 2), "jaccard"]
+    assert capped.loc[(1, 2), "jaccard"] > 0.3
+    # pairs connected ONLY through the stop shingle disappear (that's the
+    # quadratic blowup being cut); with inter lower-bounded and set sizes
+    # exact, union_sz = sza + szb - inter upper-bounds the exact union
+    assert (3, 4) in exact.index and (3, 4) not in capped.index
+    assert (capped["union_sz"] >= exact.loc[capped.index, "union_sz"]).all()
+    assert (capped["inter"] <= exact.loc[capped.index, "inter"]).all()
