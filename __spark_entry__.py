@@ -1117,6 +1117,19 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_wl_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WL colors after 3 refinements in bounded-state capped mode (the
+    power-law-scale path: commutative count/xor/modular-sum summary instead
+    of a hub's full in-neighborhood multiset; wl.py mode='capped'). The
+    oracle replays the summary statistics round by round."""
+    from halvesting_geometric_spark.operators.wl import wl_refinement
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return wl_refinement(
+        edges, verts, rounds=3, seed=42, hash_method="portable", mode="capped"
+    ).select("vertex_id", "color")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact Jaccard >= 0.5 pairs → connected components
     → smallest-id representative (transitive dedup, not pairwise)."""
@@ -1169,7 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl3": _q_wl3,
         "dedup_clusters": _q_dedup_clusters,
         # -- queries new in round 3 --
-        # (inserted here as implemented so they land inside the capture)
+        "wl_capped": _q_wl_capped,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -1646,6 +1659,49 @@ def _wl_sql(rounds: int, seed: int = 42) -> str:
   SELECT e.dst,
          string_agg(CAST(c.color AS VARCHAR), ',' ORDER BY c.color)
            AS multiset
+  FROM de e JOIN col{p} c ON e.src = c.v GROUP BY e.dst),
+col{t} AS MATERIALIZED (
+  SELECT c.v, {h} AS color
+  FROM col{p} c LEFT JOIN nb{t} n ON c.v = n.dst)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(color AS BIGINT) AS color "
+        f"FROM col{rounds}"
+    )
+
+
+def _wl_capped_sql(rounds: int, seed: int = 42) -> str:
+    """Capped-WL twin: per round, the commutative in-neighbor summary
+    (count, bit_xor of re-hashed colors, modular sum mod the largest prime
+    < 2^63) + portable hash of (own color, summary) — mirroring
+    wl.wl_refinement(mode='capped') statistic for statistic."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+    from halvesting_geometric_spark.operators.wl import MOD_PRIME
+
+    nch = portable_hash64_sql("c.color", seed=seed + 1)
+    h = portable_hash64_sql(
+        "c.color",
+        "COALESCE(n.n_nbrs, 0)",
+        "COALESCE(n.cxor, 0)",
+        "COALESCE(n.csum, 0)",
+        seed=seed,
+    )
+    parts = [
+        _BASE,
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "col0 AS MATERIALIZED "
+        "(SELECT vertex_id AS v, CAST(0 AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""nb{t} AS MATERIALIZED (
+  SELECT e.dst,
+         COUNT(*) AS n_nbrs,
+         bit_xor({nch}) AS cxor,
+         CAST(SUM({nch}) % {MOD_PRIME} AS BIGINT) AS csum
   FROM de e JOIN col{p} c ON e.src = c.v GROUP BY e.dst),
 col{t} AS MATERIALIZED (
   SELECT c.v, {h} AS color
@@ -2349,6 +2405,7 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "mis": _mis_sql(8),
         "densest2": _densest_sql(2, 0.1),
         "wl3": _wl_sql(3),
+        "wl_capped": _wl_capped_sql(3),
         "dedup_clusters": r"""
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (

@@ -11,17 +11,26 @@ histograms ⇔ WL-indistinguishable graphs — cheap near-isomorphism
 screening for dedup of extracted subgraphs), and per-vertex colors are
 structural roles usable as features.
 
-Implementation: one gather join + one sorted list aggregate + one hash per
-round — all Catalyst expressions (sort_array/collect_list/concat_ws), no
-Python. Deterministic; with ``hash_method="portable"`` an external SQL
-engine replays every round bit-for-bit. Lineage truncates per round.
+Two modes, selected by ``mode``:
 
-Skew note: ``collect_list`` of neighbor colors materializes a hub's full
-in-neighborhood in one aggregation buffer — the same caveat as any exact
-multiset-hash; at power-law scale cap it by pre-hashing each neighbor
-color to a fixed-width commutative summary instead (sum/xor of hashes),
-which trades WL exactness for bounded state. The exact mode here is the
-verifiable reference semantics.
+- ``"exact"``: one gather join + one *sorted list* aggregate + one hash per
+  round — the verifiable reference semantics. ``collect_list`` materializes
+  a hub's full in-neighborhood colors in one aggregation buffer, so exact
+  mode is for bounded-degree graphs and verification, not power-law scale.
+- ``"capped"``: the multiset is summarized by three commutative,
+  fixed-width statistics of the re-hashed neighbor colors — count,
+  bit-XOR, and modular sum (mod the largest prime < 2^63) — then hashed
+  with the vertex's own color. State per vertex is O(1) regardless of
+  degree, the aggregate is map-side combinable (plain HashAggregate, no
+  object buffers), and a 10^8-degree hub costs three longs instead of a
+  10^8-element array. The summary is multiset-sensitive (the modular sum
+  distinguishes {a,a,b} from {a,b,b}; XOR alone would not); two distinct
+  multisets collide only with hash-collision probability, so the induced
+  partition refinement equals exact mode's w.h.p. — pinned by tests.
+
+Both modes are deterministic; with ``hash_method="portable"`` an external
+SQL engine replays every round bit-for-bit (the correctness gate runs both
+``wl3`` exact and ``wl_capped``). Lineage truncates per round.
 """
 
 from __future__ import annotations
@@ -32,6 +41,10 @@ from pyspark.sql import functions as F
 
 from halvesting_geometric_spark.operators.sampling import hash64
 
+# largest prime below 2^63: the modular-sum field of the capped summary
+# stays representable as a non-negative BIGINT in any ANSI SQL engine
+MOD_PRIME = 9223372036854775783
+
 
 def wl_refinement(
     edges: DataFrame,
@@ -39,15 +52,21 @@ def wl_refinement(
     rounds: int,
     seed: int = 42,
     hash_method: str = "xxhash64",
+    mode: str = "exact",
 ) -> DataFrame:
     """WL-1 colors after ``rounds`` refinements over IN-neighborhoods.
 
     Initial color = 0 for every vertex (unlabeled graphs). Vertices with no
-    in-neighbors hash an empty multiset, so they still refine. Returns
-    (vertex_id, color) with color a non-negative 60/64-bit hash.
+    in-neighbors hash an empty summary, so they still refine. Returns
+    (vertex_id, color) with color a non-negative 60/64-bit hash. ``mode``
+    selects exact multiset hashing or the bounded-state capped summary
+    (see module docstring); colors differ between modes but the induced
+    partition refinement is the same up to hash collisions.
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if mode not in ("exact", "capped"):
+        raise ValueError(f"mode must be 'exact' or 'capped', got {mode!r}")
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     topo = (
@@ -61,36 +80,55 @@ def wl_refinement(
         "vertex_id", F.lit(0).cast("long").alias("color")
     ).localCheckpoint(eager=True)
     for t in range(1, rounds + 1):
-        nbr = (
-            topo.join(
-                colors.select(
-                    F.col("vertex_id").alias("src"),
-                    F.col("color").alias("nc"),
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(
+        gathered = topo.join(
+            colors.select(
+                F.col("vertex_id").alias("src"),
+                F.col("color").alias("nc"),
+            ),
+            "src",
+        )
+        if mode == "exact":
+            nbr = gathered.groupBy("dst").agg(
                 F.concat_ws(
                     ",", F.sort_array(F.collect_list(F.col("nc")))
                 ).alias("multiset")
             )
-        )
+            new_color = hash64(
+                hash_method,
+                F.col("color"),
+                F.coalesce("multiset", F.lit("")),
+                seed=seed,
+            )
+            summary_cols = ["multiset"]
+        else:
+            # re-hash the neighbor color so the three summaries are
+            # independent views of it, then reduce commutatively: every
+            # statistic is map-side combinable with O(1) state
+            nch = hash64(hash_method, F.col("nc"), seed=seed + 1)
+            nbr = gathered.withColumn("nch", nch).groupBy("dst").agg(
+                F.count("*").alias("n_nbrs"),
+                F.expr("bit_xor(nch)").alias("cxor"),
+                F.pmod(
+                    F.sum(F.col("nch").cast("decimal(38,0)")),
+                    F.lit(MOD_PRIME),
+                ).cast("long").alias("csum"),
+            )
+            new_color = hash64(
+                hash_method,
+                F.col("color"),
+                F.coalesce("n_nbrs", F.lit(0).cast("long")),
+                F.coalesce("cxor", F.lit(0).cast("long")),
+                F.coalesce("csum", F.lit(0).cast("long")),
+                seed=seed,
+            )
+            summary_cols = ["n_nbrs", "cxor", "csum"]
         colors = (
             colors.join(
-                nbr.select(F.col("dst").alias("vertex_id"), "multiset"),
+                nbr.select(F.col("dst").alias("vertex_id"), *summary_cols),
                 "vertex_id",
                 "left",
             )
-            .select(
-                "vertex_id",
-                hash64(
-                    hash_method,
-                    F.col("color"),
-                    F.coalesce("multiset", F.lit("")),
-                    seed=seed,
-                ).alias("color"),
-            )
+            .select("vertex_id", new_color.alias("color"))
             .localCheckpoint(eager=True)
         )
     out = colors
