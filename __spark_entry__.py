@@ -1117,6 +1117,49 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal header metadata: synthesize genuine PNG/JPEG/GIF
+    container bytes from events-table arithmetic (format/width/height are
+    pure functions of event_id), then parse them back with the byte-level
+    Arrow kernel (multimodal.parse_media_meta). The oracle recomputes the
+    expected metadata arithmetically — green means the parser inverts the
+    generator byte-exactly, i.e. the dimensions really come from the
+    payload bytes."""
+    from halvesting_geometric_spark.operators.multimodal import parse_media_meta
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("media_id"),
+        (F.col("event_id") % 3).cast("int").alias("fmt_idx"),
+        (F.lit(16) + F.col("event_id").cast("long") % 500).alias("w"),
+        (F.lit(16) + (F.col("event_id").cast("long") * 7) % 500).alias("h"),
+    )
+    hx = lambda c, n: F.lpad(F.hex(F.col(c)), n, "0")  # noqa: E731
+    le16 = lambda c: F.concat(  # little-endian u16, GIF screen descriptor
+        F.lpad(F.hex(F.col(c) % 256), 2, "0"),
+        F.lpad(F.hex(F.floor(F.col(c) / 256)), 2, "0"),
+    )  # noqa: E731
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        hx("w", 8), hx("h", 8), F.lit("0806000000" + "00000000"),
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC00011" + "08"),
+        hx("h", 4), hx("w", 4), F.lit("03012200021101031101" + "FFD9"),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"), le16("w"), le16("h"), F.lit("F700003B")
+    )
+    media = ev.select(
+        "media_id",
+        F.unhex(
+            F.when(F.col("fmt_idx") == 0, png_hex)
+            .when(F.col("fmt_idx") == 1, jpeg_hex)
+            .otherwise(gif_hex)
+        ).alias("payload"),
+    )
+    return parse_media_meta(media)
+
+
 def _q_wl_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WL colors after 3 refinements in bounded-state capped mode (the
     power-law-scale path: commutative count/xor/modular-sum summary instead
@@ -1183,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         # -- queries new in round 3 --
         "wl_capped": _q_wl_capped,
+        "media_meta": _q_media_meta,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2406,6 +2450,13 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "densest2": _densest_sql(2, 0.1),
         "wl3": _wl_sql(3),
         "wl_capped": _wl_capped_sql(3),
+        "media_meta": """
+SELECT CAST(event_id AS BIGINT) AS media_id,
+       CASE CAST(event_id % 3 AS INTEGER)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(16 + event_id % 500 AS BIGINT) AS width,
+       CAST(16 + (event_id * 7) % 500 AS BIGINT) AS height
+FROM events""",
         "dedup_clusters": r"""
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (

@@ -1,12 +1,22 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
-signatures) is real and tested; the actual codec work is stubbed behind
-``decode_backend`` because no image/audio libraries exist in this container —
+signatures) is real and tested. *Pixel/sample decode* is stubbed behind
+``decode_backend`` because no codec libraries exist in this container —
 ``deterministic_fake`` produces seeded pseudo-decodes so downstream operators
 (resize bookkeeping, feature extraction, frame sampling) have stable, testable
 outputs, and ``pillow``/``ffmpeg`` backends raise ``NotImplementedError`` with
 the exact integration point documented.
+
+*Header metadata* is NOT stubbed: :func:`parse_media_meta` reads real
+PNG / JPEG / GIF container bytes (signatures, IHDR, SOFn markers, logical
+screen descriptor — all public file-format knowledge, no codec needed)
+inside an Arrow-batched ``mapInPandas`` kernel, so ``format/width/height``
+come from the payload itself. :func:`png_bytes` / :func:`jpeg_bytes` /
+:func:`gif_bytes` build real minimal containers for fixtures and the
+correctness gate (the gate synthesizes payloads from table arithmetic,
+parses them back with the real kernel, and the oracle checks the parser
+inverts the generator byte-exactly).
 """
 
 from __future__ import annotations
@@ -43,6 +53,139 @@ FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes long, feat array<float>"
 )
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_hash long"
+
+
+IMAGE_META_SCHEMA = "media_id long, format string, width long, height long"
+
+# JPEG start-of-frame markers that carry dimensions (C0-CF minus C4/C8/CC,
+# which are DHT/JPG/DAC)
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+# standalone markers with no length field
+_JPEG_BARE = frozenset({0x01, 0xD8}) | frozenset(range(0xD0, 0xD8))
+
+
+def parse_image_header(p: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from real container header bytes.
+
+    Pure byte slicing over public file formats — no codec library:
+    PNG signature + IHDR (big-endian u32 at offsets 16/20), JPEG marker
+    scan to the first SOFn (big-endian u16 height/width), GIF logical
+    screen descriptor (little-endian u16 at offsets 6/8). Unknown or
+    truncated payloads give (None, None, None); a JPEG whose SOF is
+    missing/truncated still identifies as 'jpeg' with null dimensions.
+    """
+    if not p:
+        return (None, None, None)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(p) >= 24 and p[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"),
+            )
+        return ("png", None, None)
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(p) and p[i] == 0xFF:
+            marker = p[i + 1]
+            if marker in _JPEG_BARE:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(p):
+                    return (
+                        "jpeg",
+                        int.from_bytes(p[i + 7 : i + 9], "big"),
+                        int.from_bytes(p[i + 5 : i + 7], "big"),
+                    )
+                break
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return ("jpeg", None, None)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        if len(p) >= 10:
+            return (
+                "gif",
+                int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"),
+            )
+        return ("gif", None, None)
+    return (None, None, None)
+
+
+def parse_media_meta(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real header metadata per item: (media_id, format, width, height).
+
+    Arrow-batched ``mapInPandas`` over the binary column; the per-item step
+    is :func:`parse_image_header` (byte slicing — the irreducible per-item
+    work of container parsing, same slot a codec would fill). Narrow op:
+    no shuffle, upstream partitioning preserved.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [t[0] for t in parsed],
+                    "width": pd.array(
+                        [t[1] for t in parsed], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [t[2] for t in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal real PNG container: signature + IHDR (dims live here) +
+    placeholder CRC. Parses with any PNG reader's header stage."""
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes(
+        [8, 6, 0, 0, 0]
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal real JPEG: SOI + JFIF APP0 + SOF0 (dims live here) + EOI."""
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    """Minimal real GIF89a: header + logical screen descriptor + trailer."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\xf7\x00\x00;"
+    )
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
@@ -160,26 +303,36 @@ def sample_frames(
 
 
 def generate_media_fixture(spark, n: int = 50, seed: int = 5) -> DataFrame:
-    """Seeded synthetic media table (binary payloads) for tests."""
+    """Seeded synthetic media table (binary payloads) for tests.
+
+    Image payloads are REAL minimal containers (PNG/JPEG/GIF rotating by
+    item) whose header dimensions equal the declared ``meta`` — so
+    :func:`parse_media_meta` on the fixture must reproduce ``meta``
+    exactly. Audio/video payloads stay opaque random bytes (their decode
+    is the stubbed codec slot)."""
     rng = np.random.default_rng(seed)
+    builders = [("png", png_bytes), ("jpeg", jpeg_bytes), ("gif", gif_bytes)]
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, size=int(rng.integers(16, 256))).tolist())
-        rows.append(
-            (
-                i,
-                kind,
-                payload,
-                {
-                    "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-                    "width": int(rng.integers(16, 512)) if kind == "image" else None,
-                    "height": int(rng.integers(16, 512)) if kind == "image" else None,
-                    "duration_ms": int(rng.integers(500, 5000))
-                    if kind == "video"
-                    else None,
-                },
+        if kind == "image":
+            fmt, build = builders[(i // 3) % 3]
+            w = int(rng.integers(16, 512))
+            h = int(rng.integers(16, 512))
+            payload = build(w, h)
+            meta = {"format": fmt, "width": w, "height": h, "duration_ms": None}
+        else:
+            payload = bytes(
+                rng.integers(0, 256, size=int(rng.integers(16, 256))).tolist()
             )
-        )
+            meta = {
+                "format": {"audio": "wav", "video": "mp4"}[kind],
+                "width": None,
+                "height": None,
+                "duration_ms": int(rng.integers(500, 5000))
+                if kind == "video"
+                else None,
+            }
+        rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -427,3 +427,46 @@ def test_jaccard_max_doc_freq_preserves_fixture_pairs(spark):
     assert (3, 4) in exact.index and (3, 4) not in capped.index
     assert (capped["union_sz"] >= exact.loc[capped.index, "union_sz"]).all()
     assert (capped["inter"] <= exact.loc[capped.index, "inter"]).all()
+
+
+def test_parse_media_meta_inverts_real_headers(spark):
+    """parse_media_meta reads REAL container bytes: on the fixture (whose
+    image payloads are genuine PNG/JPEG/GIF containers) it must reproduce
+    the declared meta exactly; opaque audio/video payloads give nulls."""
+    from halvesting_geometric_spark.operators.multimodal import (
+        gif_bytes,
+        jpeg_bytes,
+        parse_image_header,
+        parse_media_meta,
+        png_bytes,
+    )
+
+    # direct byte-level roundtrips incl. 16-bit-boundary dims
+    for fmt, build in (("png", png_bytes), ("jpeg", jpeg_bytes), ("gif", gif_bytes)):
+        for w, h in ((1, 1), (640, 480), (65535, 257)):
+            assert parse_image_header(build(w, h)) == (fmt, w, h), fmt
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"\x00garbage") == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n trunc") == ("png", None, None)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+    media = generate_media_fixture(spark, n=30)
+    got = (
+        parse_media_meta(media)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    exp = (
+        media.select(
+            "media_id", "kind", "meta.format", "meta.width", "meta.height"
+        )
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    img = exp["kind"] == "image"
+    assert (got.loc[img, "format"] == exp.loc[img, "format"]).all()
+    assert (got.loc[img, "width"] == exp.loc[img, "width"]).all()
+    assert (got.loc[img, "height"] == exp.loc[img, "height"]).all()
+    assert got.loc[~img, ["format", "width", "height"]].isna().all().all()
