@@ -7,6 +7,11 @@ algorithms) on a Zipf-skewed graph sized by the scale factor, on
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Every algorithm query runs ``SPARK_GRAFT_BENCH_K`` times (default 3); the
+reported number is the MEDIAN and the raw per-run walls land in
+``detail.*_sec_runs`` — this host varies ~3× run to run, so single samples
+cannot distinguish noise from regression (round-2 lesson).
+
 ``--scaling`` additionally runs the PageRank job at two parallelism levels
 (local[N] and local[4N]) in fresh JVMs and writes ``BENCH/SCALING_LAST.md`` +
 a raw JSON under ``BENCH/raw/`` with
@@ -29,6 +34,12 @@ CONVS_PER_SF = 200_000  # sf0.1 → 20k conversations (~230k turns)
 
 
 def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
+    """Full pipeline; every algorithm query runs ``SPARK_GRAFT_BENCH_K``
+    times (default 3) and reports the MEDIAN wall plus the raw per-run walls
+    (``*_sec_runs``) — this host's run-to-run variance is measured at ~3×,
+    so a single sample cannot distinguish noise from regression."""
+    import statistics
+
     from pyspark import StorageLevel
 
     from halvesting_geometric_spark.datagen import generate_transcripts
@@ -41,10 +52,24 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     from halvesting_geometric_spark.operators.triangles import triangle_count
     from halvesting_geometric_spark.session import get_spark
 
+    k = max(int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")), 1)
+
     spark = get_spark(
         app_name=f"hgs-bench-{cores}", cores=cores, shuffle_partitions=cores
     )
-    out: dict = {"cores": cores, "n_convs": n_convs}
+    out: dict = {"cores": cores, "n_convs": n_convs, "bench_k": k}
+
+    def timed_median(name: str, fn):
+        """Run fn k times; record median + raw walls; return last result."""
+        walls, result = [], None
+        for _ in range(k):
+            t0 = time.monotonic()
+            result = fn()
+            walls.append(time.monotonic() - t0)
+        out[f"{name}_sec"] = round(statistics.median(walls), 3)
+        out[f"{name}_sec_runs"] = [round(w, 3) for w in walls]
+        return result
+
     t0 = time.monotonic()
     tr = generate_transcripts(spark, n_convs).persist(StorageLevel.MEMORY_AND_DISK)
     out["transcript_rows"] = tr.count()
@@ -66,30 +91,30 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     pagerank(g.edges, g.vertices, fixed_iters=3).ranks.count()
     out["warmup_sec"] = round(time.monotonic() - t0, 3)
 
-    t0 = time.monotonic()
-    pr = pagerank(g.edges, g.vertices, tol=tol, max_iter=200)
-    pr.ranks.count()
-    pr_sec = time.monotonic() - t0
-    out["pagerank_sec"] = round(pr_sec, 3)
+    def run_pr():
+        pr = pagerank(g.edges, g.vertices, tol=tol, max_iter=200)
+        pr.ranks.count()
+        return pr
+
+    pr = timed_median("pagerank", run_pr)
+    pr_sec = out["pagerank_sec"]
     out["pagerank_iters"] = pr.iterations
     out["pagerank_converged"] = pr.converged
     out["edges_per_sec"] = round(out["num_edges"] * pr.iterations / pr_sec, 1)
     out["iters_per_min"] = round(pr.iterations / (pr_sec / 60.0), 2)
 
-    t0 = time.monotonic()
-    cc = connected_components(g.edges, g.vertices)
-    out["cc_sec"] = round(time.monotonic() - t0, 3)
+    cc = timed_median("cc", lambda: connected_components(g.edges, g.vertices))
     out["cc_rounds"] = cc.rounds
     out["cc_components"] = cc.num_components
 
-    t0 = time.monotonic()
-    lp = label_propagation(g.edges, g.vertices, fixed_iters=5)
-    lp.labels.count()
-    out["labelprop5_sec"] = round(time.monotonic() - t0, 3)
+    def run_lp():
+        lp = label_propagation(g.edges, g.vertices, fixed_iters=5)
+        lp.labels.count()
+        return lp
 
-    t0 = time.monotonic()
-    tc = triangle_count(g.edges, g.vertices)
-    out["triangles_sec"] = round(time.monotonic() - t0, 3)
+    timed_median("labelprop5", run_lp)
+
+    tc = timed_median("triangles", lambda: triangle_count(g.edges, g.vertices))
     out["triangles_total"] = tc.total
 
     from halvesting_geometric_spark.operators.centrality import (
@@ -98,18 +123,18 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     )
     from halvesting_geometric_spark.operators.kcore import kcore_members
 
-    t0 = time.monotonic()
-    personalized_pagerank(g.edges, g.vertices, [0, 1, 2], fixed_iters=5)
-    out["ppr5_sec"] = round(time.monotonic() - t0, 3)
+    timed_median(
+        "ppr5",
+        lambda: personalized_pagerank(
+            g.edges, g.vertices, [0, 1, 2], fixed_iters=5
+        ),
+    )
+    timed_median("hits5", lambda: hits(g.edges, g.vertices, fixed_iters=5))
 
-    t0 = time.monotonic()
-    hits(g.edges, g.vertices, fixed_iters=5)
-    out["hits5_sec"] = round(time.monotonic() - t0, 3)
-
-    t0 = time.monotonic()
-    kc = kcore_members(g.edges, g.vertices, k=3)
-    out["kcore3_sec"] = round(time.monotonic() - t0, 3)
-    out["kcore3_members"] = kc.count()
+    kc_counts = timed_median(
+        "kcore3", lambda: kcore_members(g.edges, g.vertices, k=3).count()
+    )
+    out["kcore3_members"] = kc_counts
 
     from pyspark.sql import functions as F
 
@@ -118,19 +143,22 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     )
     from halvesting_geometric_spark.operators.traversal import sssp
 
-    t0 = time.monotonic()
     we = g.edges.withColumn(
         "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
     )
-    ss = sssp(we, g.vertices, [0, 1, 2], weight_col="w", fixed_iters=6)
-    out["sssp6_reached"] = ss.count()
-    out["sssp6_sec"] = round(time.monotonic() - t0, 3)
+    out["sssp6_reached"] = timed_median(
+        "sssp6",
+        lambda: sssp(
+            we, g.vertices, [0, 1, 2], weight_col="w", fixed_iters=6
+        ).count(),
+    )
 
-    t0 = time.monotonic()
-    out["linkpred_pairs"] = neighborhood_scores(
-        g.edges, min_common=2, max_degree=256
-    ).count()
-    out["linkpred_sec"] = round(time.monotonic() - t0, 3)
+    out["linkpred_pairs"] = timed_median(
+        "linkpred",
+        lambda: neighborhood_scores(
+            g.edges, min_common=2, max_degree=256
+        ).count(),
+    )
 
     spark.stop()
     return out
