@@ -91,6 +91,15 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     pagerank(g.edges, g.vertices, fixed_iters=3).ranks.count()
     out["warmup_sec"] = round(time.monotonic() - t0, 3)
 
+    from halvesting_geometric_spark.session import small_state_aqe_bypass
+
+    # tiny-state AQE bypass: AQE's per-job re-planning is a fixed driver
+    # cost that dominates the superstep floor at bench scale (measured
+    # 0.772 → 0.671 s/superstep on the 139k-edge graph); engages only when
+    # the edge table is small, never in the 20M-edge scaling session
+    _aqe = small_state_aqe_bypass(spark, out["num_edges"])
+    out["aqe_bypassed"] = _aqe.__enter__()
+
     def run_pr():
         pr = pagerank(g.edges, g.vertices, tol=tol, max_iter=200)
         pr.ranks.count()
@@ -160,6 +169,7 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
         ).count(),
     )
 
+    _aqe.__exit__(None, None, None)
     spark.stop()
     return out
 

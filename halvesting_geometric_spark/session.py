@@ -11,6 +11,8 @@ local core count rather than the 200 default.
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -55,3 +57,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def small_state_aqe_bypass(
+    spark: SparkSession, n_rows: int, threshold: int = 1_000_000
+) -> Iterator[bool]:
+    """Temporarily disable AQE around an iterative driver whose loop state
+    is tiny; yields whether the bypass engaged.
+
+    AQE re-plans every job from runtime shuffle statistics. On a superstep
+    loop over a small cached state that re-planning is a fixed per-job
+    driver cost: measured on the bench graph (139k edges, local[32]) the
+    10-superstep PageRank median drops from 0.772 to 0.671 s/superstep
+    (~13%) with AQE off. At real scale the re-plan amortizes to noise and
+    AQE's coalescing / skew-join handling is a clear win (the 20M-edge
+    scaling runs NEED the advisory-size coalescing), so the bypass only
+    engages when ``n_rows <= threshold`` and AQE was on; the previous
+    setting is always restored. The toggle is session-wide while active —
+    the engine's drivers run one job at a time by design, so don't wrap
+    concurrent queries.
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = str(spark.conf.get(key, "true"))
+    engage = n_rows <= threshold and prev.lower() == "true"
+    if engage:
+        spark.conf.set(key, "false")
+    try:
+        yield engage
+    finally:
+        if engage:
+            spark.conf.set(key, prev)

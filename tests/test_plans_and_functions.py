@@ -97,3 +97,40 @@ def test_year_from_timestamp(spark):
     tr = generate_transcripts(spark, 5, seed=1)
     years = tr.select(F.year("ts").alias("y")).distinct().toPandas()["y"]
     assert (years == 2023).all()
+
+
+def test_small_state_aqe_bypass_toggles_and_restores(spark):
+    """Bypass engages only below threshold with AQE previously on, and
+    always restores the prior setting (including on exception)."""
+    import pytest
+
+    from halvesting_geometric_spark.session import small_state_aqe_bypass
+
+    key = "spark.sql.adaptive.enabled"
+    assert spark.conf.get(key) == "true"
+    with small_state_aqe_bypass(spark, 1000, threshold=10_000) as engaged:
+        assert engaged is True
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+
+    # above threshold: no-op
+    with small_state_aqe_bypass(spark, 10**9, threshold=10_000) as engaged:
+        assert engaged is False
+        assert spark.conf.get(key) == "true"
+
+    # restores on exception
+    with pytest.raises(RuntimeError, match="boom"):
+        with small_state_aqe_bypass(spark, 1, threshold=10):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == "true"
+
+    # AQE already off: engage must not flip it back on afterwards
+    spark.conf.set(key, "false")
+    try:
+        with small_state_aqe_bypass(spark, 1, threshold=10) as engaged:
+            assert engaged is False
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, "true")
