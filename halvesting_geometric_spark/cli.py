@@ -72,6 +72,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="walks/mis: hash seed")
     ap.add_argument("--lgk", type=int, default=12,
                     help="nf: HLL sketch precision (2^lgk bytes/vertex)")
+    ap.add_argument(
+        "--aqe-bypass",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="disable AQE while the algorithm runs IF the edge table is "
+        "small (<=1M rows, checked with a bounded limit-probe): AQE's "
+        "per-job re-planning is a fixed driver cost that dominates tiny "
+        "superstep loops (~13%% of the floor measured at 139k edges); at "
+        "scale the probe stops at the limit and AQE stays on",
+    )
     ap.add_argument("--exact-nf", action="store_true",
                     help="nf: exact frontier fixpoint instead of HyperBall")
     args = ap.parse_args(argv)
@@ -92,6 +102,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint_dir
         else None
     )
+
+    from halvesting_geometric_spark.session import small_state_aqe_bypass
+
+    # bounded probe: limit(N+1).count() stops scanning at the limit, so a
+    # 10^12-row table pays one short partial scan, not a full count
+    _aqe_threshold = 1_000_000
+    _probe = (
+        g.edges.limit(_aqe_threshold + 1).count()
+        if args.aqe_bypass
+        else _aqe_threshold + 1
+    )
+    # manual enter/exit keeps the 17-branch dispatch un-indented; an
+    # exception mid-algorithm kills this spark-submit process (and its
+    # session) anyway, so the flipped conf cannot outlive the job
+    _aqe = small_state_aqe_bypass(spark, _probe, threshold=_aqe_threshold)
+    _aqe.__enter__()
 
     summary: dict = {"algorithm": args.algorithm}
     if args.algorithm == "extract":
@@ -235,6 +261,7 @@ def main(argv: list[str] | None = None) -> int:
         # to float64)
         summary.update(st.first().asDict())
 
+    _aqe.__exit__(None, None, None)
     print(json.dumps(summary))
     return 0
 
