@@ -31,6 +31,11 @@ from halvesting_geometric_spark.operators.linkpred import (
     neighborhood_scores,
 )
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
+from halvesting_geometric_spark.operators.multimodal import (
+    extract_features,
+    parse_media_meta,
+    sample_frames,
+)
 from halvesting_geometric_spark.operators.neighborhood import (
     effective_diameter,
     harmonic_centrality_exact,
@@ -74,6 +79,7 @@ __all__ = [
     "edges_to_ids",
     "effective_diameter",
     "extract_conv_edges",
+    "extract_features",
     "four_cycles",
     "graph_stats",
     "harmonic_centrality_exact",
@@ -91,7 +97,9 @@ __all__ = [
     "ordered_turns",
     "out_degrees",
     "pagerank",
+    "parse_media_meta",
     "random_walks",
+    "sample_frames",
     "sample_neighbors",
     "sample_neighbors_layered",
     "split_edges",
