@@ -1117,6 +1117,18 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_coreness3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition, 3 h-index rounds (Montresor et al.
+    distributed coreness; kcore.py) — per-vertex core-number estimates,
+    each round replayed by the oracle as a window + h-index aggregate."""
+    from halvesting_geometric_spark.operators.kcore import coreness
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return coreness(edges, verts, fixed_iters=3).select(
+        "vertex_id", "coreness"
+    )
+
+
 def _q_neighbor_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop layered fanout sampling (LinkNeighborLoader
     num_neighbors=[4,3] analog; reference
@@ -1244,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_capped": _q_wl_capped,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
+        "coreness3": _q_coreness3,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -1730,6 +1743,41 @@ col{t} AS MATERIALIZED (
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(color AS BIGINT) AS color "
         f"FROM col{rounds}"
+    )
+
+
+def _coreness_sql(rounds: int) -> str:
+    """h-index coreness twin: per round, gather neighbor estimates, rank
+    them descending per vertex, H = max(least(rank, est)) — mirroring
+    kcore.coreness round for round."""
+    parts = [
+        _BASE,
+        "e0 AS (SELECT src, dst FROM edges WHERE src <> dst)",
+        "ksym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "dg AS (SELECT src AS v, COUNT(*) AS d FROM ksym GROUP BY src)",
+        "est0 AS MATERIALIZED (SELECT vv.vertex_id AS v, "
+        "CAST(COALESCE(dg.d, 0) AS BIGINT) AS est "
+        "FROM verts vv LEFT JOIN dg ON vv.vertex_id = dg.v)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""nb{t} AS (
+  SELECT s.dst, e.est FROM ksym s JOIN est{p} e ON s.src = e.v),
+h{t} AS (
+  SELECT dst, MAX(LEAST(rn, est)) AS h FROM (
+    SELECT dst, est,
+           row_number() OVER (PARTITION BY dst ORDER BY est DESC) AS rn
+    FROM nb{t}) t{t} GROUP BY dst),
+est{t} AS MATERIALIZED (
+  SELECT e.v, CAST(COALESCE(h.h, 0) AS BIGINT) AS est
+  FROM est{p} e LEFT JOIN h{t} h ON e.v = h.dst)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, est AS coreness FROM est{rounds}"
     )
 
 
@@ -2467,6 +2515,7 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "densest2": _densest_sql(2, 0.1),
         "wl3": _wl_sql(3),
         "wl_capped": _wl_capped_sql(3),
+        "coreness3": _coreness_sql(3),
         "media_meta": """
 SELECT CAST(event_id AS BIGINT) AS media_id,
        CASE CAST(event_id % 3 AS INTEGER)

@@ -32,8 +32,8 @@ from halvesting_geometric_spark.schemas import TRANSCRIPTS_SCHEMA
 
 ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
-    "ppr", "hits", "kcore", "bfs", "sssp", "linkpred", "clustering",
-    "stats", "walks", "nf", "mis", "harmonic",
+    "ppr", "hits", "kcore", "coreness", "bfs", "sssp", "linkpred",
+    "clustering", "stats", "walks", "nf", "mis", "harmonic",
 )
 
 
@@ -172,6 +172,15 @@ def main(argv: list[str] | None = None) -> int:
         members = kcore_members(g.edges, g.vertices, k=args.k)
         members.write.mode("overwrite").parquet(args.output)
         summary.update(k=args.k, members=members.count())
+    elif args.algorithm == "coreness":
+        from halvesting_geometric_spark.operators.kcore import coreness
+
+        core = coreness(g.edges, g.vertices)
+        core.write.mode("overwrite").parquet(args.output)
+        summary.update(
+            vertices=core.count(),
+            max_coreness=core.agg({"coreness": "max"}).first()[0],
+        )
     elif args.algorithm == "bfs":
         from halvesting_geometric_spark.operators.traversal import bfs_levels
 

@@ -30,6 +30,7 @@ from halvesting_geometric_spark.operators.linkpred import (
     modularity,
     neighborhood_scores,
 )
+from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
     extract_features,
@@ -72,6 +73,7 @@ __all__ = [
     "canonical_edges",
     "clustering_coefficients",
     "connected_components",
+    "coreness",
     "degree_assortativity",
     "densest_subgraph",
     "dense_ids_scalable",
@@ -85,6 +87,7 @@ __all__ = [
     "harmonic_centrality_exact",
     "harmonic_centrality_hll",
     "in_degrees",
+    "kcore_members",
     "ktruss",
     "label_propagation",
     "maximal_independent_set",

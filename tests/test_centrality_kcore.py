@@ -197,3 +197,80 @@ def test_pagerank_warm_start_reconverges_immediately(spark):
     scaled = cold.ranks.withColumn("rank", F.col("rank") * 7.5)
     warm2 = pagerank(edges, verts, tol=1e-9, initial_ranks=scaled)
     assert warm2.iterations <= 2
+
+
+def _python_coreness(pairs, n):
+    """Exact core numbers by Batagelj-Zaversnik-style peeling."""
+    adj = {v: set() for v in range(n)}
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(adj[v]) for v in range(n)}
+    core = dict(deg)
+    alive = set(range(n))
+    k = 0
+    while alive:
+        k_min = min(deg[v] for v in alive)
+        k = max(k, k_min)
+        peel = [v for v in alive if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def test_coreness_fixpoint_matches_exact_peeling(spark):
+    from halvesting_geometric_spark.operators.kcore import coreness
+
+    rng = np.random.default_rng(37)
+    n = 60
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (260, 2))
+                    if a != b})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.range(n).select(F.col("id").alias("vertex_id"))
+    got = {
+        r["vertex_id"]: r["coreness"]
+        for r in coreness(edges, verts).collect()
+    }
+    assert got == _python_coreness(pairs, n)
+
+    # planted K5 + pendant path: clique coreness 4, path decays to 1
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    path = [(4, 100), (100, 101), (101, 102)]
+    e2 = spark.createDataFrame(k5 + path, "src long, dst long")
+    v2 = spark.createDataFrame(
+        [(v,) for v in list(range(5)) + [100, 101, 102]], "vertex_id long"
+    )
+    got2 = {
+        r["vertex_id"]: r["coreness"] for r in coreness(e2, v2).collect()
+    }
+    assert all(got2[v] == 4 for v in range(5))
+    assert got2[100] == got2[101] == got2[102] == 1
+
+    # fixed_iters mode upper-bounds the fixpoint and is monotone in rounds
+    up3 = {
+        r["vertex_id"]: r["coreness"]
+        for r in coreness(edges, verts, fixed_iters=3).collect()
+    }
+    exact = _python_coreness(pairs, n)
+    assert all(up3[v] >= exact[v] for v in up3)
+
+    # isolated vertices get coreness 0
+    v3 = spark.range(n + 5).select(F.col("id").alias("vertex_id"))
+    got3 = {
+        r["vertex_id"]: r["coreness"]
+        for r in coreness(edges, v3, fixed_iters=2).collect()
+    }
+    assert all(got3[v] == 0 for v in range(n, n + 5))
+
+    with pytest.raises(ValueError, match="fixed_iters"):
+        coreness(edges, verts, fixed_iters=-1)
