@@ -1117,6 +1117,54 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio header metadata: synthesize genuine RIFF/WAVE containers
+    from events-table arithmetic (channels/rate/samples are pure functions
+    of event_id), parse them back with the byte-level Arrow kernel
+    (multimodal.parse_audio_header) — the oracle recomputes channels, rate
+    and the exact integer duration arithmetically, so green means the
+    chunk walk inverts the generator byte-exactly."""
+    from halvesting_geometric_spark.operators.multimodal import parse_audio_meta
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("media_id"),
+        (F.lit(1) + F.col("event_id") % 2).cast("long").alias("ch"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).cast("long").alias("rate"),
+        (F.lit(1000) + F.col("event_id").cast("long") % 5000).alias("ns"),
+    ).withColumn("blk", F.col("ch") * 2).withColumn(
+        "data_size", F.col("ns") * F.col("blk")
+    )
+
+    def le(col, nbytes):  # little-endian hex of an integer column
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex(F.floor(F.col(col) / (256 ** b)) % 256), 2, "0"
+                )
+                for b in range(nbytes)
+            ]
+        )
+
+    # riff_size = 36 + data_size (WAVE id 4 + fmt chunk 24 + data header 8)
+    riff = ev.withColumn("riff_size", F.col("data_size") + 36)
+    hexstr = F.concat(
+        F.lit("52494646"), le("riff_size", 4), F.lit("57415645"),  # WAVE
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),       # fmt ,16,pcm
+        le("ch", 2), le("rate", 4),
+    )
+    payload_hex = F.concat(
+        hexstr,
+        F.concat(*[F.lpad(F.hex(F.floor((F.col("rate") * F.col("blk")) / (256 ** b)) % 256), 2, "0") for b in range(4)]),  # byte_rate LE4
+        le("blk", 2), F.lit("1000"),                                # bits=16 LE2
+        F.lit("64617461"), le("data_size", 4),                      # data chunk
+    )
+    media = riff.select("media_id", F.unhex(payload_hex).alias("payload"))
+    return parse_audio_meta(media)
+
+
 def _q_coreness3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-core decomposition, 3 h-index rounds (Montresor et al.
     distributed coreness; kcore.py) — per-vertex core-number estimates,
@@ -1257,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
+        "audio_meta": _q_audio_meta,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2523,6 +2572,18 @@ SELECT CAST(event_id AS BIGINT) AS media_id,
        CAST(16 + event_id % 500 AS BIGINT) AS width,
        CAST(16 + (event_id * 7) % 500 AS BIGINT) AS height
 FROM events""",
+        "audio_meta": """
+WITH a AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         CAST(1 + event_id % 2 AS BIGINT) AS ch,
+         CAST(CASE CAST(event_id % 3 AS INTEGER)
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT)
+           AS rate,
+         CAST(1000 + event_id % 5000 AS BIGINT) AS ns
+  FROM events)
+SELECT media_id, 'wav' AS format, ch AS channels, rate AS sample_rate_hz,
+       CAST((ns * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
+FROM a""",
         "dedup_clusters": r"""
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (

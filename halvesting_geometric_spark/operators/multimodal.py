@@ -151,6 +151,96 @@ def parse_media_meta(
     ).mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "media_id long, format string, channels long, sample_rate_hz long, "
+    "duration_ms long"
+)
+
+
+def parse_audio_header(
+    p: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """(format, channels, sample_rate_hz, duration_ms) from real RIFF/WAVE
+    container bytes — chunk walk over the public WAV layout, no codec.
+
+    Duration is exact integer arithmetic: ``data_bytes * 1000 //
+    byte_rate``. Non-RIFF payloads give all-None; a WAV missing fmt/data
+    chunks identifies as 'wav' with null fields.
+    """
+    if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return (None, None, None, None)
+    channels = rate = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(p):
+            channels = int.from_bytes(p[i + 10 : i + 12], "little")
+            rate = int.from_bytes(p[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(p[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    dur = (
+        data_size * 1000 // byte_rate
+        if data_size is not None and byte_rate
+        else None
+    )
+    return ("wav", channels, rate, dur)
+
+
+def parse_audio_meta(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real audio header metadata per item (Arrow-batched mapInPandas over
+    the binary column; narrow op, partitioning preserved)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_audio_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [t[0] for t in parsed],
+                    "channels": pd.array([t[1] for t in parsed], dtype="Int64"),
+                    "sample_rate_hz": pd.array(
+                        [t[2] for t in parsed], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [t[3] for t in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+def wav_bytes(
+    channels: int, sample_rate: int, n_samples: int, bits: int = 16
+) -> bytes:
+    """Minimal real RIFF/WAVE container: fmt chunk + silent data chunk."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    # header-only container: declare the data size without carrying the
+    # (silent) samples — the parser reads sizes, not samples
+    data = b"data" + data_size.to_bytes(4, "little")
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + (len(body) + data_size).to_bytes(4, "little") + body
+
+
 def png_bytes(width: int, height: int) -> bytes:
     """Minimal real PNG container: signature + IHDR (dims live here) +
     placeholder CRC. Parses with any PNG reader's header stage."""
@@ -322,17 +412,26 @@ def generate_media_fixture(spark, n: int = 50, seed: int = 5) -> DataFrame:
             h = int(rng.integers(16, 512))
             payload = build(w, h)
             meta = {"format": fmt, "width": w, "height": h, "duration_ms": None}
+        elif kind == "audio":
+            ch = int(rng.integers(1, 3))
+            rate = int(rng.choice([8000, 16000, 44100]))
+            n_samp = int(rng.integers(1000, 50000))
+            payload = wav_bytes(ch, rate, n_samp)
+            meta = {
+                "format": "wav",
+                "width": None,
+                "height": None,
+                "duration_ms": n_samp * 1000 // rate,
+            }
         else:
             payload = bytes(
                 rng.integers(0, 256, size=int(rng.integers(16, 256))).tolist()
             )
             meta = {
-                "format": {"audio": "wav", "video": "mp4"}[kind],
+                "format": "mp4",
                 "width": None,
                 "height": None,
-                "duration_ms": int(rng.integers(500, 5000))
-                if kind == "video"
-                else None,
+                "duration_ms": int(rng.integers(500, 5000)),
             }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -470,3 +470,38 @@ def test_parse_media_meta_inverts_real_headers(spark):
     assert (got.loc[img, "width"] == exp.loc[img, "width"]).all()
     assert (got.loc[img, "height"] == exp.loc[img, "height"]).all()
     assert got.loc[~img, ["format", "width", "height"]].isna().all().all()
+
+
+def test_parse_audio_header_inverts_wav_containers(spark):
+    """WAV chunk walk reads real RIFF bytes: byte-level roundtrips, exact
+    integer duration, fixture meta equality, garbage tolerance."""
+    from halvesting_geometric_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_audio_meta,
+        wav_bytes,
+    )
+
+    for ch, rate, ns in ((1, 8000, 1000), (2, 44100, 48000), (2, 16000, 1)):
+        fmt, c, r, dur = parse_audio_header(wav_bytes(ch, rate, ns))
+        assert (fmt, c, r) == ("wav", ch, rate)
+        assert dur == ns * 1000 // rate  # exact integer arithmetic
+    assert parse_audio_header(None) == (None, None, None, None)
+    assert parse_audio_header(b"RIFFxxxxJUNK") == (None, None, None, None)
+    assert parse_audio_header(b"\x00" * 40) == (None, None, None, None)
+    # RIFF/WAVE with no fmt/data chunks identifies but yields null fields
+    assert parse_audio_header(b"RIFF\x04\x00\x00\x00WAVE") == (
+        "wav", None, None, None,
+    )
+
+    media = generate_media_fixture(spark, n=30)
+    aud = media.filter(F.col("kind") == "audio")
+    got = parse_audio_meta(aud).toPandas().set_index("media_id").sort_index()
+    exp = (
+        aud.select("media_id", "meta.format", "meta.duration_ms")
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert (got["format"] == "wav").all()
+    assert (got["duration_ms"] == exp["duration_ms"]).all()
+    assert got["channels"].isin([1, 2]).all()
