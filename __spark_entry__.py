@@ -1165,6 +1165,33 @@ def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_audio_meta(media)
 
 
+def _q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video container metadata: synthesize genuine ISO BMFF (ftyp +
+    moov/mvhd) boxes from events arithmetic, parse back with the box-walk
+    kernel (multimodal.parse_video_header); oracle recomputes the exact
+    integer duration duration_units*1000 // timescale."""
+    from halvesting_geometric_spark.operators.multimodal import parse_video_meta
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit(600), F.lit(1000), F.lit(90000)),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).cast("long").alias("ts_scale"),
+        (F.lit(100) + F.col("event_id").cast("long") % 100000).alias("dur"),
+    )
+    be8 = lambda c: F.lpad(F.hex(F.col(c)), 8, "0")  # noqa: E731
+    payload_hex = F.concat(
+        F.lit("00000014" + "66747970" + "69736F6D" + "00000000" + "69736F6D"),
+        F.lit("00000074" + "6D6F6F76"),            # moov box header
+        F.lit("0000006C" + "6D766864" + "00000000" + "00" * 8),  # mvhd v0
+        be8("ts_scale"), be8("dur"),
+        F.lit("00" * 80),                          # rate/volume/matrix/etc
+    )
+    media = ev.select("media_id", F.unhex(payload_hex).alias("payload"))
+    return parse_video_meta(media)
+
+
 def _q_coreness3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-core decomposition, 3 h-index rounds (Montresor et al.
     distributed coreness; kcore.py) — per-vertex core-number estimates,
@@ -1306,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
         "audio_meta": _q_audio_meta,
+        "video_meta": _q_video_meta,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2584,6 +2612,17 @@ WITH a AS (
 SELECT media_id, 'wav' AS format, ch AS channels, rate AS sample_rate_hz,
        CAST((ns * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
 FROM a""",
+        "video_meta": """
+WITH v AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         CAST(CASE CAST(event_id % 3 AS INTEGER)
+              WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT)
+           AS ts_scale,
+         CAST(100 + event_id % 100000 AS BIGINT) AS dur
+  FROM events)
+SELECT media_id, 'mp4' AS format,
+       CAST((dur * 1000) // ts_scale AS BIGINT) AS duration_ms
+FROM v""",
         "dedup_clusters": r"""
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (

@@ -217,6 +217,85 @@ def parse_audio_meta(
     ).mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
+VIDEO_META_SCHEMA = "media_id long, format string, duration_ms long"
+
+
+def parse_video_header(p: bytes | None) -> tuple[str | None, int | None]:
+    """(format, duration_ms) from real ISO BMFF (MP4) bytes: walk the
+    top-level boxes to ``moov``, then its children to ``mvhd`` (version-0:
+    timescale and duration as big-endian u32 at payload offsets 12/16).
+    Exact integer duration ``duration * 1000 // timescale``. Non-BMFF
+    payloads give (None, None); an MP4 without a readable mvhd identifies
+    as 'mp4' with null duration."""
+    if not p or len(p) < 8:
+        return (None, None)
+    if p[4:8] not in (b"ftyp", b"moov", b"mdat", b"free", b"styp"):
+        return (None, None)
+
+    def walk(lo: int, hi: int, target: bytes) -> tuple[int, int] | None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(p[i : i + 4], "big")
+            if size < 8:
+                return None
+            if p[i + 4 : i + 8] == target:
+                return (i + 8, min(i + size, hi))
+            i += size
+        return None
+
+    moov = walk(0, len(p), b"moov")
+    if moov is None:
+        return ("mp4", None)
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if mvhd is None or mvhd[0] + 20 > len(p) or p[mvhd[0]] != 0:
+        return ("mp4", None)  # version-1 (64-bit) not emitted by our builder
+    timescale = int.from_bytes(p[mvhd[0] + 12 : mvhd[0] + 16], "big")
+    duration = int.from_bytes(p[mvhd[0] + 16 : mvhd[0] + 20], "big")
+    if not timescale:
+        return ("mp4", None)
+    return ("mp4", duration * 1000 // timescale)
+
+
+def parse_video_meta(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real video container metadata per item (Arrow-batched mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_video_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [t[0] for t in parsed],
+                    "duration_ms": pd.array(
+                        [t[1] for t in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
+def mp4_bytes(timescale: int, duration: int) -> bytes:
+    """Minimal real ISO BMFF container: ftyp + moov(mvhd v0)."""
+    # ISO BMFF box size includes the 8-byte (size, type) header
+    ftyp_payload = b"isom" + (0).to_bytes(4, "big") + b"isom"
+    ftyp = (8 + len(ftyp_payload)).to_bytes(4, "big") + b"ftyp" + ftyp_payload
+    mvhd_payload = (
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80)  # rate/volume/matrix/predefined/next_track
+    )
+    mvhd = (8 + len(mvhd_payload)).to_bytes(4, "big") + b"mvhd" + mvhd_payload
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
 def wav_bytes(
     channels: int, sample_rate: int, n_samples: int, bits: int = 16
 ) -> bytes:
@@ -424,14 +503,15 @@ def generate_media_fixture(spark, n: int = 50, seed: int = 5) -> DataFrame:
                 "duration_ms": n_samp * 1000 // rate,
             }
         else:
-            payload = bytes(
-                rng.integers(0, 256, size=int(rng.integers(16, 256))).tolist()
-            )
+            timescale = int(rng.choice([600, 1000, 90000]))
+            dur_ms = int(rng.integers(500, 5000))
+            payload = mp4_bytes(timescale, dur_ms * timescale // 1000)
             meta = {
                 "format": "mp4",
                 "width": None,
                 "height": None,
-                "duration_ms": int(rng.integers(500, 5000)),
+                # what the container's mvhd actually encodes (floor twice)
+                "duration_ms": (dur_ms * timescale // 1000) * 1000 // timescale,
             }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

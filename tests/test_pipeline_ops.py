@@ -505,3 +505,36 @@ def test_parse_audio_header_inverts_wav_containers(spark):
     assert (got["format"] == "wav").all()
     assert (got["duration_ms"] == exp["duration_ms"]).all()
     assert got["channels"].isin([1, 2]).all()
+
+
+def test_parse_video_header_inverts_mp4_containers(spark):
+    """ISO BMFF box walk reads real bytes: roundtrips across timescales,
+    exact integer duration, fixture meta equality, garbage tolerance."""
+    from halvesting_geometric_spark.operators.multimodal import (
+        mp4_bytes,
+        parse_video_header,
+        parse_video_meta,
+    )
+
+    for ts, dur in ((600, 3000), (1000, 1), (90000, 123456)):
+        assert parse_video_header(mp4_bytes(ts, dur)) == (
+            "mp4",
+            dur * 1000 // ts,
+        )
+    assert parse_video_header(None) == (None, None)
+    assert parse_video_header(b"\x89PNG\r\n\x1a\x0agarbage") == (None, None)
+    # a bare ftyp with no moov identifies but yields null duration
+    bare = mp4_bytes(1000, 1000)[:20]
+    assert parse_video_header(bare) == ("mp4", None)
+
+    media = generate_media_fixture(spark, n=30)
+    vid = media.filter(F.col("kind") == "video")
+    got = parse_video_meta(vid).toPandas().set_index("media_id").sort_index()
+    exp = (
+        vid.select("media_id", "meta.duration_ms")
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert (got["format"] == "mp4").all()
+    assert (got["duration_ms"] == exp["duration_ms"]).all()
