@@ -1117,6 +1117,31 @@ def _q_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vertex_id", "color")
 
 
+def _q_turn_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant ("per-turn text equality under
+    stable (conv_id, turn_idx) ordering") made cross-engine-checkable: per
+    conversation, hash the turn texts joined in stable turn order. The
+    oracle rebuilds the same ordering from (ts, event_id) — the keys
+    turn_idx is derived from — so a green row proves every turn's text AND
+    its position match byte-for-byte between engines. Validation-scale
+    query (per-conv ordered buffer); production equality checks would
+    chunk the chain."""
+    from halvesting_geometric_spark.functions import portable_hash64
+
+    tr = derived_transcripts(spark, sf_dir)
+    g = tr.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("a"),
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        portable_hash64(
+            F.array_join(F.transform("a", lambda x: x["text"]), "\u001f")
+        ).alias("turn_fp"),
+    )
+
+
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio header metadata: synthesize genuine RIFF/WAVE containers
     from events-table arithmetic (channels/rate/samples are pure functions
@@ -1334,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness3": _q_coreness3,
         "audio_meta": _q_audio_meta,
         "video_meta": _q_video_meta,
+        "turn_texts": _q_turn_texts,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2612,6 +2638,17 @@ WITH a AS (
 SELECT media_id, 'wav' AS format, ch AS channels, rate AS sample_rate_hz,
        CAST((ns * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
 FROM a""",
+        "turn_texts": f"""
+WITH tt AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,
+         'turn of c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') ||
+           ' see [[ref:c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') ||
+           ']] end' AS text,
+         ts, event_id
+  FROM events)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       {_ph("string_agg(text, chr(31) ORDER BY ts, event_id)")} AS turn_fp
+FROM tt GROUP BY conv_id""",
         "video_meta": """
 WITH v AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,
