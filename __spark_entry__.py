@@ -1142,6 +1142,23 @@ def _q_turn_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph analytics (operators/temporal.py): per conversation
+    per day-bucket, reference activity + distinct targets + the running
+    citation-activity curve (window running sum per source)."""
+    from halvesting_geometric_spark.operators.temporal import degree_evolution
+
+    return degree_evolution(derived_transcripts(spark, sf_dir), bucket="day")
+
+
+def _q_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph densification curve: per day-bucket new edge
+    occurrences, active sources, and the cumulative total."""
+    from halvesting_geometric_spark.operators.temporal import graph_growth
+
+    return graph_growth(derived_transcripts(spark, sf_dir), bucket="day")
+
+
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio header metadata: synthesize genuine RIFF/WAVE containers
     from events-table arithmetic (channels/rate/samples are pure functions
@@ -1360,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": _q_audio_meta,
         "video_meta": _q_video_meta,
         "turn_texts": _q_turn_texts,
+        "degree_evolution": _q_degree_evolution,
+        "graph_growth": _q_graph_growth,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2626,6 +2645,34 @@ SELECT CAST(event_id AS BIGINT) AS media_id,
        CAST(16 + event_id % 500 AS BIGINT) AS width,
        CAST(16 + (event_id * 7) % 500 AS BIGINT) AS height
 FROM events""",
+        "degree_evolution": """
+WITH tev AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS src_conv,
+         'c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') AS dst_conv,
+         ts
+  FROM events),
+pb AS (
+  SELECT src_conv, date_trunc('day', ts) AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n_refs,
+         CAST(COUNT(DISTINCT dst_conv) AS BIGINT) AS n_distinct_dst
+  FROM tev GROUP BY 1, 2)
+SELECT src_conv, bucket_start, n_refs, n_distinct_dst,
+       CAST(SUM(n_refs) OVER (PARTITION BY src_conv ORDER BY bucket_start
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_refs
+FROM pb""",
+        "graph_growth": """
+WITH tev AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS src_conv, ts
+  FROM events),
+pb AS (
+  SELECT date_trunc('day', ts) AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n_refs,
+         CAST(COUNT(DISTINCT src_conv) AS BIGINT) AS n_active_src
+  FROM tev GROUP BY 1)
+SELECT bucket_start, n_refs, n_active_src,
+       CAST(SUM(n_refs) OVER (ORDER BY bucket_start
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_refs
+FROM pb""",
         "audio_meta": """
 WITH a AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,

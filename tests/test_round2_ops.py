@@ -366,3 +366,51 @@ def test_embedding_near_dups_finds_planted_pair(spark):
     assert (0, 1) in set(zip(got["a"], got["b"]))
     assert (got["cosine"] >= 0.95).all()
     assert (got["a"] < got["b"]).all()
+
+
+def test_temporal_degree_evolution_matches_python(spark):
+    """Temporal rollups vs a pandas twin on generated transcripts:
+    per-bucket counts, distinct targets, and running totals."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.datagen import generate_transcripts
+    from halvesting_geometric_spark.operators.temporal import (
+        degree_evolution,
+        edge_events,
+        graph_growth,
+    )
+
+    tr = generate_transcripts(spark, 60, seed=6)
+    ev = edge_events(tr).toPandas()
+    assert len(ev) > 0
+    ev["bucket_start"] = ev["ts"].dt.floor("h")
+
+    got = (
+        degree_evolution(tr, bucket="hour")
+        .toPandas()
+        .sort_values(["src_conv", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ev.groupby(["src_conv", "bucket_start"])
+        .agg(
+            n_refs=("dst_conv", "size"),
+            n_distinct_dst=("dst_conv", "nunique"),
+        )
+        .reset_index()
+        .sort_values(["src_conv", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    exp["cum_refs"] = exp.groupby("src_conv")["n_refs"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["src_conv", "bucket_start", "n_refs", "n_distinct_dst", "cum_refs"]],
+        exp.astype({"n_refs": "int64", "n_distinct_dst": "int64",
+                    "cum_refs": "int64"}),
+        check_dtype=False,
+    )
+
+    growth = graph_growth(tr, bucket="hour").toPandas().sort_values(
+        "bucket_start"
+    )
+    assert growth["cum_refs"].iloc[-1] == len(ev)
+    assert (growth["cum_refs"].diff().dropna() > 0).all() or len(growth) == 1
