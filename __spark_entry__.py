@@ -1142,6 +1142,25 @@ def _q_turn_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source horizon-4 betweenness (Brandes dependencies from
+    sources 0,1,2; operators/betweenness.py) — the oracle unrolls every
+    forward BFS/sigma level and every backward dependency level."""
+    from halvesting_geometric_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return betweenness_sampled(
+        edges, verts, sources=[0, 1, 2], max_depth=4
+    ).select(
+        "vertex_id",
+        F.floor(F.col("betweenness") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("bc_e6"),
+    )
+
+
 def _q_degree_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal graph analytics (operators/temporal.py): per conversation
     per day-bucket, reference activity + distinct targets + the running
@@ -1379,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_texts": _q_turn_texts,
         "degree_evolution": _q_degree_evolution,
         "graph_growth": _q_graph_growth,
+        "betweenness4": _q_betweenness4,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -1866,6 +1886,60 @@ col{t} AS MATERIALIZED (
         f"SELECT v AS vertex_id, CAST(color AS BIGINT) AS color "
         f"FROM col{rounds}"
     )
+
+
+def _betweenness_sql(sources: list[int], depth: int) -> str:
+    """Horizon-bounded Brandes twin: unrolled forward BFS/sigma levels +
+    unrolled backward dependency levels, mirroring
+    betweenness.betweenness_sampled expression for expression (same FP
+    evaluation order inside each contribution term; e6 rounding absorbs
+    cross-engine summation-order ulps)."""
+    src_list = ", ".join(str(s) for s in sources)
+    parts = [
+        _BASE,
+        "bde AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"bsrc AS (SELECT unnest([{src_list}]) AS s)",
+        "bst0 AS MATERIALIZED (SELECT s, CAST(s AS BIGINT) AS v, 0 AS dist, "
+        "CAST(1 AS BIGINT) AS sigma FROM bsrc)",
+    ]
+    for lvl in range(1, depth + 1):
+        p = lvl - 1
+        parts.append(
+            f"""bgr{lvl} AS (
+  SELECT st.s, e.dst AS v, SUM(st.sigma) AS sigma
+  FROM bst{p} st JOIN bde e ON st.v = e.src
+  WHERE st.dist = {p} GROUP BY st.s, e.dst),
+bst{lvl} AS MATERIALIZED (
+  SELECT * FROM bst{p}
+  UNION ALL
+  SELECT g.s, g.v, {lvl} AS dist, g.sigma FROM bgr{lvl} g
+  WHERE NOT EXISTS (SELECT 1 FROM bst{p} x WHERE x.s = g.s AND x.v = g.v))"""
+        )
+    parts.append(
+        f"bd{depth} AS MATERIALIZED "
+        f"(SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM bst{depth})"
+    )
+    for lvl in range(depth, 0, -1):
+        parts.append(
+            f"""bc{lvl} AS (
+  SELECT p.s, p.v,
+         SUM(CAST(p.sigma AS DOUBLE) / w.sigma * (1 + dw.delta)) AS c
+  FROM bst{depth} p
+  JOIN bde e ON p.v = e.src
+  JOIN bst{depth} w ON w.s = p.s AND w.v = e.dst AND w.dist = {lvl}
+  JOIN bd{lvl} dw ON dw.s = w.s AND dw.v = w.v
+  WHERE p.dist = {lvl - 1} GROUP BY p.s, p.v),
+bd{lvl - 1} AS MATERIALIZED (
+  SELECT d.s, d.v, d.delta + COALESCE(c.c, 0) AS delta
+  FROM bd{lvl} d LEFT JOIN bc{lvl} c ON c.s = d.s AND c.v = d.v)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT vv.vertex_id,
+       CAST(floor(COALESCE(agg.bc, 0) * 1000000 + 0.5) AS BIGINT) AS bc_e6
+FROM verts vv
+LEFT JOIN (SELECT v, SUM(delta) AS bc FROM bd0 WHERE v <> s GROUP BY v) agg
+  ON agg.v = vv.vertex_id"""
 
 
 def _coreness_sql(rounds: int) -> str:
@@ -2638,6 +2712,7 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "wl3": _wl_sql(3),
         "wl_capped": _wl_capped_sql(3),
         "coreness3": _coreness_sql(3),
+        "betweenness4": _betweenness_sql([0, 1, 2], 4),
         "media_meta": """
 SELECT CAST(event_id AS BIGINT) AS media_id,
        CASE CAST(event_id % 3 AS INTEGER)

@@ -1,5 +1,6 @@
 """Operator surface (SURVEY.md §2 inventory → Spark-first implementations)."""
 
+from halvesting_geometric_spark.operators.betweenness import betweenness_sampled
 from halvesting_geometric_spark.operators.components import connected_components
 from halvesting_geometric_spark.operators.extract import (
     extract_conv_edges,
@@ -67,6 +68,7 @@ __all__ = [
     "PropertyGraph",
     "aggregate_neighbors",
     "aggregate_neighbors_positional",
+    "betweenness_sampled",
     "bfs_levels",
     "build_graph",
     "build_vertices",
