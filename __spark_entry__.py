@@ -1142,6 +1142,19 @@ def _q_turn_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_coloring4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring, 4 rounds (operators/coloring.py,
+    portable priorities seed 7): per round, uncolored local-priority-maxima
+    take the mex of their colored neighborhoods. Oracle replays each round
+    (HUGEINT-encoded (prio, id) local-max test + generate_series mex)."""
+    from halvesting_geometric_spark.operators.coloring import greedy_coloring
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return greedy_coloring(
+        edges, verts, seed=7, hash_method="portable", fixed_rounds=4
+    )
+
+
 def _q_betweenness4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source horizon-4 betweenness (Brandes dependencies from
     sources 0,1,2; operators/betweenness.py) — the oracle unrolls every
@@ -1399,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_evolution": _q_degree_evolution,
         "graph_growth": _q_graph_growth,
         "betweenness4": _q_betweenness4,
+        "coloring4": _q_coloring4,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -1879,6 +1893,55 @@ def _wl_sql(rounds: int, seed: int = 42) -> str:
 col{t} AS MATERIALIZED (
   SELECT c.v, {h} AS color
   FROM col{p} c LEFT JOIN nb{t} n ON c.v = n.dst)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(color AS BIGINT) AS color "
+        f"FROM col{rounds}"
+    )
+
+
+def _coloring_sql(rounds: int, seed: int = 7) -> str:
+    """Greedy-coloring twin: per round, the strict local-max test over
+    uncolored neighbors (HUGEINT-encoded (prio, id) — ids < 2^40 so the
+    encoding is order-isomorphic to the engine's struct comparison) and
+    the mex of the colored neighborhood (generate_series anti-membership,
+    bounded by the neighborhood's palette)."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    prio = portable_hash64_sql("vertex_id", seed=seed)
+    enc = "CAST({p} AS HUGEINT) * 1099511627776 + {v}"
+    parts = [
+        _BASE,
+        "ce0 AS (SELECT src, dst FROM edges WHERE src <> dst)",
+        "csym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM ce0 UNION ALL SELECT dst, src FROM ce0))",
+        f"col0 AS MATERIALIZED (SELECT vertex_id AS v, {prio} AS prio, "
+        "CAST(NULL AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        e_nbr = enc.format(p="c.prio", v="c.v")
+        e_self = enc.format(p="c.prio", v="c.v")
+        parts.append(
+            f"""cnb{t} AS (
+  SELECT s.dst AS v,
+         MAX(CASE WHEN c.color IS NULL THEN {e_nbr} END) AS top_unc,
+         list_sort(list_distinct(list(c.color) FILTER (c.color IS NOT NULL)))
+           AS ncol
+  FROM csym s JOIN col{p} c ON s.src = c.v GROUP BY s.dst),
+col{t} AS MATERIALIZED (
+  SELECT c.v, c.prio,
+         CASE WHEN c.color IS NOT NULL THEN c.color
+              WHEN n.v IS NULL OR n.top_unc IS NULL
+                   OR {e_self} > n.top_unc THEN
+                -- mex of a sorted distinct non-negative list = count of
+                -- positions where a[i] = i-1 (the [0,1,2,...] prefix)
+                CAST(len(list_filter(COALESCE(n.ncol, []),
+                                     (x, i) -> x = i - 1)) AS BIGINT)
+              ELSE NULL END AS color
+  FROM col{p} c LEFT JOIN cnb{t} n ON c.v = n.v)"""
         )
     body = ",\n".join(parts)
     return (
@@ -2713,6 +2776,7 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "wl_capped": _wl_capped_sql(3),
         "coreness3": _coreness_sql(3),
         "betweenness4": _betweenness_sql([0, 1, 2], 4),
+        "coloring4": _coloring_sql(4, seed=7),
         "media_meta": """
 SELECT CAST(event_id AS BIGINT) AS media_id,
        CASE CAST(event_id % 3 AS INTEGER)

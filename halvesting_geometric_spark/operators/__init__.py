@@ -31,6 +31,7 @@ from halvesting_geometric_spark.operators.linkpred import (
     modularity,
     neighborhood_scores,
 )
+from halvesting_geometric_spark.operators.coloring import greedy_coloring
 from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
@@ -86,6 +87,7 @@ __all__ = [
     "extract_features",
     "four_cycles",
     "graph_stats",
+    "greedy_coloring",
     "harmonic_centrality_exact",
     "harmonic_centrality_hll",
     "in_degrees",

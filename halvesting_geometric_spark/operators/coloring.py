@@ -1,0 +1,138 @@
+"""Distributed greedy graph coloring, Jones–Plassmann style (engine-new).
+
+Per round, every still-uncolored vertex whose hash priority is a strict
+local maximum among its uncolored neighbors colors itself with the
+smallest color absent from its already-colored neighborhood (the "mex").
+Deterministic (seeded hash priorities, id tie-break), O(log n / log log n)
+expected rounds on bounded-degree graphs (Jones & Plassmann 1993), and
+every step is relational: one neighbor join + one max-struct aggregate
+for the local-max test, one join + one sorted-set aggregate + an
+``aggregate`` fold for the mex. The mex fold runs over the *distinct
+colors* of the neighborhood — bounded by degree, and by the palette size
+(≤ Δ+1) rather than the neighborhood count.
+
+Undirected semantics (edges symmetrized); self-loops ignored. With
+``fixed_rounds`` the gate's DuckDB twin unrolls identical rounds;
+vertices still uncolored after the budget keep color NULL (fixpoint mode
+runs until none remain and raises past ``max_rounds``).
+
+Validity invariant (tested): no edge joins two equal colors; greedy bound
+colors ≤ Δ+1.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.sampling import hash64
+
+
+def _mex(sorted_colors):
+    """Smallest non-negative integer absent from the ascending array."""
+    return F.aggregate(
+        sorted_colors,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+    )
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    vertices: DataFrame,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+    fixed_rounds: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(vertex_id, color) greedy coloring; color is NULL only when a fixed
+    round budget left the vertex uncolored (never in fixpoint mode)."""
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_shuffle, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    prio = hash64(hash_method, "vertex_id", seed=seed)
+    state = vertices.select(
+        "vertex_id",
+        prio.alias("prio"),
+        F.lit(None).cast("long").alias("color"),
+    ).localCheckpoint(eager=True)
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for _ in range(rounds):
+        n_uncolored = state.filter(F.col("color").isNull()).count()
+        if n_uncolored == 0:
+            break
+        nbr = sym.join(
+            state.select(
+                F.col("vertex_id").alias("src"),
+                F.col("prio").alias("n_prio"),
+                F.col("color").alias("n_color"),
+            ),
+            "src",
+        )
+        summary = nbr.groupBy("dst").agg(
+            # strict local max among UNCOLORED neighbors; (prio, id) breaks
+            # hash ties deterministically
+            F.max(
+                F.when(
+                    F.col("n_color").isNull(),
+                    F.struct(F.col("n_prio"), F.col("src")),
+                )
+            ).alias("top_unc"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("n_color").isNotNull(), F.col("n_color"))
+                )
+            ).alias("nbr_colors"),
+        )
+        state = (
+            state.join(
+                summary.select(F.col("dst").alias("vertex_id"), "top_unc",
+                               "nbr_colors"),
+                "vertex_id",
+                "left",
+            )
+            .select(
+                "vertex_id",
+                "prio",
+                F.when(F.col("color").isNotNull(), F.col("color"))
+                .when(
+                    F.col("color").isNull()
+                    & (
+                        F.col("top_unc").isNull()
+                        | (
+                            F.struct(F.col("prio"), F.col("vertex_id"))
+                            > F.col("top_unc")
+                        )
+                    ),
+                    _mex(F.coalesce("nbr_colors", F.array())),
+                )
+                .alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # budget exhausted without hitting the early break — in fixpoint
+        # mode that's only an error if someone is actually still uncolored
+        # (the final round may have just finished the job)
+        if (
+            fixed_rounds is None
+            and state.filter(F.col("color").isNull()).count() > 0
+        ):
+            sym.unpersist()
+            raise RuntimeError(
+                f"greedy_coloring did not finish within max_rounds={max_rounds}"
+            )
+    sym.unpersist()
+    return state.select("vertex_id", "color")
