@@ -1903,27 +1903,28 @@ col{t} AS MATERIALIZED (
 
 
 def _coloring_sql(rounds: int, seed: int = 7) -> str:
-    """Greedy-coloring twin: per round, the strict local-max test over
-    uncolored neighbors (HUGEINT-encoded (prio, id) — ids < 2^40 so the
-    encoding is order-isomorphic to the engine's struct comparison) and
-    the mex of the colored neighborhood (generate_series anti-membership,
-    bounded by the neighborhood's palette)."""
+    """Greedy-coloring twin: per round, re-randomized priorities
+    (hash(v, seed + 131·round), mirroring the engine), the strict
+    local-max test over uncolored neighbors (HUGEINT-encoded (prio, id) —
+    ids < 2^40 so the encoding is order-isomorphic to the engine's struct
+    comparison) and the mex of the colored neighborhood (sorted-distinct
+    identity, bounded by the neighborhood's palette)."""
     from halvesting_geometric_spark.functions import portable_hash64_sql
 
-    prio = portable_hash64_sql("vertex_id", seed=seed)
     enc = "CAST({p} AS HUGEINT) * 1099511627776 + {v}"
     parts = [
         _BASE,
         "ce0 AS (SELECT src, dst FROM edges WHERE src <> dst)",
         "csym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
         "(SELECT src, dst FROM ce0 UNION ALL SELECT dst, src FROM ce0))",
-        f"col0 AS MATERIALIZED (SELECT vertex_id AS v, {prio} AS prio, "
+        "col0 AS MATERIALIZED (SELECT vertex_id AS v, "
         "CAST(NULL AS BIGINT) AS color FROM verts)",
     ]
     for t in range(1, rounds + 1):
         p = t - 1
-        e_nbr = enc.format(p="c.prio", v="c.v")
-        e_self = enc.format(p="c.prio", v="c.v")
+        prio_c = portable_hash64_sql("c.v", seed=seed + 131 * (t - 1))
+        e_nbr = enc.format(p=prio_c, v="c.v")
+        e_self = enc.format(p=prio_c, v="c.v")
         parts.append(
             f"""cnb{t} AS (
   SELECT s.dst AS v,
@@ -1932,7 +1933,7 @@ def _coloring_sql(rounds: int, seed: int = 7) -> str:
            AS ncol
   FROM csym s JOIN col{p} c ON s.src = c.v GROUP BY s.dst),
 col{t} AS MATERIALIZED (
-  SELECT c.v, c.prio,
+  SELECT c.v,
          CASE WHEN c.color IS NOT NULL THEN c.color
               WHEN n.v IS NULL OR n.top_unc IS NULL
                    OR {e_self} > n.top_unc THEN

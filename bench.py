@@ -169,6 +169,24 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
         ).count(),
     )
 
+    from halvesting_geometric_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+    from halvesting_geometric_spark.operators.coloring import greedy_coloring
+
+    out["betweenness_nonzero"] = timed_median(
+        "betweenness",
+        lambda: betweenness_sampled(
+            g.edges, g.vertices, sources=[0, 1, 2], max_depth=4
+        ).filter(F.col("betweenness") > 0).count(),
+    )
+    out["coloring_colors"] = timed_median(
+        "coloring",
+        lambda: greedy_coloring(g.edges, g.vertices, fixed_rounds=6)
+        .agg(F.count_distinct("color"))
+        .first()[0],
+    )
+
     _aqe.__exit__(None, None, None)
     spark.stop()
     return out
@@ -324,6 +342,8 @@ def main() -> None:
             "kcore3": r["kcore3_sec"],
             "sssp6": r["sssp6_sec"],
             "linkpred": r["linkpred_sec"],
+            "betweenness4": r["betweenness_sec"],
+            "coloring6": r["coloring_sec"],
         },
         "detail": r,
     }

@@ -23,12 +23,12 @@ def _python_coloring(pairs, n, seed, rounds=None):
         if a != b:
             adj[a].add(b)
             adj[b].add(a)
-    prio = {v: (_ph(v, seed=seed), v) for v in range(n)}
     color: dict[int, int | None] = {v: None for v in range(n)}
     r = 0
     while any(c is None for c in color.values()):
         if rounds is not None and r >= rounds:
             break
+        prio = {v: (_ph(v, seed=seed + 131 * r), v) for v in range(n)}
         nxt = dict(color)
         for v in range(n):
             if color[v] is not None:
