@@ -1142,6 +1142,28 @@ def _q_turn_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance (the PCA sufficient statistic,
+    operators/embeddings.py): upper-triangle entries for the first 8 dims,
+    computed by the distributed Arrow partial pass (X^T X per partition →
+    driver combine). Oracle recomputes each entry as SUM(e_i·e_j)/n −
+    AVG(e_i)·AVG(e_j); e6 rounding absorbs summation-order ulps."""
+    import numpy as np
+
+    from halvesting_geometric_spark.operators.embeddings import (
+        covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb)
+    rows = [
+        (i, j, int(np.floor(cov[i, j] * 1_000_000 + 0.5)))
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov_e6 long")
+
+
 def _q_coloring4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring, 4 rounds (operators/coloring.py,
     portable priorities seed 7): per round, uncolored local-priority-maxima
@@ -1413,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_growth": _q_graph_growth,
         "betweenness4": _q_betweenness4,
         "coloring4": _q_coloring4,
+        "emb_cov8": _q_emb_cov8,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2778,6 +2801,15 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
         "coreness3": _coreness_sql(3),
         "betweenness4": _betweenness_sql([0, 1, 2], 4),
         "coloring4": _coloring_sql(4, seed=7),
+        "emb_cov8": "WITH d AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {i} AS i, {j} AS j, "
+            f"CAST(floor((SUM(e[{i + 1}] * e[{j + 1}]) / COUNT(*) "
+            f"- AVG(e[{i + 1}]) * AVG(e[{j + 1}])) * 1000000 + 0.5) AS BIGINT)"
+            f" AS cov_e6 FROM d"
+            for i in range(8)
+            for j in range(i, 8)
+        ),
         "media_meta": """
 SELECT CAST(event_id AS BIGINT) AS media_id,
        CASE CAST(event_id % 3 AS INTEGER)
