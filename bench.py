@@ -57,7 +57,14 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     spark = get_spark(
         app_name=f"hgs-bench-{cores}", cores=cores, shuffle_partitions=cores
     )
-    out: dict = {"cores": cores, "n_convs": n_convs, "bench_k": k}
+    # loadavg before/after lets a reader tell a contended run from a quiet
+    # one (this host carries variable external load)
+    out: dict = {
+        "cores": cores,
+        "n_convs": n_convs,
+        "bench_k": k,
+        "loadavg_before": list(os.getloadavg()),
+    }
 
     def timed_median(name: str, fn):
         """Run fn k times; record median + raw walls; return last result."""
@@ -189,6 +196,7 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
 
     _aqe.__exit__(None, None, None)
     spark.stop()
+    out["loadavg_after"] = list(os.getloadavg())
     return out
 
 

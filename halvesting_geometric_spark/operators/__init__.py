@@ -32,6 +32,12 @@ from halvesting_geometric_spark.operators.linkpred import (
     neighborhood_scores,
 )
 from halvesting_geometric_spark.operators.coloring import greedy_coloring
+from halvesting_geometric_spark.operators.embeddings import (
+    covariance_matrix,
+    embedding_moments,
+    pca,
+    pca_project,
+)
 from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
@@ -77,12 +83,14 @@ __all__ = [
     "clustering_coefficients",
     "connected_components",
     "coreness",
+    "covariance_matrix",
     "degree_assortativity",
     "densest_subgraph",
     "dense_ids_scalable",
     "dense_ids_window",
     "edges_to_ids",
     "effective_diameter",
+    "embedding_moments",
     "extract_conv_edges",
     "extract_features",
     "four_cycles",
@@ -105,6 +113,8 @@ __all__ = [
     "out_degrees",
     "pagerank",
     "parse_media_meta",
+    "pca",
+    "pca_project",
     "random_walks",
     "sample_frames",
     "sample_neighbors",
