@@ -1142,6 +1142,20 @@ def _q_turn_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (dedup.simhash_near_dups): 4-bit
+    blocks over the 60-bit portable fingerprint (16 blocks > max_hamming=8
+    keeps the pigeonhole recall guarantee), candidates on block equality,
+    exact Hamming verification with bit_count(xor). The oracle replays
+    fingerprints, banding, the candidate join and the verification."""
+    from halvesting_geometric_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(
+        docs, max_hamming=8, band_bits=4, bits=60, hash_method="portable"
+    )
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1436,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness4": _q_betweenness4,
         "coloring4": _q_coloring4,
         "emb_cov8": _q_emb_cov8,
+        "simhash_pairs": _q_simhash_pairs,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2398,6 +2413,27 @@ SELECT doc_id,
 FROM bits"""
 
 
+def _simhash_pairs_sql(
+    max_hamming: int = 8, band_bits: int = 4, bits: int = 60
+) -> str:
+    """Banded-SimHash twin: the 60-bit fingerprint query nested as a CTE,
+    blocks via shift/mask, candidate join on (band, block), exact Hamming
+    verification with bit_count(xor) — mirroring dedup.simhash_near_dups."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sh AS MATERIALIZED (SELECT * FROM ({_simhash_sql(bits)}) q),
+ent AS (
+  SELECT doc_id, simhash, b.band,
+         CAST((simhash >> (b.band * {band_bits})) & {mask} AS BIGINT) AS block
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS band) b)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM ent l JOIN ent r
+  ON l.band = r.band AND l.block = r.block AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"""
+
+
 def _minhash_sql(num_hashes: int = 32, bands: int = 16, threshold: float = 0.3) -> str:
     rows_per_band = num_hashes // bands
     mins = ",\n         ".join(
@@ -3170,6 +3206,7 @@ SELECT src, dst, CAST(1 AS INTEGER) AS hop FROM h1
 UNION ALL
 SELECT src, dst, CAST(2 AS INTEGER) AS hop FROM h2""",
         "simhash": _simhash_sql(bits=60),
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=8, band_bits=4, bits=60),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

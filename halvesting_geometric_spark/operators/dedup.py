@@ -365,11 +365,16 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 16,
+    bits: int = 64,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 64/band_bits
     blocks (pigeonhole: any pair within max_hamming shares ≥1 exact block when
     blocks > max_hamming), candidate-join on block equality, verify true
-    Hamming distance with bit_count(xor)."""
+    Hamming distance with bit_count(xor). ``bits``/``hash_method`` pass
+    through to :func:`simhash` (60-bit portable mode keeps the top four
+    banded bits zero — banding over 64 stays valid, the zero bits just
+    never differ)."""
     if not 1 <= band_bits <= 64 or 64 % band_bits:
         raise ValueError(f"band_bits must divide 64, got {band_bits}")
     if 64 // band_bits <= max_hamming:
@@ -377,7 +382,7 @@ def simhash_near_dups(
             f"need more than max_hamming={max_hamming} blocks for the "
             f"pigeonhole guarantee; lower band_bits (got {band_bits})"
         )
-    fp = simhash(df, text_col, id_col).persist()
+    fp = simhash(df, text_col, id_col, bits=bits, hash_method=hash_method).persist()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     entries = fp.select(
