@@ -34,6 +34,7 @@ ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
     "ppr", "hits", "kcore", "coreness", "bfs", "sssp", "linkpred",
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
+    "betweenness", "coloring",
 )
 
 
@@ -180,6 +181,33 @@ def main(argv: list[str] | None = None) -> int:
         summary.update(
             vertices=core.count(),
             max_coreness=core.agg({"coreness": "max"}).first()[0],
+        )
+    elif args.algorithm == "betweenness":
+        from halvesting_geometric_spark.operators.betweenness import (
+            betweenness_sampled,
+        )
+
+        bc = betweenness_sampled(
+            g.edges, g.vertices, sources=args.seeds, max_depth=args.max_iter
+        )
+        bc.write.mode("overwrite").parquet(args.output)
+        summary.update(
+            sources=args.seeds,
+            horizon=args.max_iter,
+            nonzero=bc.filter(bc["betweenness"] > 0).count(),
+        )
+    elif args.algorithm == "coloring":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.coloring import (
+            greedy_coloring,
+        )
+
+        col = greedy_coloring(g.edges, g.vertices, max_rounds=args.max_iter)
+        col.write.mode("overwrite").parquet(args.output)
+        summary.update(
+            vertices=col.count(),
+            colors=col.agg(F.count_distinct("color")).first()[0],
         )
     elif args.algorithm == "bfs":
         from halvesting_geometric_spark.operators.traversal import bfs_levels
