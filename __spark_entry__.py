@@ -1156,6 +1156,53 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_louvain1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ungated synchronous Louvain move round from singleton communities
+    over the canonical conversation graph (operators/louvain.py). Gains are
+    the (2m)²-scaled ΔQ numerator — integral for unit weights, so the
+    ranking (score DESC, community ASC, strict improvement to move) is
+    bit-portable and the oracle replays it exactly in BIGINT arithmetic."""
+    from halvesting_geometric_spark.operators.graph import canonical_edges as _ce
+    from halvesting_geometric_spark.operators.louvain import louvain_round
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return louvain_round(_ce(edges))
+
+
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/ivf.py): centroids = the 8 lowest-id vectors
+    (unit-normalized), nprobe=2 cells per query, exact cosine rerank of
+    cell-sharing candidates, top-5 for queries vec_id < 3. All rankings on
+    the 1e-4-rounded similarity with ascending-id tie-breaks (the
+    knn_cosine contract), which the oracle replays via list_dot_product."""
+    from halvesting_geometric_spark.operators.ivf import (
+        ivf_topk,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = seed_centroids(emb, 8)
+    return ivf_topk(
+        emb, cent, k=5, nprobe=2, queries=emb.filter(F.col("vec_id") < 3)
+    )
+
+
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scoring (operators/ngram_lm.py): per-doc mean
+    ln((c(w1 w2)+α)/(c(w1 ·)+α·V)), α=0.5, whitespace tokens of
+    lower(trim(text)). The counts are exact integers in both engines; only
+    the final mean-of-logs is floating, absorbed by e4 rounding."""
+    from halvesting_geometric_spark.operators.ngram_lm import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    lp = bigram_logprob(docs, alpha=0.5)
+    return lp.select(
+        "doc_id",
+        "n_bigrams",
+        F.floor(F.col("logprob") * 10_000 + F.lit(0.5)).cast("long").alias("lp_e4"),
+    )
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1451,6 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring4": _q_coloring4,
         "emb_cov8": _q_emb_cov8,
         "simhash_pairs": _q_simhash_pairs,
+        "louvain1": _q_louvain1,
+        "ivf_ann": _q_ivf_ann,
+        "ngram_lm": _q_ngram_lm,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3207,6 +3257,96 @@ UNION ALL
 SELECT src, dst, CAST(2 AS INTEGER) AS hop FROM h2""",
         "simhash": _simhash_sql(bits=60),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=8, band_bits=4, bits=60),
+        # one synchronous Louvain round from singletons: candidate score for
+        # moving v into singleton {u} is 2m·1 − k_v·k_u (BIGINT-exact); move
+        # iff strictly positive, ties to the smaller community id
+        "louvain1": f"""
+WITH {_BASE},
+s2 AS (SELECT a AS v, b AS u FROM canon
+       UNION ALL SELECT b AS v, a AS u FROM canon),
+deg AS (SELECT v, COUNT(*) AS k FROM s2 GROUP BY v),
+mm AS (SELECT 2 * COUNT(*) AS m2 FROM canon),
+scored AS (
+  SELECT s2.v, s2.u AS c,
+         (SELECT m2 FROM mm) - dv.k * du.k AS score
+  FROM s2 JOIN deg dv ON dv.v = s2.v
+          JOIN deg du ON du.v = s2.u),
+pick AS (
+  SELECT v, c, score,
+         row_number() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+  FROM scored)
+SELECT v AS vertex_id,
+       CASE WHEN score > 0 THEN c ELSE v END AS comm
+FROM pick WHERE rn = 1""",
+        # IVF ANN: centroids = 8 lowest-id vectors unit-normalized; cell
+        # assignment + nprobe=2 probes ranked on the e4-rounded cosine with
+        # ascending centroid-id ties; exact rerank on raw embeddings
+        "ivf_ann": """
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+eu AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS e
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ev) q),
+cu AS (SELECT vec_id AS cid, e AS ce FROM eu WHERE vec_id < 8),
+sims AS (
+  SELECT eu.vec_id, cu.cid,
+         CAST(floor(list_dot_product(eu.e, cu.ce) * 10000 + 0.5) AS BIGINT) AS s
+  FROM eu CROSS JOIN cu),
+ranked AS (
+  SELECT vec_id, cid, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM sims),
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cell
+           FROM ranked WHERE vec_id < 3 AND rn <= 2),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+rer AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(floor(
+           CASE WHEN sqrt(list_dot_product(q.e, q.e)) = 0
+                  OR sqrt(list_dot_product(v.e, v.e)) = 0 THEN 0.0
+                ELSE list_dot_product(q.e, v.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(v.e, v.e)))
+           END * 10000 + 0.5) AS BIGINT) AS sim_e4
+  FROM cand c JOIN ev q ON q.vec_id = c.query_id
+              JOIN ev v ON v.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, sim_e4 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_e4 DESC, neighbor_id ASC) AS rn
+  FROM rer) t
+WHERE rn <= 5""",
+        # corpus bigram LM: tokens can't contain whitespace, so the joined
+        # "w1 w2" string is an injective bigram key and split_part recovers
+        # the prefix; counts are integral, only the mean-of-ln floats
+        "ngram_lm": r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+bgl AS (
+  SELECT doc_id,
+         list_filter(list_transform(list_zip(l, l[2:]),
+                                    p -> p[1] || ' ' || p[2]),
+                     g -> g IS NOT NULL) AS bl
+  FROM tk),
+bg AS (SELECT bgl.doc_id, u.g AS gram FROM bgl, unnest(bgl.bl) AS u(g)),
+cb AS (SELECT gram, COUNT(*) AS cb FROM bg GROUP BY gram),
+cp AS (SELECT split_part(gram, ' ', 1) AS w1, COUNT(*) AS cp
+       FROM bg GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT u.t) AS v FROM tk, unnest(tk.l) AS u(t)),
+per AS (
+  SELECT bg.doc_id,
+         ln((cb.cb + 0.5) / (cp.cp + 0.5 * (SELECT v FROM vv))) AS lp
+  FROM bg JOIN cb USING (gram)
+          JOIN cp ON cp.w1 = split_part(bg.gram, ' ', 1))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(avg(lp) * 10000 + 0.5) AS BIGINT) AS lp_e4
+FROM per GROUP BY doc_id""",
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

@@ -34,7 +34,7 @@ ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
     "ppr", "hits", "kcore", "coreness", "bfs", "sssp", "linkpred",
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
-    "betweenness", "coloring",
+    "betweenness", "coloring", "louvain",
 )
 
 
@@ -289,6 +289,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         h.write.mode("overwrite").parquet(args.output)
         summary.update(vertices=h.count())
+    elif args.algorithm == "louvain":
+        from halvesting_geometric_spark.operators.graph import canonical_edges
+        from halvesting_geometric_spark.operators.linkpred import modularity
+        from halvesting_geometric_spark.operators.louvain import louvain
+
+        und = canonical_edges(g.edges)
+        res = louvain(und, max_levels=4, max_rounds=args.max_iter)
+        res.labels.write.mode("overwrite").parquet(args.output)
+        from pyspark.sql import functions as F
+
+        q = modularity(
+            und, res.labels.select("vertex_id", F.col("comm").alias("label"))
+        ).first()
+        summary.update(
+            communities=res.num_communities,
+            levels=res.levels,
+            rounds=res.rounds_per_level,
+            modularity=q["modularity"],
+        )
     elif args.algorithm == "stats":
         from halvesting_geometric_spark.operators.linkpred import graph_stats
 

@@ -22,7 +22,22 @@ from halvesting_geometric_spark.operators.ids import (
 )
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
+from halvesting_geometric_spark.operators.ivf import (
+    ivf_assign,
+    ivf_topk,
+    kmeans_fit,
+    seed_centroids,
+)
 from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.louvain import (
+    contract_graph,
+    louvain,
+    louvain_round,
+)
+from halvesting_geometric_spark.operators.ngram_lm import (
+    bigram_logprob,
+    ngram_counts,
+)
 from halvesting_geometric_spark.operators.linkpred import (
     clustering_coefficients,
     degree_assortativity,
@@ -125,4 +140,13 @@ __all__ = [
     "undirected",
     "wl_histogram",
     "wl_refinement",
+    "ivf_assign",
+    "ivf_topk",
+    "kmeans_fit",
+    "seed_centroids",
+    "contract_graph",
+    "louvain",
+    "louvain_round",
+    "bigram_logprob",
+    "ngram_counts",
 ]
