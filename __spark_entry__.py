@@ -1203,6 +1203,36 @@ def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED conversation graph
+    (operators/scc.py: trim + forward min-color + same-color backward
+    collection). scc_id = minimum member id, so the oracle can recompute
+    the exact labeling from the mutual-reachability closure (recursive
+    CTE) without replaying the peeling schedule."""
+    from halvesting_geometric_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = strongly_connected_components(edges, verts.select("vertex_id"))
+    return res.components
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the documents table for the fixed probe terms
+    (hash, join, vector), k1=1.2, b=0.75 (operators/bm25.py). tf/df/dl/N
+    are integral in both engines; the ln + weighted sum floats are
+    absorbed by e4 rounding."""
+    from halvesting_geometric_spark.operators.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = bm25_scores(docs, ["hash", "join", "vector"], k1=1.2, b=0.75)
+    return s.select(
+        "doc_id",
+        F.floor(F.col("score") * 10_000 + F.lit(0.5)).cast("long").alias("score_e4"),
+    )
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1501,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain1": _q_louvain1,
         "ivf_ann": _q_ivf_ann,
         "ngram_lm": _q_ngram_lm,
+        "scc2": _q_scc2,
+        "bm25": _q_bm25,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3347,6 +3379,47 @@ per AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(floor(avg(lp) * 10000 + 0.5) AS BIGINT) AS lp_e4
 FROM per GROUP BY doc_id""",
+        # SCC: labeling is canonical (min member id), so the oracle derives
+        # it from the mutual-reachability closure directly — no need to
+        # replay the engine's peel/propagate schedule
+        "scc2": f"""
+WITH RECURSIVE {_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(v, w) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN de e ON e.src = r.w),
+mutual AS (
+  SELECT a.v, a.w FROM reach a JOIN reach b ON a.v = b.w AND a.w = b.v)
+SELECT vt.vertex_id,
+       least(vt.vertex_id, COALESCE(MIN(m.w), vt.vertex_id)) AS scc_id
+FROM verts vt LEFT JOIN mutual m ON m.v = vt.vertex_id
+GROUP BY vt.vertex_id""",
+        # BM25: integral tf/df/dl/N; ln + weighted sum rounded at e4
+        "bm25": r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+base AS (SELECT doc_id, l, len(l) AS dl FROM tk),
+st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+hits AS (
+  SELECT b2.doc_id, b2.dl, u.t, COUNT(*) AS tf
+  FROM base b2, unnest(b2.l) AS u(t)
+  WHERE u.t IN ('hash', 'join', 'vector')
+  GROUP BY b2.doc_id, b2.dl, u.t),
+dft AS (SELECT t, COUNT(*) AS df FROM hits GROUP BY t),
+sc AS (
+  SELECT h.doc_id,
+         SUM(ln(1 + ((SELECT n_docs FROM st) - d.df + 0.5) / (d.df + 0.5))
+             * (h.tf * 2.2)
+             / (h.tf + 1.2 * (0.25 + 0.75 * h.dl
+                              / (SELECT avgdl FROM st)))) AS score
+  FROM hits h JOIN dft d USING (t) GROUP BY h.doc_id)
+SELECT b3.doc_id,
+       CAST(floor(COALESCE(sc.score, 0.0) * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM base b3 LEFT JOIN sc USING (doc_id)""",
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

@@ -34,7 +34,7 @@ ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
     "ppr", "hits", "kcore", "coreness", "bfs", "sssp", "linkpred",
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
-    "betweenness", "coloring", "louvain",
+    "betweenness", "coloring", "louvain", "scc",
 )
 
 
@@ -308,6 +308,14 @@ def main(argv: list[str] | None = None) -> int:
             rounds=res.rounds_per_level,
             modularity=q["modularity"],
         )
+    elif args.algorithm == "scc":
+        from halvesting_geometric_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        res = strongly_connected_components(g.edges, g.vertices)
+        res.components.write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=res.rounds, components=res.num_components)
     elif args.algorithm == "stats":
         from halvesting_geometric_spark.operators.linkpred import graph_stats
 

@@ -38,6 +38,10 @@ from halvesting_geometric_spark.operators.ngram_lm import (
     bigram_logprob,
     ngram_counts,
 )
+from halvesting_geometric_spark.operators.bm25 import bm25_scores
+from halvesting_geometric_spark.operators.scc import (
+    strongly_connected_components,
+)
 from halvesting_geometric_spark.operators.linkpred import (
     clustering_coefficients,
     degree_assortativity,
@@ -149,4 +153,6 @@ __all__ = [
     "louvain_round",
     "bigram_logprob",
     "ngram_counts",
+    "bm25_scores",
+    "strongly_connected_components",
 ]
