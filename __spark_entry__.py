@@ -1166,7 +1166,10 @@ def _q_louvain1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.louvain import louvain_round
 
     _, _, edges = _pipeline(spark, sf_dir)
-    return louvain_round(_ce(edges))
+    # localCheckpoint like every iterative-driver gate: one move round is
+    # one superstep, and its bushy state-reuse plan prints the (cached)
+    # und/deg subtrees once per consumer — truncate as the drivers do
+    return louvain_round(_ce(edges)).localCheckpoint(eager=False)
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,9 +108,18 @@ def louvain_round(
     ``xxhash64(vertex_id, round_no) % 2`` matches — the deterministic
     symmetry breaker used by the fixpoint driver. None (the default, and
     what the correctness gate runs) lets every vertex move.
+
+    ``und`` and ``deg`` are persisted here: the round references them ~5
+    times each, and without a cache boundary every reference re-expands
+    the full upstream plan tree (measured: ~7.7k textual Exchange nodes on
+    the gate pipeline — planning-time poison, and 5× recompute of the
+    edge normalization at execution). The fixpoint driver persists its own
+    copies per level and calls ``_round`` directly.
     """
     und, loops = _prepare(edges, weight_col)
-    deg = _degrees(und, loops)
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _degrees(und, loops).persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     return _round(und, deg, labels, eligible_parity, round_no)
 
 
