@@ -1236,6 +1236,24 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword training, 3 merges (operators/bpe.py): learn the merge
+    table over the corpus word counts (argmax pair per round, count DESC /
+    pair ASC tie-break — integral and portable), segment every token, and
+    return per-doc token + subword counts. The oracle unrolls the same 3
+    rounds with list_reduce folds identical to the engine's aggregate
+    folds, so a single diverging merge anywhere flips the counts."""
+    from halvesting_geometric_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, syms = bpe_train(docs, num_merges=3)
+    seg = bpe_segment(docs, merges, word_syms=syms)
+    return seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.size("subwords")).alias("n_subwords"),
+    )
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1536,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm": _q_ngram_lm,
         "scc2": _q_scc2,
         "bm25": _q_bm25,
+        "bpe3": _q_bpe3,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -2519,6 +2538,52 @@ FROM ent l JOIN ent r
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"""
 
 
+def _bpe_sql(num_merges: int = 3) -> str:
+    """BPE twin: unrolled merge rounds. Each round = weighted adjacent-pair
+    counts over the vocabulary (zip against the 1-shifted symbol list),
+    argmax with (count DESC, a ASC, b ASC), then the SAME greedy
+    left-to-right fold the engine runs (list_reduce over singleton-wrapped
+    symbols — the fused symbol can never re-match as a left element, so
+    overlap resolution is leftmost-first in both engines)."""
+    rounds = []
+    for r in range(1, num_merges + 1):
+        prev = f"s{r - 1}"
+        rounds.append(
+            f"""
+p{r} AS (
+  SELECT u.pr[1] AS a, u.pr[2] AS b, SUM(q.n) AS cnt
+  FROM (SELECT n,
+               list_filter(list_zip(s, s[2:]), z -> z[2] IS NOT NULL) AS zs
+        FROM {prev}) q, unnest(q.zs) AS u(pr)
+  GROUP BY 1, 2),
+b{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+s{r} AS (
+  SELECT word, n,
+         list_reduce(list_transform(s, x -> [x]), (acc, x) ->
+           CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.a AND x[1] = b{r}.b
+                THEN acc[:-2] || [b{r}.a || b{r}.b]
+                ELSE acc || x END) AS s
+  FROM {prev} CROSS JOIN b{r})"""
+        )
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+wc AS (SELECT u.t AS word, COUNT(*) AS n
+       FROM tk, unnest(tk.l) AS u(t) GROUP BY 1),
+s0 AS (SELECT word, n,
+              list_filter(string_split(word, ''), c -> c <> '') AS s
+       FROM wc),{",".join(rounds)},
+seg AS (SELECT tk.doc_id, u.t AS word FROM tk, unnest(tk.l) AS u(t))
+SELECT seg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(sf.s)) AS BIGINT) AS n_subwords
+FROM seg JOIN s{num_merges} sf ON sf.word = seg.word
+GROUP BY seg.doc_id"""
+
+
 def _minhash_sql(num_hashes: int = 32, bands: int = 16, threshold: float = 0.3) -> str:
     rows_per_band = num_hashes // bands
     mins = ",\n         ".join(
@@ -3423,6 +3488,7 @@ sc AS (
 SELECT b3.doc_id,
        CAST(floor(COALESCE(sc.score, 0.0) * 10000 + 0.5) AS BIGINT) AS score_e4
 FROM base b3 LEFT JOIN sc USING (doc_id)""",
+        "bpe3": _bpe_sql(3),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

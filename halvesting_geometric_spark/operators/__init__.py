@@ -39,6 +39,11 @@ from halvesting_geometric_spark.operators.ngram_lm import (
     ngram_counts,
 )
 from halvesting_geometric_spark.operators.bm25 import bm25_scores
+from halvesting_geometric_spark.operators.bpe import (
+    bpe_segment,
+    bpe_train,
+    word_counts,
+)
 from halvesting_geometric_spark.operators.scc import (
     strongly_connected_components,
 )
@@ -155,4 +160,7 @@ __all__ = [
     "ngram_counts",
     "bm25_scores",
     "strongly_connected_components",
+    "bpe_train",
+    "bpe_segment",
+    "word_counts",
 ]
