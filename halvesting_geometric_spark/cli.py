@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--exact-nf", action="store_true",
                     help="nf: exact frontier fixpoint instead of HyperBall")
+    ap.add_argument("--delta-check-every", type=int, default=1,
+                    help="pagerank: supersteps batched per Spark job (1-8); "
+                    "k>1 amortizes the per-job driver floor, checking "
+                    "convergence on each batch's last step")
     args = ap.parse_args(argv)
 
     # under spark-submit the session (master, executors) is externally owned
@@ -130,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         res = pagerank(
             g.edges, g.vertices, damping=args.damping, tol=args.tol,
             max_iter=args.max_iter, checkpoint=ckpt, resume=args.resume,
+            delta_check_every=args.delta_check_every,
         )
         res.ranks.write.mode("overwrite").parquet(args.output)
         summary.update(iterations=res.iterations, converged=res.converged)

@@ -6,12 +6,17 @@ reference's analytics surface — same gather/scatter substrate as
   (and dangling) mass returns to a seed set instead of spreading uniformly.
   The per-superstep execution shape matches ``pagerank``: cached pure
   (src, dst) topology, per-VERTEX contribution divide, a single left join
-  pairing state with scatter sums, one aggregate per iteration that also
-  yields the next iteration's dangling mass, lazy localCheckpoint lineage
-  truncation.
-- :func:`hits` — hubs/authorities with per-iteration L1 normalization (the
-  normalization constant is computed in the same aggregate that sums the
-  scatter, so each half-step is one job).
+  pairing state with scatter sums.
+- :func:`hits` — hubs/authorities with per-half-step L1 normalization.
+
+Both are fixed-iteration, so neither needs ANY per-iteration driver
+synchronization: the dangling mass (ppr) and the L1 norms (hits) are
+in-plan 1-row broadcast aggregates, every intermediate state is a lazy
+``localCheckpoint`` whose consumers share one RDD, and the entire
+recurrence materializes in ONE Spark job at the final action — the
+fixed-iteration analog of pagerank's ``delta_check_every`` batching
+(measured there: driver-floor amortization took 27-iteration sf0.1
+pagerank from ~90 to 151 iters/min and made walls load-insensitive).
 
 Both are deterministic fixed-iteration operators, so an external ANSI-SQL
 engine can replicate them exactly (the correctness gate's DuckDB twins unroll
@@ -99,9 +104,15 @@ def personalized_pagerank(
         "out_deg",
         "is_seed",
     )
-    dangling = int(st["n_seed_dangling"] or 0) / float(n_seed)
-    prev_paired: DataFrame | None = None
-    for _ in range(fixed_iters):
+    dangling0 = int(st["n_seed_dangling"] or 0) / float(n_seed)
+    # ONE Spark job for the whole fixed-iteration run: every iteration
+    # after the first takes its dangling mass from an in-plan 1-row
+    # broadcast aggregate of the previous state (the first uses the
+    # precomputed scalar), and each intermediate state is a LAZY
+    # localCheckpoint so its consumers share one RDD materialized inside
+    # the single final action. No driver synchronization per superstep —
+    # the fixed-iteration analog of pagerank's delta_check_every batching.
+    for i in range(fixed_iters):
         rank_w = ranks.filter(F.col("out_deg") > 0).select(
             F.col("vertex_id").alias("src"),
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
@@ -111,36 +122,40 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("msg_sum"))
         )
-        seed_mass = (1.0 - damping) / n_seed + damping * dangling / n_seed
+        paired = ranks.select("vertex_id", "out_deg", "is_seed").join(
+            sums.select(F.col("dst").alias("vertex_id"), "msg_sum"),
+            "vertex_id",
+            "left",
+        )
+        if i == 0:
+            seed_mass = F.lit(
+                (1.0 - damping) / n_seed + damping * dangling0 / n_seed
+            )
+        else:
+            dang_df = ranks.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("out_deg") == 0, F.col("rank")
+                        ).otherwise(F.lit(0.0))
+                    ),
+                    F.lit(0.0),
+                ).alias("_dang")
+            )
+            paired = paired.crossJoin(F.broadcast(dang_df))
+            seed_mass = (
+                F.lit((1.0 - damping) / n_seed)
+                + F.lit(damping) * F.col("_dang") / F.lit(float(n_seed))
+            )
         rank_expr = (
-            F.when(F.col("is_seed"), F.lit(seed_mass)).otherwise(F.lit(0.0))
+            F.when(F.col("is_seed"), seed_mass).otherwise(F.lit(0.0))
             + F.lit(damping) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
         ).alias("rank")
-        paired = (
-            ranks.select("vertex_id", "out_deg", "is_seed")
-            .join(
-                sums.select(F.col("dst").alias("vertex_id"), "msg_sum"),
-                "vertex_id",
-                "left",
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        agg = paired.agg(
-            F.sum(
-                F.when(F.col("out_deg") == 0, rank_expr).otherwise(F.lit(0.0))
-            ).alias("next_dangling")
-        ).first()
-        dangling = float(agg["next_dangling"] or 0.0)
         ranks = paired.select(
             "vertex_id", rank_expr, "out_deg", "is_seed"
         ).localCheckpoint(eager=False)
-        if prev_paired is not None:
-            prev_paired.unpersist()
-        prev_paired = paired
     out = ranks.select("vertex_id", "rank")
     out.count()
-    if prev_paired is not None:
-        prev_paired.unpersist()
     topo.unpersist()
     verts.unpersist()
     return out
@@ -171,60 +186,53 @@ def hits(
     verts = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
 
+    # edge-free (or vertex-disjoint) graphs have no normalizable solution;
+    # check ONCE up front — after a valid first half-step every later norm
+    # is positive (the dst that received auth mass hands hub mass back to
+    # its own src through the same edge), so no per-iteration check needed
+    if (
+        topo.join(
+            verts.select(F.col("vertex_id").alias("src")), "src", "left_semi"
+        )
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise ValueError("graph has no edges reaching any vertex")
+
+    def _half_step(score: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """One normalized half-step: gather ``score`` across edges from
+        ``key_in`` onto ``key_out``, L1-normalize with an in-plan 1-row
+        broadcast aggregate, lazily checkpoint. No driver action — the
+        whole fixed-iteration recurrence materializes in ONE job at the
+        final count (same batching idea as pagerank delta_check_every)."""
+        raw = (
+            topo.join(
+                score.select(F.col("vertex_id").alias(key_in), "score"),
+                key_in,
+            )
+            .groupBy(key_out)
+            .agg(F.sum("score").alias("raw"))
+        )
+        full = verts.join(
+            raw.select(F.col(key_out).alias("vertex_id"), "raw"),
+            "vertex_id",
+            "left",
+        ).select("vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+        norm_df = full.agg(F.sum("raw").alias("_norm"))
+        return (
+            full.crossJoin(F.broadcast(norm_df))
+            .select(
+                "vertex_id", (F.col("raw") / F.col("_norm")).alias("score")
+            )
+            .localCheckpoint(eager=False)
+        )
+
     hub = verts.select("vertex_id", (F.lit(1.0) / n).alias("score"))
     auth = None
-    prev: list[DataFrame] = []
     for _ in range(fixed_iters):
-        a_raw = (
-            topo.join(
-                hub.select(F.col("vertex_id").alias("src"), "score"), "src"
-            )
-            .groupBy("dst")
-            .agg(F.sum("score").alias("raw"))
-        )
-        a_full = (
-            verts.join(
-                a_raw.select(F.col("dst").alias("vertex_id"), "raw"),
-                "vertex_id",
-                "left",
-            )
-            .select(
-                "vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw")
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        norm_a = float(a_full.agg(F.sum("raw")).first()[0] or 0.0)
-        if norm_a == 0.0:
-            raise ValueError("graph has no edges reaching any vertex")
-        auth = a_full.select(
-            "vertex_id", (F.col("raw") / norm_a).alias("score")
-        )
-        h_raw = (
-            topo.join(
-                auth.select(F.col("vertex_id").alias("dst"), "score"), "dst"
-            )
-            .groupBy("src")
-            .agg(F.sum("score").alias("raw"))
-        )
-        h_full = (
-            verts.join(
-                h_raw.select(F.col("src").alias("vertex_id"), "raw"),
-                "vertex_id",
-                "left",
-            )
-            .select(
-                "vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw")
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        norm_h = float(h_full.agg(F.sum("raw")).first()[0] or 0.0)
-        hub = h_full.select(
-            "vertex_id", (F.col("raw") / norm_h).alias("score")
-        ).localCheckpoint(eager=False)
-        auth = auth.localCheckpoint(eager=False)
-        for p in prev:
-            p.unpersist()
-        prev = [a_full, h_full]
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
     out = (
         hub.select("vertex_id", F.col("score").alias("hub"))
         .join(
@@ -234,8 +242,6 @@ def hits(
         .select("vertex_id", "hub", "auth")
     )
     out.count()
-    for p in prev:
-        p.unpersist()
     topo.unpersist()
     verts.unpersist()
     return out

@@ -84,3 +84,38 @@ def test_pagerank_agg_modes_and_hot_broadcast_invariant(spark):
     ):
         got = _ranks_array(pagerank(g.edges, g.vertices, fixed_iters=8, **kwargs), n)
         assert np.allclose(got, base, atol=1e-9), kwargs
+
+
+def test_pagerank_batched_delta_check_matches_per_iteration(spark):
+    """delta_check_every > 1 batches supersteps into one job via in-plan
+    dangling aggregates — the fixpoint and intermediate math must match
+    the per-iteration path to fp-roundoff."""
+    g = build_graph(generate_transcripts(spark, 120, seed=7))
+    a = pagerank(g.edges, g.vertices, fixed_iters=7)
+    b = pagerank(g.edges, g.vertices, fixed_iters=7, delta_check_every=3)
+    n = a.num_vertices
+    assert b.iterations == 7
+    # batch sizes: 3 + 3 + 1
+    assert [m["batched_steps"] for m in b.metrics] == [3, 3, 1]
+    ra, rb = _ranks_array(a, n * 2), _ranks_array(b, n * 2)
+    assert np.allclose(ra, rb, atol=1e-13, rtol=0)
+    # tol mode: same fixpoint, convergence may overshoot by < batch
+    c = pagerank(g.edges, g.vertices, tol=1e-8, max_iter=100)
+    d = pagerank(
+        g.edges, g.vertices, tol=1e-8, max_iter=100, delta_check_every=4
+    )
+    assert c.converged and d.converged
+    assert c.iterations <= d.iterations < c.iterations + 4
+    rc, rd = _ranks_array(c, n * 2), _ranks_array(d, n * 2)
+    assert np.allclose(rc, rd, atol=1e-9, rtol=0)
+    assert abs(rd.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_delta_check_every_validation(spark):
+    g = build_graph(generate_transcripts(spark, 30, seed=7))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pagerank(g.edges, g.vertices, fixed_iters=1, delta_check_every=0)
+    with _pt.raises(ValueError):
+        pagerank(g.edges, g.vertices, fixed_iters=1, delta_check_every=9)
