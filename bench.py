@@ -134,7 +134,9 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     out["cc_components"] = cc.num_components
 
     def run_lp():
-        lp = label_propagation(g.edges, g.vertices, fixed_iters=5)
+        lp = label_propagation(
+            g.edges, g.vertices, fixed_iters=5, sync_every=5
+        )
         lp.labels.count()
         return lp
 
@@ -175,7 +177,8 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
     out["sssp6_reached"] = timed_median(
         "sssp6",
         lambda: sssp(
-            we, g.vertices, [0, 1, 2], weight_col="w", fixed_iters=6
+            we, g.vertices, [0, 1, 2], weight_col="w", fixed_iters=6,
+            sync_every=6,
         ).count(),
     )
 

@@ -41,12 +41,22 @@ def label_propagation(
     broadcast_state_threshold: int = 1_000_000,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
+    sync_every: int = 1,
 ) -> LabelPropResult:
     """Community labels over the undirected simple graph induced by ``edges``.
 
     Initial label = vertex_id. Isolated vertices keep their own label.
     Stops when no label changes (or after exactly ``fixed_iters`` steps).
+
+    ``sync_every``: supersteps batched into one Spark job (1-8) — the
+    pagerank ``delta_check_every`` lever. Intermediate states are lazy
+    localCheckpoints (consumers share one RDD inside the batch job); the
+    changed-count — and therefore convergence — is observed only on each
+    batch's last step, so tol-style convergence can overshoot by up to
+    k−1 supersteps. Forced to 1 when a checkpoint manager is attached.
     """
+    if not 1 <= sync_every <= 8:
+        raise ValueError(f"sync_every must be in [1, 8], got {sync_every}")
     spark = edges.sparkSession
     if vertices is None:
         vertices = (
@@ -82,15 +92,10 @@ def label_propagation(
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
-    target = fixed_iters if fixed_iters is not None else max_iter
-    converged = False
-    all_metrics: list[dict] = []
-    prev_paired: DataFrame | None = None
-    it = start_iter
-    for it in range(start_iter, target):
-        t0 = time.monotonic()
+    def _step(state_df: DataFrame) -> DataFrame:
+        """One lazy superstep: (vertex_id, old_label, label)."""
         nbr_labels = sym.join(
-            _b(labels.select(
+            _b(state_df.select(
                 F.col("vertex_id").alias("dst"), F.col("label").alias("nbr_label")
             )),
             "dst",
@@ -102,20 +107,42 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))).alias("best"))
             .select("vertex_id", (-F.col("best.neg")).alias("new_label"))
         )
-        # one action: materialize (old, new) pairs + the changed count
-        paired = (
-            labels.select("vertex_id", F.col("label").alias("old_label"))
+        return (
+            state_df.select("vertex_id", F.col("label").alias("old_label"))
             .join(_b(picked), "vertex_id", "left")
             .select(
                 "vertex_id",
                 "old_label",
                 F.coalesce("new_label", F.col("old_label")).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+
+    target = fixed_iters if fixed_iters is not None else max_iter
+    batch = sync_every if checkpoint is None else 1
+    converged = False
+    all_metrics: list[dict] = []
+    prev_paired: DataFrame | None = None
+    it = start_iter
+    while it < target:
+        t0 = time.monotonic()
+        k_eff = min(batch, target - it)
+        # intermediate steps chain lazily; each is a LAZY localCheckpoint so
+        # its two consumers (neighbor gather + pairing) share one RDD
+        # materialized inside the batch's single counting job
+        state_df = labels
+        for _ in range(k_eff - 1):
+            state_df = (
+                _step(state_df)
+                .select("vertex_id", "label")
+                .localCheckpoint(eager=False)
+            )
+        # one action per batch: materialize (old, new) pairs + changed count
+        paired = _step(state_df).persist(StorageLevel.MEMORY_AND_DISK)
         changed = paired.filter(F.col("label") != F.col("old_label")).count()
+        it += k_eff
         row = {
-            "iteration": it,
+            "iteration": it - 1,
+            "batched_steps": k_eff,
             "changed": changed,
             "wall_sec": time.monotonic() - t0,
         }
@@ -124,7 +151,7 @@ def label_propagation(
         # referenced twice per superstep, so deferred truncation is exponential)
         state = paired.select("vertex_id", "label")
         if checkpoint is not None:
-            labels = checkpoint.save_state(it, state, metrics=row)
+            labels = checkpoint.save_state(it - 1, state, metrics=row)
             if prev_paired is not None:
                 prev_paired.unpersist()
             paired.unpersist()
@@ -140,10 +167,8 @@ def label_propagation(
             prev_paired = paired
         if fixed_iters is None and changed == 0:
             converged = True
-            it += 1
             break
-    else:
-        it = target
+    else:  # while exhausted without a convergence break: it == target
         converged = fixed_iters is not None
 
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)

@@ -98,6 +98,7 @@ def sssp(
     checkpoint=None,
     checkpoint_interval: int = 1,
     resume: bool = False,
+    sync_every: int = 1,
 ) -> DataFrame:
     """Single/multi-source weighted shortest paths — Bellman-Ford supersteps.
 
@@ -120,9 +121,19 @@ def sssp(
 
     Returns (vertex_id, dist) for every vertex reached within
     ``fixed_iters`` hops; unreached vertices are absent.
+
+    ``sync_every``: relaxations batched into one Spark job (1-8, the
+    pagerank ``delta_check_every`` lever): intermediate distance tables
+    are lazy localCheckpoints (shared RDDs inside the batch job) and the
+    improvement count is observed only on each batch's last relaxation —
+    sound for the early exit because with w ≥ 0 a zero-improvement round
+    is a fixpoint (improvements can never resume after one). Forced to 1
+    when a checkpoint manager is attached.
     """
     if fixed_iters < 0:
         raise ValueError(f"fixed_iters must be >= 0, got {fixed_iters}")
+    if not 1 <= sync_every <= 8:
+        raise ValueError(f"sync_every must be in [1, 8], got {sync_every}")
     spark = edges.sparkSession
     if isinstance(sources, (list, tuple)):
         sources = spark.createDataFrame(
@@ -163,34 +174,50 @@ def sssp(
         )
     if dist.count() == 0:
         raise ValueError("source set is empty (or disjoint from vertices)")
-    prev_caches: list[DataFrame] = [dist]
-    for it in range(start_iter, fixed_iters + 1):
-        t0 = _time.monotonic()
+    def _relax(state_df: DataFrame) -> DataFrame:
+        """One lazy relaxation: (vertex_id, dist, _improved)."""
         relaxed = (
-            topo.join(dist.select(F.col("vertex_id").alias("src"), "dist"), "src")
+            topo.join(
+                state_df.select(F.col("vertex_id").alias("src"), "dist"), "src"
+            )
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
-        paired = (
-            dist.join(
-                relaxed.select(F.col("dst").alias("vertex_id"), "cand"),
-                "vertex_id",
-                "full_outer",
-            )
-            .select(
-                "vertex_id",
-                F.least(
-                    F.coalesce("dist", F.lit(float("inf"))),
-                    F.coalesce("cand", F.lit(float("inf"))),
-                ).alias("dist"),
-                (
-                    F.col("dist").isNull()
-                    | (F.coalesce("cand", F.lit(float("inf"))) < F.col("dist"))
-                ).alias("_improved"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        return state_df.join(
+            relaxed.select(F.col("dst").alias("vertex_id"), "cand"),
+            "vertex_id",
+            "full_outer",
+        ).select(
+            "vertex_id",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("cand", F.lit(float("inf"))),
+            ).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (F.coalesce("cand", F.lit(float("inf"))) < F.col("dist"))
+            ).alias("_improved"),
         )
+
+    batch = sync_every if checkpoint is None else 1
+    prev_caches: list[DataFrame] = [dist]
+    it = start_iter - 1  # relaxations completed so far
+    while it < fixed_iters:
+        t0 = _time.monotonic()
+        k_eff = min(batch, fixed_iters - it)
+        # intermediate relaxations chain lazily; each state is a LAZY
+        # localCheckpoint so its two consumers (relax join + pairing)
+        # share one RDD materialized inside the batch's counting job
+        state_df = dist
+        for _ in range(k_eff - 1):
+            state_df = (
+                _relax(state_df)
+                .select("vertex_id", "dist")
+                .localCheckpoint(eager=False)
+            )
+        paired = _relax(state_df).persist(StorageLevel.MEMORY_AND_DISK)
         n_improved = paired.filter(F.col("_improved")).count()
+        it += k_eff
         nxt = paired.select("vertex_id", "dist").localCheckpoint(eager=False)
         if checkpoint is not None and (
             it % checkpoint_interval == 0

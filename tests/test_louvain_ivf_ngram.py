@@ -230,3 +230,45 @@ def test_bigram_logprob_orders_quality(spark):
     docs = spark.createDataFrame(common + rare, "doc_id long, text string")
     got = {r["doc_id"]: r["logprob"] for r in bigram_logprob(docs).collect()}
     assert got[0] > got[100]
+
+
+# --------------------------------------------------------------------------
+# batched supersteps (sync_every) equivalence — LPA and SSSP
+# --------------------------------------------------------------------------
+
+
+def test_labelprop_sync_every_matches_per_iteration(spark):
+    from halvesting_geometric_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    e = _edges(
+        spark,
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3), (5, 6)],
+    )
+    a = label_propagation(e, fixed_iters=5)
+    b = label_propagation(e, fixed_iters=5, sync_every=5)
+    la = sorted((r["vertex_id"], r["label"]) for r in a.labels.collect())
+    lb = sorted((r["vertex_id"], r["label"]) for r in b.labels.collect())
+    assert la == lb
+    assert a.iterations == b.iterations == 5
+    assert [m["batched_steps"] for m in b.metrics] == [5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation(e, fixed_iters=2, sync_every=0)
+
+
+def test_sssp_sync_every_matches_per_iteration(spark):
+    from halvesting_geometric_spark.operators.traversal import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0), (4, 0, 3.0)],
+        "src long, dst long, w double",
+    )
+    v = spark.range(6).select(F.col("id").alias("vertex_id"))
+    a = sssp(e, v, [0], weight_col="w", fixed_iters=6)
+    b = sssp(e, v, [0], weight_col="w", fixed_iters=6, sync_every=6)
+    da = sorted((r["vertex_id"], r["dist"]) for r in a.collect())
+    db = sorted((r["vertex_id"], r["dist"]) for r in b.collect())
+    assert da == db == [(0, 0.0), (1, 1.0), (2, 3.0), (3, 4.0)]
