@@ -214,18 +214,22 @@ def hits(
             .groupBy(key_out)
             .agg(F.sum("score").alias("raw"))
         )
-        full = verts.join(
-            raw.select(F.col(key_out).alias("vertex_id"), "raw"),
-            "vertex_id",
-            "left",
-        ).select("vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-        norm_df = full.agg(F.sum("raw").alias("_norm"))
-        return (
-            full.crossJoin(F.broadcast(norm_df))
-            .select(
-                "vertex_id", (F.col("raw") / F.col("_norm")).alias("score")
+        full = (
+            verts.join(
+                raw.select(F.col(key_out).alias("vertex_id"), "raw"),
+                "vertex_id",
+                "left",
             )
+            .select("vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            # the raw table has TWO consumers (norm aggregate + division);
+            # the lazy checkpoint makes them share one RDD — without it each
+            # half-step's gather join runs twice (measured: hits5 7.0s vs
+            # 3.9s at sf0.1)
             .localCheckpoint(eager=False)
+        )
+        norm_df = full.agg(F.sum("raw").alias("_norm"))
+        return full.crossJoin(F.broadcast(norm_df)).select(
+            "vertex_id", (F.col("raw") / F.col("_norm")).alias("score")
         )
 
     hub = verts.select("vertex_id", (F.lit(1.0) / n).alias("score"))
