@@ -1254,6 +1254,37 @@ def _q_bpe3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keyterms per document (operators/bm25.py
+    tfidf_top_terms): tf · ln((1+N)/(1+df)), e4-rounded ranking with
+    lexicographic term tie-break — integral inputs, portable ordering."""
+    from halvesting_geometric_spark.operators.bm25 import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)
+
+
+def _q_condensation2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation DAG + topological levels (operators/scc.py):
+    level(c) = longest path ending at c in the component DAG. The oracle
+    recomputes the SCC labeling from the mutual-reachability closure,
+    contracts, and takes MAX over the enumerated path depths."""
+    from halvesting_geometric_spark.operators.scc import (
+        condensation,
+        strongly_connected_components,
+        topological_levels,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = strongly_connected_components(edges, verts.select("vertex_id"))
+    cond = condensation(edges, res.components)
+    all_sccs = res.components.select(
+        F.col("scc_id").alias("vertex_id")
+    ).distinct()
+    lv = topological_levels(cond, all_sccs)
+    return lv.select(F.col("vertex_id").alias("scc_id"), "level")
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1555,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc2": _q_scc2,
         "bm25": _q_bm25,
         "bpe3": _q_bpe3,
+        "tfidf5": _q_tfidf5,
+        "condensation2": _q_condensation2,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3489,6 +3522,56 @@ SELECT b3.doc_id,
        CAST(floor(COALESCE(sc.score, 0.0) * 10000 + 0.5) AS BIGINT) AS score_e4
 FROM base b3 LEFT JOIN sc USING (doc_id)""",
         "bpe3": _bpe_sql(3),
+        # TF-IDF: integral tf/df/N; e4-rounded score, term tie-break
+        "tfidf5": r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+tf AS (SELECT tk.doc_id, u.t AS term, COUNT(*) AS tf
+       FROM tk, unnest(tk.l) AS u(t) GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * ln((1.0 + (SELECT n_docs FROM nd))
+                               / (1.0 + dft.df)) * 10000 + 0.5) AS BIGINT)
+           AS tfidf_e4
+  FROM tf JOIN dft USING (term))
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf_e4 FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_e4 DESC, term ASC) AS rank
+  FROM sc) t
+WHERE rank <= 5""",
+        # condensation levels: SCC labels from the mutual-reachability
+        # closure, contracted edges, level = MAX enumerated path depth
+        "condensation2": f"""
+WITH RECURSIVE {_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(v, w) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN de e ON e.src = r.w),
+mutual AS (
+  SELECT a.v, a.w FROM reach a JOIN reach b ON a.v = b.w AND a.w = b.v),
+sccmap AS (
+  SELECT vt.vertex_id AS v,
+         least(vt.vertex_id, COALESCE(MIN(m.w), vt.vertex_id)) AS c
+  FROM verts vt LEFT JOIN mutual m ON m.v = vt.vertex_id
+  GROUP BY vt.vertex_id),
+cde AS (
+  SELECT DISTINCT s1.c AS src, s2.c AS dst
+  FROM de JOIN sccmap s1 ON s1.v = de.src
+          JOIN sccmap s2 ON s2.v = de.dst
+  WHERE s1.c <> s2.c),
+cvs AS (SELECT DISTINCT c AS v FROM sccmap),
+paths(v, d) AS (
+  SELECT v, 0 FROM cvs
+  UNION
+  SELECT cde.dst, p.d + 1 FROM paths p JOIN cde ON cde.src = p.v)
+SELECT v AS scc_id, CAST(MAX(d) AS BIGINT) AS level
+FROM paths GROUP BY v""",
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

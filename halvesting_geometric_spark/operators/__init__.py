@@ -38,14 +38,16 @@ from halvesting_geometric_spark.operators.ngram_lm import (
     bigram_logprob,
     ngram_counts,
 )
-from halvesting_geometric_spark.operators.bm25 import bm25_scores
+from halvesting_geometric_spark.operators.bm25 import bm25_scores, tfidf_top_terms
 from halvesting_geometric_spark.operators.bpe import (
     bpe_segment,
     bpe_train,
     word_counts,
 )
 from halvesting_geometric_spark.operators.scc import (
+    condensation,
     strongly_connected_components,
+    topological_levels,
 )
 from halvesting_geometric_spark.operators.linkpred import (
     clustering_coefficients,
@@ -163,4 +165,7 @@ __all__ = [
     "bpe_train",
     "bpe_segment",
     "word_counts",
+    "tfidf_top_terms",
+    "condensation",
+    "topological_levels",
 ]

@@ -1,8 +1,9 @@
-"""Okapi BM25 relevance scoring over the documents table (Robertson &
-Spärck Jones lineage; the standard lexical ranking function — public
-algorithm). The training-data-pipeline use: given a fixed probe-term set
-(e.g. a topic definition), score every document for retrieval-style
-filtering or domain weighting.
+"""Lexical weighting over the documents table: Okapi BM25 probe-term
+relevance (Robertson & Spärck Jones lineage) and TF-IDF top-k keyterm
+extraction — both standard public algorithms. The training-data-pipeline
+use: score documents against a topic definition (BM25) and surface each
+document's most characteristic terms (TF-IDF) for clustering, labeling,
+or domain analysis.
 
 Dataflow (all Catalyst): whitespace tokens → explode → per-(doc, term)
 term frequencies restricted to the query terms (the filter lands BEFORE
@@ -22,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores"]
+__all__ = ["bm25_scores", "tfidf_top_terms"]
 
 
 def bm25_scores(
@@ -84,4 +85,63 @@ def bm25_scores(
         base.select(id_col)
         .join(scored, id_col, "left")
         .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tfidf(d, t) = tf(d, t) · ln((1 + N) / (1 + df(t))) — the smoothed idf
+    (sklearn's convention, public), which never divides by zero and keeps
+    corpus-wide terms near weight 0. Ranking per document is on the
+    1e-4-rounded score with lexicographic term tie-break, so the ordering
+    is bit-portable across engines. Returns (id, term, rank, tfidf_e4).
+
+    Scale shape: one explode + one (doc, term) count aggregate (the tf
+    table, corpus-token bounded), a term-keyed df aggregate (vocabulary
+    bounded) joined back on the term key, then a per-document top-k
+    window — the same shuffle pattern as every top-k gate in the repo.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    terms = docs.select(F.col(id_col), F.explode(tok).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(
+                    (F.lit(1.0) + F.col("n_docs"))
+                    / (F.lit(1.0) + F.col("df"))
+                )
+                * 10_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("tfidf_e4"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_e4").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf_e4")
     )

@@ -41,7 +41,12 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["strongly_connected_components", "SCCResult"]
+__all__ = [
+    "strongly_connected_components",
+    "SCCResult",
+    "condensation",
+    "topological_levels",
+]
 
 
 @dataclass
@@ -280,3 +285,84 @@ def strongly_connected_components(
         num_components=n_comp,
         metrics=metrics,
     )
+
+
+def condensation(edges: DataFrame, components: DataFrame) -> DataFrame:
+    """The condensation DAG: one vertex per SCC, a distinct edge
+    (scc(src) → scc(dst)) for every inter-component edge. Always acyclic
+    (textbook property), so downstream DAG algorithms — topological
+    levels, longest paths, reachability — apply. Returns (src, dst)."""
+    lab = components.select(
+        F.col(components.columns[0]).alias("v"),
+        F.col(components.columns[1]).alias("c"),
+    )
+    return (
+        edges.select("src", "dst")
+        .join(lab.select(F.col("v").alias("src"), F.col("c").alias("cs")), "src")
+        .join(lab.select(F.col("v").alias("dst"), F.col("c").alias("cd")), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def topological_levels(
+    dag_edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 512,
+) -> DataFrame:
+    """Longest-path-from-source level per DAG vertex (level 0 = sources):
+    the canonical parallel topological layering — ``level(v) =
+    1 + max(level(u) for u → v)``, iterated to fixpoint (≤ DAG depth
+    supersteps, each one gather join + max aggregate + pair compare).
+    Raises if the fixpoint is not reached in ``max_iters`` (i.e. the
+    input has a cycle — feed SCC condensations, not raw digraphs).
+    Returns (vertex_id, level)."""
+    if vertices is None:
+        vertices = (
+            dag_edges.select(F.col("src").alias("vertex_id"))
+            .unionByName(dag_edges.select(F.col("dst").alias("vertex_id")))
+            .distinct()
+        )
+    e = dag_edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    level = vertices.select(
+        "vertex_id", F.lit(0).cast("long").alias("level")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev: DataFrame | None = None
+    for _ in range(max_iters):
+        cand = (
+            e.join(
+                level.select(F.col("vertex_id").alias("src"), "level"), "src"
+            )
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg((F.max("level") + F.lit(1)).alias("cand"))
+        )
+        nxt = (
+            level.join(cand, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.col("level").alias("old"),
+                F.greatest(
+                    F.col("level"), F.coalesce("cand", F.col("level"))
+                ).alias("level"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = nxt.filter(F.col("level") != F.col("old")).count()
+        if prev is not None:
+            prev.unpersist()
+        state = nxt.select("vertex_id", "level").localCheckpoint(eager=False)
+        prev = nxt
+        level = state
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"no fixpoint within {max_iters} supersteps — input has a cycle"
+        )
+    out = level.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return out

@@ -116,3 +116,58 @@ def test_bm25_rejects_empty_query(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_condensation_and_levels(spark):
+    import pyspark.sql.functions as F
+
+    from halvesting_geometric_spark.operators.scc import (
+        condensation,
+        topological_levels,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (3, 5), (5, 3), (6, 6)],
+        "src long, dst long",
+    )
+    res = strongly_connected_components(e)
+    cond = condensation(e, res.components)
+    assert sorted((r["src"], r["dst"]) for r in cond.collect()) == [
+        (0, 3),
+        (3, 4),
+    ]
+    lv = topological_levels(
+        cond,
+        res.components.select(F.col("scc_id").alias("vertex_id")).distinct(),
+    )
+    got = {r["vertex_id"]: r["level"] for r in lv.collect()}
+    # chain of components 0 -> {3,5} -> 4; isolated self-loop 6 at level 0
+    assert got == {0: 0, 3: 1, 4: 2, 6: 0}
+
+
+def test_topological_levels_raises_on_cycle(spark):
+    import pytest as _pt
+
+    from halvesting_geometric_spark.operators.scc import topological_levels
+
+    bad = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with _pt.raises(RuntimeError):
+        topological_levels(bad, max_iters=4)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from halvesting_geometric_spark.operators.bm25 import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry cherry")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf_e4"]) for r in rows}
+    # doc0: apple tf=2 df=1 -> 2·ln(4/2)=1.3863; banana tf=1 df=2 -> ln(4/3)
+    assert got[(0, 1)] == ("apple", int(2 * math.log(2.0) * 10000 + 0.5))
+    assert got[(0, 2)][0] == "banana"
+    # doc2: only cherry
+    assert got[(2, 1)][0] == "cherry" and (2, 2) not in got
