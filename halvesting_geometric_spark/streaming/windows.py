@@ -75,3 +75,57 @@ def rollup_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def session_turn_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based conversation sessions over the turn stream: a session is a
+    maximal run of a conversation's turns with < ``gap`` between
+    consecutive event times (``F.session_window`` — Spark's native dynamic
+    session state, merged incrementally as turns arrive, finalized when
+    the watermark passes the session end + gap). The streaming upgrade of
+    the batch ``sessionize`` gate. Returns
+    (session_start, session_end, conv_id, n_turns).
+
+    Scale: state is one open session per active conversation (merged
+    in-place; closed sessions evicted at the watermark) — O(active convs),
+    not O(turns)."""
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+    )
+    return agg.select(
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        "conv_id",
+        "n_turns",
+    )
+
+
+def sessions_available_now(
+    spark: SparkSession,
+    transcripts_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Drain available transcript files into the session table and stop —
+    same exactly-once AvailableNow contract as ``rollup_available_now``."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(transcripts_path)
+    )
+    sessions = session_turn_counts(stream, gap, watermark)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

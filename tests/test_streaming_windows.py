@@ -86,3 +86,36 @@ def test_windowed_rollup_drops_late_and_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(exp), f"\ngot:\n{got}\nexp:\n{exp}"
+
+
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    from halvesting_geometric_spark.streaming.windows import (
+        sessions_available_now,
+    )
+
+    tr_dir = str(tmp_path / "str")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    # conv a: turns at 0.0h, 0.25h (same session, gap 30m), then 2.0h (new
+    # session); conv b: one turn. Hour-20 row advances the watermark far
+    # enough to finalize everything.
+    _rows(
+        spark,
+        [("a", 0.0), ("a", 0.25), ("a", 2.0), ("b", 1.0)],
+    ).write.mode("append").parquet(tr_dir)
+    sessions_available_now(spark, tr_dir, out_dir, ckpt)
+    _rows(spark, [("c", 20.0)]).write.mode("append").parquet(tr_dir)
+    sessions_available_now(spark, tr_dir, out_dir, ckpt)
+    _rows(spark, [("c", 23.5)]).write.mode("append").parquet(tr_dir)
+    sessions_available_now(spark, tr_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    a = got[got["conv_id"] == "a"].sort_values("session_start")
+    assert list(a["n_turns"]) == [2, 1]
+    # session end = last event + gap (session_window semantics)
+    first = a.iloc[0]
+    assert (first["session_end"] - first["session_start"]).total_seconds() == (
+        15 * 60 + 30 * 60
+    )
+    assert list(got[got["conv_id"] == "b"]["n_turns"]) == [1]
