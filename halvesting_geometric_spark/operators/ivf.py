@@ -176,12 +176,23 @@ def ivf_topk(
     cell_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: str = "expr",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share one of the query's
     ``nprobe`` nearest centroid cells; exact rerank (rounded-1e-4 ranking,
     ascending neighbor-id tie-break — the ``knn_cosine`` contract).
     Returns (query_id, neighbor_id, sim_e4).
+
+    ``rerank``: "expr" computes each candidate cosine as a Catalyst
+    ``zip_with``/``aggregate`` expression (the oracle-twinned path);
+    "arrow" streams the joined pair table through one mapInPandas kernel
+    (a row-wise ``einsum`` per Arrow batch) — same rounded values, ~an
+    order of magnitude faster when the candidate set is large (the rerank
+    dominated the measured 2M-vector run; higher-order-function
+    evaluation per pair is the cost, not the arithmetic).
     """
+    if rerank not in ("expr", "arrow"):
+        raise ValueError(f"rerank must be 'expr' or 'arrow', got {rerank!r}")
     from halvesting_geometric_spark.functions import cosine_similarity
 
     if queries is None:
@@ -221,27 +232,51 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = (
-        cand.join(
-            queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-            ),
-            "query_id",
-        )
-        .join(
-            emb.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-            ),
-            "neighbor_id",
-        )
-        .select(
+    paired = cand.join(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "query_id",
+    ).join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+    )
+    if rerank == "expr":
+        scored = paired.select(
             "query_id",
             "neighbor_id",
             F.floor(cosine_similarity("qv", "cv") * 10_000 + F.lit(0.5))
             .cast("long")
             .alias("sim_e4"),
         )
-    )
+    else:
+
+        def rerank_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.array(pdf["qv"].tolist(), dtype=np.float64)
+                c = np.array(pdf["cv"].tolist(), dtype=np.float64)
+                dots = np.einsum("ij,ij->i", q, c)
+                qn = np.linalg.norm(q, axis=1)
+                cn = np.linalg.norm(c, axis=1)
+                denom = qn * cn
+                sims = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "sim_e4": np.floor(sims * 10_000.0 + 0.5).astype(
+                            np.int64
+                        ),
+                    }
+                )
+
+        scored = paired.select("query_id", "neighbor_id", "qv", "cv").mapInPandas(
+            rerank_fn, schema="query_id long, neighbor_id long, sim_e4 long"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_e4").desc(), F.col("neighbor_id").asc()
     )

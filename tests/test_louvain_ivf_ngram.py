@@ -272,3 +272,25 @@ def test_sssp_sync_every_matches_per_iteration(spark):
     da = sorted((r["vertex_id"], r["dist"]) for r in a.collect())
     db = sorted((r["vertex_id"], r["dist"]) for r in b.collect())
     assert da == db == [(0, 0.0), (1, 1.0), (2, 3.0), (3, 4.0)]
+
+
+def test_ivf_arrow_rerank_matches_expr(spark, emb):
+    cent = seed_centroids(emb, 8)
+    q = emb.filter(F.col("vec_id") < 30)
+    a = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, cent, k=5, nprobe=3, queries=q, rerank="expr"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, cent, k=5, nprobe=3, queries=q, rerank="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) == 150
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ivf_topk(emb, cent, rerank="nope")
