@@ -1285,6 +1285,30 @@ def _q_condensation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv.select(F.col("vertex_id").alias("scc_id"), "level")
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/pq.py): m=4 subspaces ×
+    k=8 codes over L2-normalized embeddings, seeded codebooks (iters=0 —
+    pure slices of the 8 lowest-id normalized vectors, so the oracle can
+    rebuild them in SQL). Assignment ranks codes on the e4-rounded squared
+    L2 distance, lowest code on ties — replayed exactly by the DuckDB twin
+    via list_dot_product on list slices."""
+    from halvesting_geometric_spark.operators.pq import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_seed_codebooks(emb, m=4, k=8)
+    codes = pq_encode(emb, cb)
+    return codes.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[
+            F.col("codes")[i].cast("long").alias(f"code{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1588,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe3": _q_bpe3,
         "tfidf5": _q_tfidf5,
         "condensation2": _q_condensation2,
+        "pq_codes": _q_pq_codes,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3572,6 +3597,43 @@ paths(v, d) AS (
   SELECT cde.dst, p.d + 1 FROM paths p JOIN cde ON cde.src = p.v)
 SELECT v AS scc_id, CAST(MAX(d) AS BIGINT) AS level
 FROM paths GROUP BY v""",
+        "pq_codes": """
+WITH norm AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(
+                     embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[])))
+         END AS v
+  FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS c
+  FROM norm ORDER BY vec_id LIMIT 8),
+subs AS (
+  SELECT * FROM (VALUES (0, 1, 16), (1, 17, 32),
+                        (2, 33, 48), (3, 49, 64)) AS t(sub, lo, hi)),
+d AS (
+  SELECT n.vec_id, s.sub, sd.code,
+         CAST(floor((
+             list_dot_product(n.v[s.lo:s.hi], n.v[s.lo:s.hi])
+           + list_dot_product(sd.c[s.lo:s.hi], sd.c[s.lo:s.hi])
+           - 2 * list_dot_product(n.v[s.lo:s.hi], sd.c[s.lo:s.hi])
+         ) * 10000 + 0.5) AS BIGINT) AS d_e4
+  FROM norm n CROSS JOIN subs s CROSS JOIN seeds sd),
+best AS (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d_e4 ASC, code ASC) AS rn
+  FROM d)
+SELECT vec_id,
+       MAX(CASE WHEN sub = 0 THEN code END) AS code0,
+       MAX(CASE WHEN sub = 1 THEN code END) AS code1,
+       MAX(CASE WHEN sub = 2 THEN code END) AS code2,
+       MAX(CASE WHEN sub = 3 THEN code END) AS code3
+FROM best WHERE rn = 1 GROUP BY vec_id""",
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

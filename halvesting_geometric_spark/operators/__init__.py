@@ -29,6 +29,13 @@ from halvesting_geometric_spark.operators.ivf import (
     seed_centroids,
 )
 from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.pq import (
+    pq_adc_rerank_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+    pq_seed_codebooks,
+)
 from halvesting_geometric_spark.operators.louvain import (
     contract_graph,
     louvain,
@@ -153,6 +160,11 @@ __all__ = [
     "wl_refinement",
     "ivf_assign",
     "ivf_topk",
+    "pq_adc_rerank_topk",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_fit",
+    "pq_seed_codebooks",
     "kmeans_fit",
     "seed_centroids",
     "contract_graph",
