@@ -1309,6 +1309,54 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): top-5 event
+    types by CMS-estimated frequency, depth=4 × width=2048, portable
+    hash so every counter — and therefore every estimate and the final
+    ranking — replays bit-exactly in DuckDB."""
+    from halvesting_geometric_spark.operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(
+        ev, "event_type", k=5, depth=4, width=2048, hash_method="portable"
+    ).select("key", F.col("est").cast("long").alias("est"))
+
+
+def _cms_hh_sql(depth: int = 4, width: int = 2048, k: int = 5) -> str:
+    """DuckDB twin of the cms_hh gate: rebuild the sparse counter grid
+    with the portable hash, probe every distinct key (the gate's
+    candidate pass covers all of the ~handful of event types), take the
+    min-over-rows estimate, rank (est DESC, key ASC)."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    cell_parts = []
+    probe_parts = []
+    for d in range(depth):
+        h_ev = portable_hash64_sql("event_type", seed=d)
+        h_key = portable_hash64_sql("key", seed=d)
+        cell_parts.append(
+            f"SELECT {d} AS row, ({h_ev}) % {width} AS bucket, "
+            f"COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+        )
+        probe_parts.append(
+            f"SELECT key, {d} AS row, ({h_key}) % {width} AS bucket FROM keys"
+        )
+    cells = "\n  UNION ALL\n  ".join(cell_parts)
+    probes = "\n  UNION ALL\n  ".join(probe_parts)
+    return f"""
+WITH keys AS (SELECT DISTINCT event_type AS key FROM events),
+cells AS (
+  {cells}),
+probes AS (
+  {probes}),
+est AS (
+  SELECT p.key, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.key)
+SELECT key, CAST(est AS BIGINT) AS est FROM est
+QUALIFY row_number() OVER (ORDER BY est DESC, key ASC) <= {k}"""
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1613,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf5": _q_tfidf5,
         "condensation2": _q_condensation2,
         "pq_codes": _q_pq_codes,
+        "cms_hh": _q_cms_hh,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3634,6 +3683,7 @@ SELECT vec_id,
        MAX(CASE WHEN sub = 2 THEN code END) AS code2,
        MAX(CASE WHEN sub = 3 THEN code END) AS code3
 FROM best WHERE rn = 1 GROUP BY vec_id""",
+        "cms_hh": _cms_hh_sql(depth=4, width=2048, k=5),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

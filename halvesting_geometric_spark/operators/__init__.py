@@ -51,6 +51,12 @@ from halvesting_geometric_spark.operators.bpe import (
     bpe_train,
     word_counts,
 )
+from halvesting_geometric_spark.operators.sketch import (
+    cms_estimate,
+    cms_merge,
+    count_min_sketch,
+    heavy_hitters,
+)
 from halvesting_geometric_spark.operators.scc import (
     condensation,
     strongly_connected_components,
@@ -180,4 +186,8 @@ __all__ = [
     "tfidf_top_terms",
     "condensation",
     "topological_levels",
+    "cms_estimate",
+    "cms_merge",
+    "count_min_sketch",
+    "heavy_hitters",
 ]

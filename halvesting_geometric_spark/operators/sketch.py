@@ -1,0 +1,176 @@
+"""Count-min sketch and heavy hitters — mergeable frequency estimation
+for key spaces too large to count exactly (Cormode & Muthukrishnan,
+J. Algorithms 2005 — public paper).
+
+The sketch is a depth × width counter grid: row d counts each key at
+bucket ``hash_d(key) mod width``; the frequency estimate is the MIN over
+the depth rows (never an underestimate; overestimates only when a key
+collides in *every* row). Two sketches over disjoint data merge by
+element-wise addition — the property that makes this the standard
+100 TB / streaming primitive: each partition (or micro-batch, or day of
+logs) sketches independently, and the depth·width-bounded partials fold
+associatively.
+
+Spark-first shape: building the sketch is one ``explode(depth)`` +
+hash-aggregate — partial (map-side) aggregation caps the shuffle at
+depth·width rows per partition regardless of input size, and the result
+is a SPARSE (row, bucket, cnt) DataFrame (missing cell = 0). No
+driver-side state, no UDFs — the hash, bucket, and counters are all
+Catalyst expressions inside whole-stage codegen.
+
+``heavy_hitters`` composes the scalable candidate pattern: per-partition
+local top-c candidate keys (any key with global share ≥ 1/c must be a
+local top-c key in at least one partition, the Misra-Gries guarantee),
+then the union of candidates is scored against the global sketch and
+exact-top-k'd. The candidate table is partitions·c rows — bounded — and
+never touches the full distinct-key space.
+
+Hash selection follows the repo convention (sampling.hash64):
+``xxhash64`` is the scale default; ``portable`` makes every counter and
+estimate bit-reproducible in DuckDB for the ``cms_hh`` correctness gate.
+
+Reference scope note: the reference engine has no sketches (it counts
+exactly in pandas/dask); this operator is part of the training-data
+pipeline surface the builder's brief asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.sampling import hash64
+
+
+def _key_col(key: Column | str) -> Column:
+    return F.col(key) if isinstance(key, str) else key
+
+
+def _bucket(method: str, key: Column, d: int, width: int) -> Column:
+    return F.pmod(hash64(method, key, seed=d), F.lit(width))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 2048,
+    weight: Column | str | None = None,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Sparse sketch (row, bucket, cnt) of the key column's frequencies
+    (or ``weight`` sums). One explode + one hash aggregate; the shuffle
+    is bounded by depth·width rows per map partition."""
+    k = _key_col(key).cast("string")
+    w = (
+        F.lit(1).cast("long")
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("row"),
+                _bucket(hash_method, k, d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("w"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of same-shaped sketches (sparse union + re-agg).
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly — the fold that
+    lets partitions/batches/days sketch independently."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: Column | str = "key",
+    depth: int = 4,
+    width: int = 2048,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """(key, est): min-over-rows counter per candidate key. depth/width/
+    hash_method must match the sketch's build parameters. The candidate
+    table is expected small (broadcast side); the sketch is at most
+    depth·width rows, so this join never shuffles the raw data."""
+    k = _key_col(key).cast("string")
+    probes = keys.select(
+        k.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("row"),
+                        _bucket(hash_method, k, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("key").agg(F.min("cnt").alias("est"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: Column | str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 2048,
+    candidates_per_partition: int = 256,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Top-k keys by CMS-estimated frequency: (key, est), ranked
+    (est desc, key asc). Candidates are each partition's local top-c keys
+    (c = ``candidates_per_partition``) — any key with global share
+    ≥ 1/c is a local top-c key somewhere, so the true heavy set is
+    covered without ever materializing the full distinct-key space; the
+    candidate union is partitions·c rows. Estimates come from the global
+    sketch, so ranks reflect ALL occurrences even for keys that were
+    local candidates in only one partition."""
+    from pyspark.sql import Window
+
+    sk = count_min_sketch(
+        df, key, depth=depth, width=width, hash_method=hash_method
+    )
+    kc = _key_col(key).cast("string")
+    local = (
+        df.select(F.spark_partition_id().alias("pid"), kc.alias("key"))
+        .groupBy("pid", "key")
+        .agg(F.count("*").alias("n"))
+    )
+    wloc = Window.partitionBy("pid").orderBy(
+        F.col("n").desc(), F.col("key").asc()
+    )
+    cand = (
+        local.withColumn("rn", F.row_number().over(wloc))
+        .filter(F.col("rn") <= candidates_per_partition)
+        .select("key")
+        .distinct()
+    )
+    est = cms_estimate(
+        sk, cand, key="key", depth=depth, width=width, hash_method=hash_method
+    )
+    wtop = Window.orderBy(F.col("est").desc(), F.col("key").asc())
+    return (
+        est.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= k)
+        .select("key", "est")
+    )
