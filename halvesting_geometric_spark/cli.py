@@ -34,7 +34,7 @@ ALGORITHMS = (
     "pagerank", "components", "labelprop", "triangles", "extract",
     "ppr", "hits", "kcore", "coreness", "bfs", "sssp", "linkpred",
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
-    "betweenness", "coloring", "louvain", "scc",
+    "betweenness", "coloring", "louvain", "scc", "hh",
 )
 
 
@@ -60,7 +60,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="ppr: teleport seed vertex ids")
     ap.add_argument("--iters", type=int, default=10,
                     help="ppr/hits: fixed iteration count")
-    ap.add_argument("--k", type=int, default=3, help="kcore: minimum degree")
+    ap.add_argument("--k", type=int, default=3,
+                    help="kcore: minimum degree; hh: top-k size")
+    ap.add_argument("--hh-col", default="role",
+                    help="hh: transcripts column to find heavy hitters in")
     ap.add_argument("--weight-col", default=None,
                     help="sssp: edge weight column (None = unit weights)")
     ap.add_argument("--min-common", type=int, default=1,
@@ -321,6 +324,12 @@ def main(argv: list[str] | None = None) -> int:
         res = strongly_connected_components(g.edges, g.vertices)
         res.components.write.mode("overwrite").parquet(args.output)
         summary.update(rounds=res.rounds, components=res.num_components)
+    elif args.algorithm == "hh":
+        from halvesting_geometric_spark.operators.sketch import heavy_hitters
+
+        hh = heavy_hitters(transcripts, args.hh_col, k=args.k)
+        hh.write.mode("overwrite").parquet(args.output)
+        summary.update(column=args.hh_col, k=args.k, rows=hh.count())
     elif args.algorithm == "stats":
         from halvesting_geometric_spark.operators.linkpred import graph_stats
 

@@ -122,6 +122,58 @@ def pq_encode(
     )
 
 
+def _fit_partial_kernel(codebooks: np.ndarray, vec_col: str):
+    """mapInPandas kernel producing PARTIAL Lloyd statistics per
+    partition: assignment (identical arithmetic to ``_encode_kernel``)
+    plus in-kernel ``np.add.at`` accumulation of per-(subspace, code)
+    subvector sums, counts, and squared quantization error. Each
+    partition emits at most m·k·dsub long-form rows — the shuffle feeding
+    the codebook update is bounded by k·d per partition regardless of
+    corpus size (the same Arrow-partial pattern as the SAGE aggregate and
+    embedding-moments kernels; a posexplode+join formulation measured
+    >80 GB of shuffle spill at 2M×64 and was replaced by this)."""
+    m, k, dsub = codebooks.shape
+    c_ss = np.einsum("mkd,mkd->mk", codebooks, codebooks)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((m, k, dsub))
+        cnt = np.zeros((m, k), dtype=np.int64)
+        err = np.zeros((m, k))
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            mat = _unit_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sub = mat.reshape(len(mat), m, dsub)
+            for s in range(m):
+                x = sub[:, s, :]
+                d2 = (
+                    np.einsum("ij,ij->i", x, x)[:, None]
+                    + c_ss[s][None, :]
+                    - 2.0 * (x @ codebooks[s].T)
+                )
+                d_e4 = np.floor(d2 * _E4 + 0.5).astype(np.int64)
+                code = d_e4.argmin(axis=1)
+                np.add.at(acc[s], code, x)
+                np.add.at(cnt[s], code, 1)
+                np.add.at(err[s], code, d2[np.arange(len(code)), code])
+        if not seen:
+            return
+        subs, codes = np.nonzero(cnt)
+        rows = {
+            "sub": np.repeat(subs, dsub).astype(np.int32),
+            "code": np.repeat(codes, dsub).astype(np.int32),
+            "p": np.tile(np.arange(dsub, dtype=np.int32), len(subs)),
+            "s": acc[subs, codes].ravel(),
+            "n": np.repeat(cnt[subs, codes], dsub),
+            "err": np.repeat(err[subs, codes], dsub),
+        }
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
 def pq_fit(
     emb: DataFrame,
     m: int,
@@ -131,97 +183,48 @@ def pq_fit(
     vec_col: str = "embedding",
 ) -> tuple[np.ndarray, list[float]]:
     """Lloyd's k-means independently per subspace, all subspaces trained
-    in the SAME jobs: each iteration is one Arrow encode scan + one hash
-    aggregate keyed (subspace, code, position) whose output is exactly
-    k·d rows (bounded collect). Returns (codebooks (m,k,d/m), history of
-    mean squared quantization error per iteration — non-increasing up to
-    the e4 assignment rounding). Empty cells keep their previous entry
-    (the standard dead-centroid convention, deterministic)."""
+    in the SAME jobs: each iteration is ONE Arrow scan emitting partial
+    (subspace, code, position) sums (bounded at k·d rows per partition —
+    see ``_fit_partial_kernel``) + one hash aggregate whose output is
+    exactly k·d rows (bounded collect). Returns (codebooks (m,k,d/m),
+    history of mean squared quantization error measured under each
+    iteration's INCOMING codebooks — non-increasing up to the e4
+    assignment rounding). Empty cells keep their previous entry (the
+    standard dead-centroid convention, deterministic)."""
     cent = pq_seed_codebooks(emb, m, k, id_col, vec_col)
     dsub = cent.shape[2]
-    d = m * dsub
-    norm_sub = _normalized_subvectors(emb, m, dsub, id_col, vec_col)
     history: list[float] = []
     for _ in range(iters):
-        codes = pq_encode(emb, cent, id_col, vec_col)
-        assigned = codes.select(
-            id_col, F.posexplode("codes").alias("sub", "code")
-        )
         sums = (
-            norm_sub.join(assigned, [id_col, "sub"])
+            emb.select(vec_col)
+            .mapInPandas(
+                _fit_partial_kernel(cent, vec_col),
+                schema="sub int, code int, p int, s double, n long, err double",
+            )
             .groupBy("sub", "code", "p")
             .agg(
-                F.sum("x").alias("s"),
-                F.count("*").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("n").alias("n"),
+                F.sum("err").alias("err"),
             )
             .collect()
         )
         new = np.array(cent)
         acc = np.zeros((m, k, dsub))
         cnt = np.zeros((m, k))
+        err_total = 0.0
+        n_total = 0
         for r in sums:
             acc[r["sub"], r["code"], r["p"]] = r["s"]
             cnt[r["sub"], r["code"]] = r["n"]
+            if r["p"] == 0:
+                err_total += r["err"]
+                n_total += r["n"]
         nonempty = cnt > 0
         new[nonempty] = acc[nonempty] / cnt[nonempty][:, None]
         cent = new
-        # mean squared quantization error on the NEW codebooks (one more
-        # encode scan folded into the next iteration would save a job; the
-        # history is diagnostics, so recompute lazily only here)
-        history.append(_msqe(norm_sub, cent, id_col))
+        history.append(err_total / n_total if n_total else 0.0)
     return cent, history
-
-
-def _normalized_subvectors(
-    emb: DataFrame, m: int, dsub: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """(id, sub, p, x): position-exploded L2-normalized vector, keyed by
-    subspace and position-within-subspace. Pure Catalyst (codegen)."""
-    v = F.col(vec_col)
-    ss = F.aggregate(
-        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
-    )
-    nrm = F.sqrt(ss)
-    unit = F.when(nrm == 0, v.cast("array<double>")).otherwise(
-        F.transform(v, lambda x: x.cast("double") / nrm)
-    )
-    return (
-        emb.select(id_col, unit.alias("u"))
-        .select(id_col, F.posexplode("u").alias("pos", "x"))
-        .select(
-            id_col,
-            (F.col("pos") / dsub).cast("int").alias("sub"),
-            (F.col("pos") % dsub).alias("p"),
-            "x",
-        )
-    )
-
-
-def _msqe(norm_sub: DataFrame, cent: np.ndarray, id_col: str) -> float:
-    """Mean squared quantization error under codebooks ``cent`` — one
-    encode-equivalent aggregate for diagnostics (driver gets one float)."""
-    m, k, dsub = cent.shape
-    spark = norm_sub.sparkSession
-    flat = [
-        (int(s), int(c), int(p), float(cent[s, c, p]))
-        for s in range(m)
-        for c in range(k)
-        for p in range(dsub)
-    ]
-    cb = F.broadcast(
-        spark.createDataFrame(flat, "sub int, code int, p int, cx double")
-    )
-    # distance of every vector's subvector to every code in its subspace,
-    # then the min per (id, sub) — small k so the fan-out is k×
-    per_code = (
-        norm_sub.join(cb, ["sub", "p"])
-        .groupBy(id_col, "sub", "code")
-        .agg(F.sum((F.col("x") - F.col("cx")) ** 2).alias("d2"))
-        .groupBy(id_col, "sub")
-        .agg(F.min("d2").alias("d2"))
-    )
-    row = per_code.agg(F.avg("d2").alias("e")).first()
-    return float(row["e"]) if row["e"] is not None else 0.0
 
 
 def _adc_kernel(

@@ -94,3 +94,21 @@ def test_cli_mis_and_harmonic(spark, tmp_path, capsys):
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["algorithm"] == algo
         assert spark.read.parquet(out_dir).count() > 0
+
+
+def test_cli_heavy_hitters(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_hh")
+    generate_transcripts(spark, 30, seed=5).write.parquet(tr_dir)
+    out_dir = str(tmp_path / "out_hh")
+    rc = cli.main(
+        ["hh", "--transcripts", tr_dir, "--output", out_dir,
+         "--hh-col", "role", "--k", "2"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["column"] == "role" and summary["rows"] <= 2
+    hh = spark.read.parquet(out_dir)
+    rows = {r["key"]: r["est"] for r in hh.collect()}
+    # roles alternate user/assistant: both must surface with counts >= true
+    assert set(rows) <= {"user", "assistant", "tool"}
+    assert all(v > 0 for v in rows.values())
