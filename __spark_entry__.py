@@ -1357,6 +1357,44 @@ SELECT key, CAST(est AS BIGINT) AS est FROM est
 QUALIFY row_number() OVER (ORDER BY est DESC, key ASC) <= {k}"""
 
 
+def _q_wsample3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (operators/sampling.weighted_sample):
+    3 documents per language, weight = n_chars, Efraimidis–Spirakis
+    exponential race on the portable hash — priorities e6-rounded so the
+    DuckDB twin replays the exact same sample."""
+    from halvesting_geometric_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, 3, "n_chars", ("doc_id",), ("lang",), seed=7,
+        hash_method="portable",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("priority_e6").cast("long").alias("priority_e6"),
+    )
+
+
+def _wsample3_sql(seed: int = 7, n: int = 3) -> str:
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    h = portable_hash64_sql("doc_id", seed=seed)
+    span = 1 << 60
+    return f"""
+WITH pri AS (
+  SELECT doc_id, lang,
+         CAST(floor(
+           -ln(((({h}) % {span}) + 1.0) / {float(span + 2)!r})
+           / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS priority_e6
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, lang, priority_e6 FROM pri
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY priority_e6 ASC, doc_id ASC) <= {n}"""
+
+
 def _q_emb_cov8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (the PCA sufficient statistic,
     operators/embeddings.py): upper-triangle entries for the first 8 dims,
@@ -1662,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation2": _q_condensation2,
         "pq_codes": _q_pq_codes,
         "cms_hh": _q_cms_hh,
+        "wsample3": _q_wsample3,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3684,6 +3723,7 @@ SELECT vec_id,
        MAX(CASE WHEN sub = 3 THEN code END) AS code3
 FROM best WHERE rn = 1 GROUP BY vec_id""",
         "cms_hh": _cms_hh_sql(depth=4, width=2048, k=5),
+        "wsample3": _wsample3_sql(seed=7, n=3),
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

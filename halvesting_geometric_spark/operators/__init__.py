@@ -101,6 +101,7 @@ from halvesting_geometric_spark.operators.sampling import (
     sample_neighbors,
     sample_neighbors_layered,
     split_edges,
+    weighted_sample,
 )
 from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
 from halvesting_geometric_spark.operators.triangles import triangle_count
@@ -159,6 +160,7 @@ __all__ = [
     "sample_neighbors",
     "sample_neighbors_layered",
     "split_edges",
+    "weighted_sample",
     "sssp",
     "triangle_count",
     "undirected",

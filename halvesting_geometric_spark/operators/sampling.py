@@ -297,3 +297,49 @@ def sample_neighbors_layered(
         out = sampled if out is None else out.unionByName(sampled)
         frontier = sampled.select(F.col("dst").alias("src")).distinct()
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: Column | str,
+    id_cols: tuple[str, ...],
+    group_cols: tuple[str, ...] = (),
+    seed: int = 0,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``n`` rows per group
+    (global when ``group_cols`` is empty): Efraimidis–Spirakis A-ES via
+    the exponential race — priority = −ln(u)/w with u a pure function of
+    (seed, id_cols), so the sample is reproducible across partitionings,
+    cluster sizes, and reruns (the same determinism contract as
+    ``split_edges``). Rows with weight ≤ 0 or NULL are excluded (they
+    can never win a weighted race). Ranking uses the e6-rounded priority
+    with id tie-breaks, replayable exactly in an external SQL engine via
+    ``hash_method="portable"``.
+
+    Scale shape: one windowed row_number per group — sort-based,
+    spillable, no per-group buffers; the global case (no group cols)
+    funnels a single partition, so for huge global samples prefer the
+    two-phase ``take_smallest_exact`` on the priority column.
+
+    The corpus-downsampling primitive for training-data pipelines
+    (sample documents ∝ quality score, per language/source)."""
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    # u in (0,1): 60-bit non-negative hash (pmod folds xxhash64's sign)
+    span = 1 << 60
+    h = F.pmod(hash64(hash_method, *id_cols, seed=seed), F.lit(span))
+    u = (h + F.lit(1.0)) / F.lit(float(span + 2))
+    pri = -F.log(u) / w
+    pri_e6 = F.floor(pri * 1_000_000 + F.lit(0.5)).cast("long")
+    win = Window.partitionBy(
+        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy(F.col("_pri").asc(), *[F.col(c).asc() for c in id_cols])
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_pri", pri_e6)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+        .withColumnRenamed("_pri", "priority_e6")
+    )

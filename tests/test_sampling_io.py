@@ -178,3 +178,66 @@ def test_sample_neighbors_layered_two_hop(spark):
         sample_neighbors_layered(g.edges, fanouts=())
     with pytest.raises(ValueError, match="fanouts"):
         sample_neighbors_layered(g.edges, fanouts=(3, 0))
+
+
+# --------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_partition_invariant_and_reference(spark):
+    import hashlib
+    import math
+
+    from halvesting_geometric_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g%d" % (i % 2), float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, grp string, w double")
+
+    got1 = weighted_sample(
+        df.repartition(1), 4, "w", ("rid",), ("grp",), seed=9,
+        hash_method="portable",
+    )
+    got7 = weighted_sample(
+        df.repartition(7), 4, "w", ("rid",), ("grp",), seed=9,
+        hash_method="portable",
+    )
+    s1 = sorted((r["grp"], r["rid"], r["priority_e6"]) for r in got1.collect())
+    s7 = sorted((r["grp"], r["rid"], r["priority_e6"]) for r in got7.collect())
+    assert s1 == s7 and len(s1) == 8
+
+    # python replica of the portable priority
+    span = 1 << 60
+
+    def pri(rid, w):
+        s = "\x1f".join([str(rid), "9"])
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % span
+        u = (h + 1.0) / float(span + 2)
+        return math.floor(-math.log(u) / w * 1_000_000 + 0.5)
+
+    want = []
+    for g in ("g0", "g1"):
+        members = [(pri(i, w), i) for i, gg, w in rows if gg == g]
+        for p, i in sorted(members)[:4]:
+            want.append((g, i, p))
+    assert s1 == sorted(want)
+
+
+def test_weighted_sample_bias_and_guards(spark):
+    from halvesting_geometric_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i else 100000.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "rid long, w double")
+    # the 100000x-weight row must win a seat in a 5-of-50 sample
+    picked = {
+        r["rid"]
+        for r in weighted_sample(df, 5, "w", ("rid",), seed=1).collect()
+    }
+    assert 0 in picked and len(picked) == 5
+
+    # nonpositive / null weights are excluded
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "rid long, w double"
+    )
+    out = weighted_sample(bad, 10, "w", ("rid",), seed=1).collect()
+    assert [r["rid"] for r in out] == [4]
