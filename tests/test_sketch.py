@@ -123,3 +123,52 @@ def test_heavy_hitters_xxhash_default(words):
     # scale-path hash: ranking invariants only (values engine-private)
     top = heavy_hitters(words, "w", k=3, depth=4, width=4096).collect()
     assert [r["key"] for r in top] == ["word_0", "word_1", "word_2"]
+
+
+def test_streaming_sketch_matches_batch_and_resumes(spark, tmp_path):
+    from halvesting_geometric_spark.streaming.sketch import (
+        read_sketch,
+        stream_sketch_available_now,
+    )
+
+    in_dir = str(tmp_path / "in")
+    sk_dir = str(tmp_path / "sk")
+    ck_dir = str(tmp_path / "ck")
+    rows1 = [(i, f"word_{i % 7}") for i in range(100)]
+    spark.createDataFrame(rows1, "row_id long, w string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sketch_available_now(
+        spark, in_dir, sk_dir, ck_dir, "row_id long, w string", "w",
+        depth=3, width=64, hash_method="portable",
+    )
+    batch1 = count_min_sketch(
+        spark.read.parquet(in_dir), "w", depth=3, width=64,
+        hash_method="portable",
+    )
+    fold = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_sketch(spark, sk_dir).collect()
+    }
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in batch1.collect()}
+    assert fold == want
+
+    # new files land; re-drain folds ONLY the delta, totals stay exact
+    rows2 = [(i, f"word_{i % 5}") for i in range(100, 160)]
+    spark.createDataFrame(rows2, "row_id long, w string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sketch_available_now(
+        spark, in_dir, sk_dir, ck_dir, "row_id long, w string", "w",
+        depth=3, width=64, hash_method="portable",
+    )
+    batch2 = count_min_sketch(
+        spark.read.parquet(in_dir), "w", depth=3, width=64,
+        hash_method="portable",
+    )
+    fold2 = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_sketch(spark, sk_dir).collect()
+    }
+    want2 = {(r["row"], r["bucket"]): r["cnt"] for r in batch2.collect()}
+    assert fold2 == want2
