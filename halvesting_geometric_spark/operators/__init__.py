@@ -103,6 +103,16 @@ from halvesting_geometric_spark.operators.sampling import (
     split_edges,
     weighted_sample,
 )
+from halvesting_geometric_spark.operators.centrality import (
+    eigenvector_centrality,
+    hits,
+    personalized_pagerank,
+)
+from halvesting_geometric_spark.operators.fastrp import (
+    fastrp_embeddings,
+    fastrp_projection,
+)
+from halvesting_geometric_spark.operators.msf import minimum_spanning_forest
 from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
 from halvesting_geometric_spark.operators.triangles import triangle_count
 from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
@@ -130,7 +140,13 @@ __all__ = [
     "dense_ids_window",
     "edges_to_ids",
     "effective_diameter",
+    "eigenvector_centrality",
     "embedding_moments",
+    "fastrp_embeddings",
+    "fastrp_projection",
+    "hits",
+    "minimum_spanning_forest",
+    "personalized_pagerank",
     "extract_conv_edges",
     "extract_features",
     "four_cycles",

@@ -249,3 +249,88 @@ def hits(
     topo.unpersist()
     verts.unpersist()
     return out
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    vertices: DataFrame,
+    fixed_iters: int = 8,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration with per-step L2
+    normalization:
+
+        raw_k(v) = Σ_{u→v} x_{k-1}(u)      then x_k = raw_k / ||raw_k||_2
+
+    starting from the L2-normalized uniform vector x_0 = 1/√n. Distinct from
+    :func:`hits` (which alternates two mutually-reinforcing scores) and from
+    PageRank (whose stochastic normalization + teleport changes the matrix):
+    this is the dominant eigenvector of the plain adjacency matrix A^T.
+    Callers who want the classic undirected variant pass a symmetrized edge
+    table (``operators.graph.undirected``).
+
+    Engine-new per ``BASELINE.json`` ``north_rule`` (centrality family over
+    the citation link graph); the reference computes no spectral scores.
+    Same one-job batched superstep shape as :func:`hits`: the L2 norm is an
+    in-plan 1-row broadcast aggregate, every intermediate state a lazy
+    ``localCheckpoint``, no per-iteration driver action. Deterministic up to
+    float summation order, so the gate's DuckDB twin unrolls the same
+    recurrence and compares at 1e-6 rounding.
+
+    Returns (vertex_id, score). Raises on an edge-free graph (no
+    normalizable solution).
+    """
+    if fixed_iters < 1:
+        raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    topo = _topology(edges, n_shuffle)
+    topo.count()
+    verts = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    if (
+        topo.join(
+            verts.select(F.col("vertex_id").alias("src")), "src", "left_semi"
+        )
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise ValueError("graph has no edges reaching any vertex")
+
+    import math
+
+    x = verts.select("vertex_id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+    for _ in range(fixed_iters):
+        raw = (
+            topo.join(
+                x.select(F.col("vertex_id").alias("src"), "score"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+        )
+        full = (
+            verts.join(
+                raw.select(F.col("dst").alias("vertex_id"), "raw"),
+                "vertex_id",
+                "left",
+            )
+            .select("vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            # two consumers (norm aggregate + division) share one RDD
+            .localCheckpoint(eager=False)
+        )
+        norm_df = full.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("_norm"))
+        # a DAG longer than its depth drains all mass: norm 0 → scores 0
+        # (defined, instead of a divide-by-zero null cascade)
+        x = full.crossJoin(F.broadcast(norm_df)).select(
+            "vertex_id",
+            F.when(
+                F.col("_norm") > 0.0, F.col("raw") / F.col("_norm")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    out = x.select("vertex_id", "score")
+    out.count()
+    topo.unpersist()
+    verts.unpersist()
+    return out

@@ -274,3 +274,64 @@ def test_coreness_fixpoint_matches_exact_peeling(spark):
 
     with pytest.raises(ValueError, match="fixed_iters"):
         coreness(edges, verts, fixed_iters=-1)
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    from halvesting_geometric_spark.operators.centrality import (
+        eigenvector_centrality,
+    )
+
+    edges, verts, pairs, n = _random_graph(spark)
+    got = (
+        eigenvector_centrality(edges, verts, fixed_iters=8)
+        .toPandas()
+        .sort_values("vertex_id")["score"]
+        .to_numpy()
+    )
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(8):
+        raw = np.zeros(n)
+        for a, b in pairs:
+            raw[b] += x[a]
+        nrm = np.sqrt((raw * raw).sum())
+        x = raw / nrm if nrm > 0 else raw
+    np.testing.assert_allclose(got, x, atol=1e-9)
+    assert abs((got * got).sum() - 1.0) < 1e-9  # unit L2 norm
+
+
+def test_eigenvector_centrality_dag_drains_to_zero(spark):
+    from halvesting_geometric_spark.operators.centrality import (
+        eigenvector_centrality,
+    )
+
+    # path 0→1→2: after 3 power steps all mass has drained off the DAG
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.range(3).select(F.col("id").alias("vertex_id"))
+    got = (
+        eigenvector_centrality(edges, verts, fixed_iters=4)
+        .toPandas()
+        .sort_values("vertex_id")["score"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, np.zeros(3), atol=0.0)
+
+
+def test_eigenvector_centrality_complete_graph_uniform(spark):
+    from halvesting_geometric_spark.operators.centrality import (
+        eigenvector_centrality,
+    )
+
+    # complete graph K_5 (no self loops): the dominant eigenvector of A is
+    # exactly uniform, and the uniform start is already that eigenvector —
+    # every iteration must reproduce 1/sqrt(5) per vertex exactly
+    n = 5
+    pairs = [(a, b) for a in range(n) for b in range(n) if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.range(n).select(F.col("id").alias("vertex_id"))
+    got = (
+        eigenvector_centrality(edges, verts, fixed_iters=7)
+        .toPandas()
+        .sort_values("vertex_id")["score"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, np.full(n, 1.0 / np.sqrt(n)), atol=1e-12)
