@@ -1712,6 +1712,26 @@ def _q_fastrp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks (3 steps, p=2, q=4, portable
+    hash) over the symmetrized link graph from seeds {vertex_id < 50}."""
+    from halvesting_geometric_spark.operators.walks import node2vec_walks
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    e = edges.filter(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    starts = [r[0] for r in verts.filter(F.col("vertex_id") < 50).collect()]
+    w = node2vec_walks(
+        sym, starts, walk_length=3, p=2.0, q=4.0, seed=42,
+        hash_method="portable",
+    )
+    return w.select(
+        "walker_id", F.col("step").cast("long").alias("step"), "vertex_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1724,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencent6": _q_eigencent6,
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
+        "node2vec3": _q_node2vec3,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2241,6 +2262,68 @@ adj AS (
         f"SELECT walker_id, CAST({t} AS BIGINT) AS step, v AS vertex_id "
         f"FROM w{t}"
         for t in range(0, length + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+def _node2vec_sql(
+    length: int, p: float = 2.0, q: float = 4.0, seed: int = 42
+) -> str:
+    """node2vec twin: step 1 uniform hash-rank, steps ≥ 2 the exact-dyadic
+    inverse-CDF over the dst-sorted candidate window (α = 1/p return, 1
+    shared-neighbor, 1/q otherwise) — same recurrence as
+    walks.node2vec_walks with hash_method='portable'."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    m = 1 << 20
+    h1 = portable_hash64_sql("v.vertex_id", "1", seed=seed)
+    parts = [
+        _BASE,
+        """nadj AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM sym)""",
+        f"""w1 AS MATERIALIZED (
+  SELECT v.vertex_id AS walker, a.src AS prev, a.dst AS v
+  FROM verts v JOIN nadj a ON v.vertex_id = a.src
+  WHERE v.vertex_id < 50 AND a.rnk = ({h1}) % a.deg)""",
+    ]
+    for t in range(2, length + 1):
+        ht = portable_hash64_sql("walker", str(t), seed=seed)
+        parts.append(
+            f"""c{t} AS (
+  SELECT w.walker, w.v, a.dst AS x,
+         CASE WHEN a.dst = w.prev THEN {1.0 / p!r}
+              WHEN nb.src IS NOT NULL THEN 1.0
+              ELSE {1.0 / q!r} END AS alpha
+  FROM w{t - 1} w JOIN nadj a ON w.v = a.src
+  LEFT JOIN sym nb ON nb.src = w.prev AND nb.dst = a.dst),
+s{t} AS MATERIALIZED (
+  SELECT walker, v, x,
+         SUM(alpha) OVER (PARTITION BY walker ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(alpha) OVER (PARTITION BY walker) AS tot
+  FROM c{t}),
+w{t} AS MATERIALIZED (
+  SELECT walker, prev, v FROM (
+    SELECT walker, v AS prev, x AS v,
+           row_number() OVER (PARTITION BY walker ORDER BY x) AS rn
+    FROM s{t}
+    WHERE cum > (({ht}) % {m}) / {float(m)!r} * tot) z
+  WHERE rn = 1)"""
+        )
+    body = ",\n".join(parts)
+    selects = " UNION ALL ".join(
+        [
+            "SELECT vertex_id AS walker_id, CAST(0 AS BIGINT) AS step, "
+            "vertex_id FROM verts WHERE vertex_id < 50"
+        ]
+        + [
+            f"SELECT walker AS walker_id, CAST({t} AS BIGINT) AS step, "
+            f"v AS vertex_id FROM w{t}"
+            for t in range(1, length + 1)
+        ]
     )
     return f"WITH {body}\n{selects}"
 
@@ -3128,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "eigencent6": _eigencent_sql(6),
         "msf": _msf_sql(rounds=10, jumps=8),
         "fastrp2": _fastrp_sql(dim=4, iters=2, weights=(0.5, 1.0), seed=42),
+        "node2vec3": _node2vec_sql(3, p=2.0, q=4.0, seed=42),
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

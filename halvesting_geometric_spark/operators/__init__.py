@@ -118,6 +118,7 @@ from halvesting_geometric_spark.operators.triangles import triangle_count
 from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
 from halvesting_geometric_spark.operators.walks import (
     metapath_walks,
+    node2vec_walks,
     random_walks,
 )
 
@@ -160,6 +161,7 @@ __all__ = [
     "label_propagation",
     "maximal_independent_set",
     "metapath_walks",
+    "node2vec_walks",
     "modularity",
     "neighborhood_function_exact",
     "neighborhood_function_hll",
