@@ -1732,6 +1732,21 @@ def _q_node2vec3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_katz8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (alpha=0.05, beta=1, 8 fixed iterations) on the
+    directed link graph, e6 rounding."""
+    from halvesting_geometric_spark.operators.centrality import katz_centrality
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = katz_centrality(edges, verts, alpha=0.05, beta=1.0, fixed_iters=8)
+    return res.select(
+        "vertex_id",
+        F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1745,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
         "node2vec3": _q_node2vec3,
+        "katz8": _q_katz8,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2069,6 +2085,31 @@ live{r} AS MATERIALIZED (
         f"WITH {body}\n"
         f"SELECT DISTINCT oa AS a, ob AS b, CAST(w AS BIGINT) AS w "
         f"FROM ({chosen}) f"
+    )
+
+
+def _katz_sql(iters: int, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Katz twin: x_t = beta + alpha * gather(x_{t-1}) over directed edges."""
+    parts = [
+        _BASE,
+        "k0 AS MATERIALIZED (SELECT vertex_id AS v, 0.0 AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""g{k} AS (
+  SELECT e.dst AS v, SUM(x.x) AS raw
+  FROM edges e JOIN k{p} x ON e.src = x.v GROUP BY e.dst),
+k{k} AS MATERIALIZED (
+  SELECT v.vertex_id AS v,
+         {beta!r} + {alpha!r} * COALESCE(g.raw, 0.0) AS x
+  FROM verts v LEFT JOIN g{k} g ON v.vertex_id = g.v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, "
+        f"CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS score_e6 FROM k{iters}"
     )
 
 
@@ -3212,6 +3253,7 @@ def oracle_sql() -> dict[str, str]:
         "msf": _msf_sql(rounds=10, jumps=8),
         "fastrp2": _fastrp_sql(dim=4, iters=2, weights=(0.5, 1.0), seed=42),
         "node2vec3": _node2vec_sql(3, p=2.0, q=4.0, seed=42),
+        "katz8": _katz_sql(8, alpha=0.05, beta=1.0),
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

@@ -334,3 +334,69 @@ def eigenvector_centrality(
     topo.unpersist()
     verts.unpersist()
     return out
+
+
+def katz_centrality(
+    edges: DataFrame,
+    vertices: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    fixed_iters: int = 8,
+) -> DataFrame:
+    """Katz centrality: attenuated count of incoming paths of every length,
+
+        x_t(v) = β + α · Σ_{u→v} x_{t-1}(u),    x_0 = 0
+
+    so after t iterations x(v) = Σ_{k≤t} α^k (#paths of length k into v)·β
+    plus β. Converges for α < 1/λ_max; the caller picks α (no in-engine
+    spectral estimate — fixed-iteration mode is the gate-verifiable one and
+    the usual cluster deployment). Unlike :func:`eigenvector_centrality`
+    there is no normalization step and the β source term keeps isolated
+    vertices at β rather than zero; unlike PageRank the contribution is not
+    divided by out-degree.
+
+    Engine-new (centrality family per ``BASELINE.json`` ``north_rule``).
+    Same one-job batched superstep shape as the other fixed-iteration
+    centralities: each state is a lazy ``localCheckpoint``, no per-iteration
+    driver action, DuckDB twin unrolls the recurrence. Returns
+    (vertex_id, score).
+    """
+    if fixed_iters < 1:
+        raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    topo = _topology(edges, n_shuffle)
+    topo.count()
+    verts = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    x = verts.select("vertex_id", F.lit(0.0).alias("score"))
+    for _ in range(fixed_iters):
+        raw = (
+            topo.join(
+                x.select(F.col("vertex_id").alias("src"), "score"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+        )
+        x = (
+            verts.join(
+                raw.select(F.col("dst").alias("vertex_id"), "raw"),
+                "vertex_id",
+                "left",
+            )
+            .select(
+                "vertex_id",
+                (
+                    F.lit(beta)
+                    + F.lit(alpha) * F.coalesce("raw", F.lit(0.0))
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = x.select("vertex_id", "score")
+    out.count()
+    topo.unpersist()
+    verts.unpersist()
+    return out

@@ -335,3 +335,30 @@ def test_eigenvector_centrality_complete_graph_uniform(spark):
         .to_numpy()
     )
     np.testing.assert_allclose(got, np.full(n, 1.0 / np.sqrt(n)), atol=1e-12)
+
+
+def test_katz_centrality_matches_numpy(spark):
+    from halvesting_geometric_spark.operators.centrality import katz_centrality
+
+    edges, verts, pairs, n = _random_graph(spark)
+    alpha, beta, iters = 0.05, 1.0, 8
+    got = (
+        katz_centrality(edges, verts, alpha=alpha, beta=beta, fixed_iters=iters)
+        .toPandas()
+        .sort_values("vertex_id")["score"]
+        .to_numpy()
+    )
+    x = np.zeros(n)
+    for _ in range(iters):
+        raw = np.zeros(n)
+        for a, b in pairs:
+            raw[b] += x[a]
+        x = beta + alpha * raw
+    np.testing.assert_allclose(got, x, atol=1e-12)
+    # isolated-in-degree vertices sit exactly at beta
+    indeg = np.zeros(n)
+    for _, b in pairs:
+        indeg[b] += 1
+    for v in range(n):
+        if indeg[v] == 0:
+            assert got[v] == beta
