@@ -1747,6 +1747,15 @@ def _q_katz8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt 16-class directed triad census of the link graph
+    (16 rows, counts sum to C(n,3) exactly)."""
+    from halvesting_geometric_spark.operators.triads import triad_census
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return triad_census(edges, verts).orderBy("triad")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1761,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp2": _q_fastrp2,
         "node2vec3": _q_node2vec3,
         "katz8": _q_katz8,
+        "triad_census": _q_triad_census,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2111,6 +2121,72 @@ k{k} AS MATERIALIZED (
         f"SELECT v AS vertex_id, "
         f"CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS score_e6 FROM k{iters}"
     )
+
+
+def _triad_census_sql() -> str:
+    """Triad-census twin: same wedge enumeration, 64-entry CASE map, and
+    single-link/null closed forms as operators/triads.py."""
+    from halvesting_geometric_spark.operators.triads import (
+        CODE_TO_NAME,
+        TRIAD_NAMES,
+    )
+
+    case = "CASE code " + " ".join(
+        f"WHEN {c} THEN '{n}'" for c, n in sorted(CODE_TO_NAME.items())
+    ) + " END"
+    names = ", ".join(f"('{n}')" for n in TRIAD_NAMES)
+    return f"""WITH {_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+lp AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS rev
+  FROM de GROUP BY 1, 2),
+half AS MATERIALIZED (
+  SELECT u AS c, v AS o FROM lp UNION ALL SELECT v, u FROM lp),
+tri AS MATERIALIZED (
+  SELECT least(a.c, b.o, a.o) AS x,
+         a.c + a.o + b.o - least(a.c, a.o, b.o)
+                         - greatest(a.c, a.o, b.o) AS y,
+         greatest(a.c, a.o, b.o) AS z
+  FROM half a JOIN half b ON a.c = b.c AND a.o < b.o
+  GROUP BY 1, 2, 3),
+coded AS MATERIALIZED (
+  SELECT t.x, t.y, t.z,
+         COALESCE(p1.fwd * 1 + p1.rev * 2, 0)
+         + COALESCE(p2.fwd * 4 + p2.rev * 8, 0)
+         + COALESCE(p3.fwd * 16 + p3.rev * 32, 0) AS code
+  FROM tri t
+  LEFT JOIN lp p1 ON p1.u = t.x AND p1.v = t.y
+  LEFT JOIN lp p2 ON p2.u = t.x AND p2.v = t.z
+  LEFT JOIN lp p3 ON p3.u = t.y AND p3.v = t.z),
+conn AS (SELECT {case} AS triad, COUNT(*) AS cnt FROM coded GROUP BY 1),
+pin AS MATERIALIZED (
+  SELECT q.u, q.v, COUNT(*) AS c_in FROM (
+    SELECT x AS u, y AS v FROM coded
+    UNION ALL SELECT x, z FROM coded
+    UNION ALL SELECT y, z FROM coded) q
+  JOIN lp ON lp.u = q.u AND lp.v = q.v
+  GROUP BY 1, 2),
+singles AS MATERIALIZED (
+  SELECT CASE WHEN lp.fwd = 1 AND lp.rev = 1 THEN '102' ELSE '012' END AS triad,
+         SUM((SELECT n FROM nv) - 2 - COALESCE(pin.c_in, 0)) AS cnt
+  FROM lp LEFT JOIN pin ON lp.u = pin.u AND lp.v = pin.v
+  GROUP BY 1),
+allc AS (
+  SELECT triad, SUM(cnt) AS cnt FROM (
+    SELECT triad, cnt FROM conn
+    UNION ALL SELECT triad, cnt FROM singles
+    UNION ALL
+    SELECT '003',
+           (SELECT (n * (n - 1) * (n - 2)) // 6 FROM nv)
+           - (SELECT COUNT(*) FROM coded)
+           - (SELECT COALESCE(SUM(cnt), 0) FROM singles)) z
+  GROUP BY 1),
+names AS (SELECT * FROM (VALUES {names}) AS t(triad))
+SELECT nm.triad, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+FROM names nm LEFT JOIN allc a ON nm.triad = a.triad
+ORDER BY nm.triad"""
 
 
 def _wpagerank_sql(iters: int) -> str:
@@ -3254,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "fastrp2": _fastrp_sql(dim=4, iters=2, weights=(0.5, 1.0), seed=42),
         "node2vec3": _node2vec_sql(3, p=2.0, q=4.0, seed=42),
         "katz8": _katz_sql(8, alpha=0.05, beta=1.0),
+        "triad_census": _triad_census_sql(),
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

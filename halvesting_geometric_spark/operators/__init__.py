@@ -113,6 +113,7 @@ from halvesting_geometric_spark.operators.fastrp import (
     fastrp_projection,
 )
 from halvesting_geometric_spark.operators.msf import minimum_spanning_forest
+from halvesting_geometric_spark.operators.triads import triad_census
 from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
 from halvesting_geometric_spark.operators.triangles import triangle_count
 from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
@@ -180,6 +181,7 @@ __all__ = [
     "split_edges",
     "weighted_sample",
     "sssp",
+    "triad_census",
     "triangle_count",
     "undirected",
     "wl_histogram",
