@@ -4,10 +4,10 @@ Engine-new per ``BASELINE.json`` ``north_rule`` (link-graph analytics family);
 the reference computes no spanning structures. Algorithm: classic Borůvka
 (1926) in its MapReduce contraction form — each round every live component
 picks its minimum-weight incident edge under a STRICT total order
-``(weight, a, b)`` (ties broken by canonical endpoints, so the forest is
-unique even with duplicate weights), the chosen edges merge components, and
-the edge multigraph is contracted onto the merged component ids. Component
-count at least halves per round → O(log V) rounds.
+``(weight, a, b)`` (ties broken by canonical ORIGINAL endpoints, so the
+forest is unique even with duplicate weights), the chosen edges merge
+components, and the edge multigraph is contracted onto the merged component
+ids. Component count at least halves per round → O(log V) rounds.
 
 Scale shape (100 TB design):
 
@@ -16,18 +16,21 @@ Scale shape (100 TB design):
   geometrically: total work O(E log V) worst case, O(E) in practice once
   the giant component forms.
 - The merge step never materializes per-vertex state: components are
-  implicit in the contracted edge endpoints. Chosen-edge pointer graphs are
-  component-count sized (≤ V/2^round) and resolved by pointer doubling —
-  a self-join per jump, O(log chain) jumps, with a count+hash signature as
-  the fixpoint test (no driver-side data).
-- Per-round ``localCheckpoint`` truncates lineage exactly like the other
-  iterative drivers (pagerank/components/louvain).
-
-The 2-cycle root rule is sound because under a strict total order each merge
-group's pointer graph is a functional graph whose only cycle is the mutual
-minimum pair (both endpoints of the group's globally-minimal edge choose it),
-so breaking that 2-cycle at the smaller id yields a forest of depth ≤ group
-size, which pointer doubling collapses in log steps.
+  implicit in the contracted edge endpoints. Each round's chosen-edge
+  pointer graph is component-count sized (≤ V/2^round); its merge groups
+  are resolved by the engine's proven ``connected_components`` driver
+  (Kiveris small-star/large-star — the same code path measured at 20M
+  edges), giving each group its minimum component id as representative.
+  Which representative is used does not affect the forest: the chosen-edge
+  set per round depends only on the PARTITION into components and the
+  (w, a, b) total order on original endpoints, not on the labels — so the
+  DuckDB twin, which uses pointer-root labels instead, provably emits the
+  identical forest.
+- Round state is hard-bounded: every round's forest increment is an EAGER
+  ``localCheckpoint`` (≤ one row per live component) taken before the old
+  contracted edge table is unpersisted, so no deferred plan ever reaches
+  back through freed cache blocks, and per-round lineage is truncated
+  exactly like the other iterative drivers (pagerank/components/louvain).
 
 Correctness gate: ``msf`` unrolls the same rounds as chained CTEs in DuckDB
 (fixed pointer-jump depth 8 = chains up to 256, ample for the fixture);
@@ -64,30 +67,22 @@ def _canonical_weighted(edges: DataFrame, weight_col: str) -> DataFrame:
     return e.groupBy("a", "b").agg(F.min("w").alias("w"))
 
 
-def _resolve_roots(ptr: DataFrame) -> DataFrame:
-    """Collapse a forest-shaped pointer table (c, p) to (c, root) by pointer
-    doubling; roots satisfy p == c. Fixpoint detected by a (count, xor-hash)
-    signature of the mapping — O(log depth) tiny self-joins."""
-    cur = ptr.select("c", F.col("p").alias("root")).localCheckpoint(
-        eager=True
+def _merge_representatives(ptr: DataFrame) -> DataFrame:
+    """(c, root): each component of the chosen-edge pointer graph mapped to
+    its merge group's minimum component id, via the engine's
+    connected-components driver (component-count-sized input)."""
+    from halvesting_geometric_spark.operators.components import (
+        connected_components,
     )
-    prev_sig = None
-    for _ in range(64):  # 2^64 depth bound — loop exits by signature long before
-        sig_row = cur.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("c", "root")).alias("h"),
-        ).first()
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-        hop = cur.select(F.col("c").alias("root"), F.col("root").alias("r2"))
-        cur = (
-            cur.join(hop, "root", "left")
-            .select("c", F.coalesce("r2", "root").alias("root"))
-            .localCheckpoint(eager=True)
-        )
-    return cur
+
+    verts = ptr.select(F.col("c").alias("vertex_id")).distinct()
+    cc = connected_components(
+        ptr.select(F.col("c").alias("src"), F.col("other").alias("dst")),
+        verts,
+    )
+    return cc.components.select(
+        F.col("vertex_id").alias("c"), F.col("component").alias("root")
+    )
 
 
 def minimum_spanning_forest(
@@ -139,31 +134,25 @@ def minimum_spanning_forest(
                 ),
             )
         )
-        choice = cand.groupBy("c").agg(F.min("e").alias("e"))
-        forest_parts.append(
+        choice = (
+            cand.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # the round's forest increment: ≤ 1 row per live component — EAGER
+        # checkpoint so its lineage never reaches back after unpersists
+        part = (
             choice.select(
                 F.col("e.oa").alias("a"),
                 F.col("e.ob").alias("b"),
                 F.col("e.w").alias("weight"),
-            ).dropDuplicates(["a", "b"])
-        )
-        ptr = choice.select("c", F.col("e.other").alias("p"))
-        # break the mutual-minimum 2-cycle at the smaller id
-        back = ptr.select(F.col("c").alias("p"), F.col("p").alias("c2"))
-        ptr = (
-            ptr.join(back, "p", "left")
-            .select(
-                "c",
-                F.when(
-                    (F.col("c2") == F.col("c")) & (F.col("c") < F.col("p")),
-                    F.col("c"),
-                )
-                .otherwise(F.col("p"))
-                .alias("p"),
             )
-            .dropDuplicates(["c"])
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
         )
-        roots = _resolve_roots(ptr)
+        forest_parts.append(part)
+        ptr = choice.select("c", F.col("e.other").alias("other"))
+        roots = _merge_representatives(ptr)
         ra = roots.select(F.col("c").alias("a"), F.col("root").alias("ra"))
         rb = roots.select(F.col("c").alias("b"), F.col("root").alias("rb"))
         relabeled = (
@@ -193,7 +182,10 @@ def minimum_spanning_forest(
             .localCheckpoint(eager=True)
         )
         n_live = nxt.count()
-        metrics.append({"round": r, "live_edges": n_live})
+        metrics.append(
+            {"round": r, "live_edges": n_live, "chosen": part.count()}
+        )
+        choice.unpersist()
         live.unpersist()
         live = nxt
         if fixed_rounds is None and n_live == 0:
