@@ -1756,6 +1756,16 @@ def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(edges, verts).orderBy("triad")
 
 
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching (local-minimum edge selection, portable
+    hash) over the canonical link graph."""
+    from halvesting_geometric_spark.operators.matching import maximal_matching
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    res = maximal_matching(edges, seed=42, hash_method="portable")
+    return res.matching.select("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1771,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec3": _q_node2vec3,
         "katz8": _q_katz8,
         "triad_census": _q_triad_census,
+        "matching": _q_matching,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2187,6 +2198,46 @@ names AS (SELECT * FROM (VALUES {names}) AS t(triad))
 SELECT nm.triad, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
 FROM names nm LEFT JOIN allc a ON nm.triad = a.triad
 ORDER BY nm.triad"""
+
+
+def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
+    """Maximal-matching twin: unrolled local-minimum selection rounds with
+    the identical (priority, a, b) total order (portable hash)."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    ph = portable_hash64_sql("a", "b", seed=seed)
+    parts = [
+        _BASE,
+        f"""mlive0 AS MATERIALIZED (
+  SELECT a, b, {ph} AS pr FROM canon)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""mc_{r} AS (
+  SELECT a AS v, pr, a, b FROM mlive{p}
+  UNION ALL SELECT b AS v, pr, a, b FROM mlive{p}),
+mr_{r} AS MATERIALIZED (
+  SELECT v, a, b FROM (
+    SELECT v, a, b,
+           row_number() OVER (PARTITION BY v ORDER BY pr, a, b) AS rn
+    FROM mc_{r}) q WHERE rn = 1),
+msel_{r} AS MATERIALIZED (
+  SELECT l.a, l.b FROM mlive{p} l
+  JOIN mr_{r} x ON x.v = l.a AND x.a = l.a AND x.b = l.b
+  JOIN mr_{r} y ON y.v = l.b AND y.a = l.a AND y.b = l.b),
+mv_{r} AS MATERIALIZED (
+  SELECT a AS v FROM msel_{r} UNION SELECT b FROM msel_{r}),
+mlive{r} AS MATERIALIZED (
+  SELECT l.a, l.b, l.pr FROM mlive{p} l
+  WHERE NOT EXISTS (SELECT 1 FROM mv_{r} m WHERE m.v = l.a)
+    AND NOT EXISTS (SELECT 1 FROM mv_{r} m WHERE m.v = l.b))"""
+        )
+    chosen = "\nUNION ALL\n".join(
+        f"SELECT a, b FROM msel_{r}" for r in range(1, rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\n{chosen}"
 
 
 def _wpagerank_sql(iters: int) -> str:
@@ -3331,6 +3382,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec3": _node2vec_sql(3, p=2.0, q=4.0, seed=42),
         "katz8": _katz_sql(8, alpha=0.05, beta=1.0),
         "triad_census": _triad_census_sql(),
+        "matching": _matching_sql(rounds=12, seed=42),
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

@@ -112,6 +112,7 @@ from halvesting_geometric_spark.operators.fastrp import (
     fastrp_embeddings,
     fastrp_projection,
 )
+from halvesting_geometric_spark.operators.matching import maximal_matching
 from halvesting_geometric_spark.operators.msf import minimum_spanning_forest
 from halvesting_geometric_spark.operators.triads import triad_census
 from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
@@ -161,6 +162,7 @@ __all__ = [
     "ktruss",
     "label_propagation",
     "maximal_independent_set",
+    "maximal_matching",
     "metapath_walks",
     "node2vec_walks",
     "modularity",
