@@ -1766,6 +1766,70 @@ def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.matching.select("a", "b")
 
 
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed link graph (one exact-long row)."""
+    from halvesting_geometric_spark.operators.metrics import reciprocity
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return reciprocity(edges)
+
+
+def _q_rich_club30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(30) on the undirected link graph."""
+    from halvesting_geometric_spark.operators.metrics import rich_club
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return rich_club(edges, k=30)
+
+
+def _q_salsa3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs/authorities, 3 degree-normalized L1 iterations."""
+    from halvesting_geometric_spark.operators.centrality import salsa
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    s = salsa(edges, verts, fixed_iters=3)
+    e6 = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * 1_000_000 + F.lit(0.5)).cast("long").alias(f"{c}_e6")
+    )
+    return s.select("vertex_id", e6("hub"), e6("auth"))
+
+
+def _q_diameter4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (both BFS sweeps depth-capped at 4
+    so the DuckDB twin can unroll the identical fixed-depth recurrence)."""
+    from halvesting_geometric_spark.operators.traversal import (
+        double_sweep_diameter,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return double_sweep_diameter(edges, verts, max_depth=4)
+
+
+def _q_influence3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-threshold influence cascade: seeds {vertex_id < 20},
+    theta = 1/4 of in-degree, 3 rounds (deterministic LT special case)."""
+    from halvesting_geometric_spark.operators.influence import (
+        linear_threshold,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    seeds = verts.filter(F.col("vertex_id") < 20).select("vertex_id")
+    return linear_threshold(
+        edges, verts, seeds, theta_num=1, theta_den=4, max_rounds=3
+    )
+
+
+def _q_setjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join: all doc pairs with 3-gram
+    shingle Jaccard >= 1/3 (integer cross-multiplied threshold)."""
+    from halvesting_geometric_spark.operators.dedup import word_shingles
+    from halvesting_geometric_spark.operators.setjoin import similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    return similarity_join(sh, t_num=1, t_den=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1782,6 +1846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz8": _q_katz8,
         "triad_census": _q_triad_census,
         "matching": _q_matching,
+        "reciprocity": _q_reciprocity,
+        "rich_club30": _q_rich_club30,
+        "salsa3": _q_salsa3,
+        "diameter4": _q_diameter4,
+        "influence3": _q_influence3,
+        "setjoin_pairs": _q_setjoin_pairs,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2372,6 +2442,169 @@ def _bfs_sql(depth: int) -> str:
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM r{depth}"
     )
+
+
+_RECIPROCITY_SQL = f"""
+WITH {_BASE},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+mcnt AS (SELECT COUNT(*) AS c FROM e e1 JOIN e r ON e1.src = r.dst AND e1.dst = r.src),
+tcnt AS (SELECT COUNT(*) AS c FROM e)
+SELECT CAST(m.c AS BIGINT) AS mutual, CAST(t.c AS BIGINT) AS total,
+       CAST(CASE WHEN t.c > 0
+                 THEN floor(1000000.0 * m.c / t.c + 0.5) ELSE 0 END AS BIGINT)
+         AS reciprocity_e6
+FROM mcnt m, tcnt t
+"""
+
+
+def _rich_club_sql(k: int) -> str:
+    """Rich-club twin: undirected degree from ``canon``, threshold > k."""
+    return f"""
+WITH {_BASE},
+udeg AS (SELECT v, COUNT(*) AS deg FROM (
+           SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon) u
+         GROUP BY v),
+rich AS (SELECT v FROM udeg WHERE deg > {k}),
+er AS (SELECT COUNT(*) AS c FROM canon
+       WHERE a IN (SELECT v FROM rich) AND b IN (SELECT v FROM rich)),
+nr AS (SELECT COUNT(*) AS c FROM rich)
+SELECT CAST(nr.c AS BIGINT) AS n_rich, CAST(er.c AS BIGINT) AS e_rich,
+       CAST(CASE WHEN nr.c >= 2
+                 THEN floor(1000000.0 * 2.0 * er.c
+                            / (CAST(nr.c AS DOUBLE) * (nr.c - 1)) + 0.5)
+                 ELSE 0 END AS BIGINT) AS phi_e6
+FROM nr, er
+"""
+
+
+def _salsa_sql(iters: int) -> str:
+    """SALSA twin: the HITS recurrence with every contribution divided by
+    the contributor's degree (outdeg on the hub→auth half-step, indeg on
+    auth→hub), L1-normalized per half-step — unrolled like _hits_sql."""
+    parts = [
+        _BASE,
+        "indeg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)",
+        "h0 AS (SELECT vertex_id AS v, 1.0 / (SELECT n FROM nv) AS s FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""af{k} AS MATERIALIZED (
+  SELECT v.vertex_id AS v, COALESCE(a.raw, 0) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.s / o.d) AS raw
+    FROM edges e JOIN h{p} h ON e.src = h.v JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) a ON v.vertex_id = a.v),
+a{k} AS MATERIALIZED (
+  SELECT v, raw / (SELECT SUM(raw) FROM af{k}) AS s FROM af{k}),
+hf{k} AS MATERIALIZED (
+  SELECT v.vertex_id AS v, COALESCE(h.raw, 0) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS v, SUM(a.s / i.d) AS raw
+    FROM edges e JOIN a{k} a ON e.dst = a.v JOIN indeg i ON e.dst = i.dst
+    GROUP BY e.src) h ON v.vertex_id = h.v),
+h{k} AS MATERIALIZED (
+  SELECT v, raw / (SELECT SUM(raw) FROM hf{k}) AS s FROM hf{k})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT h.v AS vertex_id, "
+        f"CAST(floor(h.s * 1000000 + 0.5) AS BIGINT) AS hub_e6, "
+        f"CAST(floor(a.s * 1000000 + 0.5) AS BIGINT) AS auth_e6 "
+        f"FROM h{iters} h JOIN a{iters} a ON h.v = a.v"
+    )
+
+
+def _diameter_sql(depth: int) -> str:
+    """Double-sweep twin: two fixed-depth min-dist BFS unrolls over ``sym``
+    with the engine's deterministic argmax tie-breaks (deg DESC, v ASC for
+    the start; dist DESC, v ASC for the turnaround vertex)."""
+
+    def _sweep(prefix: str, seed_cte: str) -> list[str]:
+        out = [f"{prefix}0 AS (SELECT v, 0 AS d FROM {seed_cte})"]
+        for k in range(1, depth + 1):
+            p = k - 1
+            out.append(
+                f"""{prefix}{k} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM {prefix}{p}
+    UNION ALL
+    SELECT s.dst AS v, x.d + 1 AS d
+    FROM sym s JOIN {prefix}{p} x ON s.src = x.v) u
+  GROUP BY v)"""
+            )
+        return out
+
+    parts = [
+        _BASE,
+        """udeg2 AS (SELECT s.src AS v, COUNT(*) AS deg FROM sym s GROUP BY s.src),
+ad AS (SELECT v.vertex_id AS v, COALESCE(u.deg, 0) AS deg
+       FROM verts v LEFT JOIN udeg2 u ON v.vertex_id = u.v),
+s0 AS (SELECT v FROM ad ORDER BY deg DESC, v ASC LIMIT 1)""",
+    ]
+    parts += _sweep("x", "s0")
+    parts.append(
+        f"far AS (SELECT v FROM x{depth} ORDER BY d DESC, v ASC LIMIT 1)"
+    )
+    parts += _sweep("y", "far")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT CAST((SELECT v FROM s0) AS BIGINT) AS start, "
+        f"CAST((SELECT v FROM far) AS BIGINT) AS far_vertex, "
+        f"CAST((SELECT MAX(d) FROM y{depth}) AS BIGINT) AS diameter_lb"
+    )
+
+
+def _influence_sql(
+    n_seeds: int, t_num: int, t_den: int, rounds: int
+) -> str:
+    """Linear-threshold twin: unrolled monotone activation rounds with the
+    same integer cross-multiplied threshold test as the engine."""
+    parts = [
+        _BASE,
+        "ideg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)",
+        f"a0 AS (SELECT vertex_id AS v, 0 AS r FROM verts "
+        f"WHERE vertex_id < {n_seeds})",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT v, r FROM a{p}
+  UNION ALL
+  SELECT g.dst AS v, {k} AS r
+  FROM (SELECT e.dst, COUNT(*) AS c
+        FROM edges e JOIN a{p} x ON e.src = x.v GROUP BY e.dst) g
+  JOIN ideg i ON g.dst = i.dst
+  WHERE g.c * {t_den} >= {t_num} * i.d
+    AND g.dst NOT IN (SELECT v FROM a{p}))"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(r AS BIGINT) AS round FROM a{rounds}"
+    )
+
+
+def _setjoin_sql(t_num: int, t_den: int) -> str:
+    """Exact similarity-join twin: brute-force all-pairs shingle Jaccard
+    (prefix filtering is lossless, so the un-filtered join is the spec)."""
+    return f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT i.a, i.b, CAST(i.n_inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - i.n_inter AS BIGINT) AS union_sz
+FROM inter i
+JOIN sizes sa ON i.a = sa.id
+JOIN sizes sb ON i.b = sb.id
+WHERE i.n_inter * {t_den} >= {t_num} * (sa.sz + sb.sz - i.n_inter)
+"""
 
 
 def _sssp_sql(iters: int) -> str:
@@ -3383,6 +3616,12 @@ def oracle_sql() -> dict[str, str]:
         "katz8": _katz_sql(8, alpha=0.05, beta=1.0),
         "triad_census": _triad_census_sql(),
         "matching": _matching_sql(rounds=12, seed=42),
+        "reciprocity": _RECIPROCITY_SQL,
+        "rich_club30": _rich_club_sql(30),
+        "salsa3": _salsa_sql(3),
+        "diameter4": _diameter_sql(4),
+        "influence3": _influence_sql(n_seeds=20, t_num=1, t_den=4, rounds=3),
+        "setjoin_pairs": _setjoin_sql(t_num=1, t_den=3),
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

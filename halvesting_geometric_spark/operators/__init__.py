@@ -107,6 +107,13 @@ from halvesting_geometric_spark.operators.centrality import (
     eigenvector_centrality,
     hits,
     personalized_pagerank,
+    salsa,
+)
+from halvesting_geometric_spark.operators.influence import linear_threshold
+from halvesting_geometric_spark.operators.metrics import reciprocity, rich_club
+from halvesting_geometric_spark.operators.setjoin import (
+    prefix_filter_pairs,
+    similarity_join,
 )
 from halvesting_geometric_spark.operators.fastrp import (
     fastrp_embeddings,
@@ -115,7 +122,11 @@ from halvesting_geometric_spark.operators.fastrp import (
 from halvesting_geometric_spark.operators.matching import maximal_matching
 from halvesting_geometric_spark.operators.msf import minimum_spanning_forest
 from halvesting_geometric_spark.operators.triads import triad_census
-from halvesting_geometric_spark.operators.traversal import bfs_levels, sssp
+from halvesting_geometric_spark.operators.traversal import (
+    bfs_levels,
+    double_sweep_diameter,
+    sssp,
+)
 from halvesting_geometric_spark.operators.triangles import triangle_count
 from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
 from halvesting_geometric_spark.operators.walks import (
@@ -214,4 +225,11 @@ __all__ = [
     "cms_merge",
     "count_min_sketch",
     "heavy_hitters",
+    "salsa",
+    "reciprocity",
+    "rich_club",
+    "double_sweep_diameter",
+    "linear_threshold",
+    "prefix_filter_pairs",
+    "similarity_join",
 ]

@@ -435,3 +435,104 @@ def katz_centrality(
     topo.unpersist()
     verts.unpersist()
     return out
+
+
+def salsa(
+    edges: DataFrame,
+    vertices: DataFrame,
+    fixed_iters: int = 3,
+) -> DataFrame:
+    """SALSA (Lempel & Moran): hubs/authorities by power iteration on the
+    degree-normalized bipartite chains —
+
+        auth_k(v) = Σ_{u→v} hub_{k-1}(u) / outdeg(u)   then auth_k /= Σ auth_k
+        hub_k(u)  = Σ_{u→v} auth_k(v) / indeg(v)       then hub_k  /= Σ hub_k
+
+    i.e. HITS where every contribution is split across the contributor's
+    edges instead of copied along each — SALSA's random-surfer chains, which
+    makes the scores degree-robust (a pure-HITS hub farm gains nothing).
+    Initial hub = 1/n. Execution shape is identical to :func:`hits`: a cached
+    (src, dst, inv_out, inv_in) topology (the degree reciprocals joined ONCE,
+    not per iteration), per-half-step in-plan 1-row broadcast L1 norms, lazy
+    localCheckpoints, one Spark job at the final action. Deterministic →
+    the gate's DuckDB twin unrolls the same recurrence.
+
+    Returns (vertex_id, hub, auth); 0.0 where the vertex has no out/in edges.
+    Raises ValueError on a graph with no edge touching ``vertices`` (same
+    precondition as :func:`hits`).
+    """
+    if fixed_iters < 1:
+        raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = edges.select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("id_"))
+    topo = (
+        e.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("od")).alias("inv_out"),
+            (F.lit(1.0) / F.col("id_")).alias("inv_in"),
+        )
+        .repartition(n_shuffle, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    topo.count()
+    verts = vertices.select("vertex_id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    if (
+        topo.join(
+            verts.select(F.col("vertex_id").alias("src")), "src", "left_semi"
+        )
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise ValueError("graph has no edges reaching any vertex")
+
+    def _half_step(score: DataFrame, key_in: str, key_out: str, w: str) -> DataFrame:
+        """Degree-normalized gather from key_in onto key_out (weight column
+        ``w`` is the contributor-side reciprocal degree), then L1 normalize.
+        Same one-job lazy-checkpoint shape as hits()._half_step."""
+        raw = (
+            topo.join(
+                score.select(F.col("vertex_id").alias(key_in), "score"),
+                key_in,
+            )
+            .groupBy(key_out)
+            .agg(F.sum(F.col("score") * F.col(w)).alias("raw"))
+        )
+        full = (
+            verts.join(
+                raw.select(F.col(key_out).alias("vertex_id"), "raw"),
+                "vertex_id",
+                "left",
+            )
+            .select("vertex_id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+            .localCheckpoint(eager=False)
+        )
+        norm_df = full.agg(F.sum("raw").alias("_norm"))
+        return full.crossJoin(F.broadcast(norm_df)).select(
+            "vertex_id", (F.col("raw") / F.col("_norm")).alias("score")
+        )
+
+    hub = verts.select("vertex_id", (F.lit(1.0) / n).alias("score"))
+    auth = None
+    for _ in range(fixed_iters):
+        auth = _half_step(hub, "src", "dst", "inv_out")
+        hub = _half_step(auth, "dst", "src", "inv_in")
+    out = (
+        hub.select("vertex_id", F.col("score").alias("hub"))
+        .join(
+            auth.select("vertex_id", F.col("score").alias("auth")),
+            "vertex_id",
+        )
+        .select("vertex_id", "hub", "auth")
+    )
+    out.count()
+    topo.unpersist()
+    verts.unpersist()
+    return out

@@ -243,3 +243,59 @@ def sssp(
         p.unpersist()
     topo.unpersist()
     return out
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Double-sweep diameter lower bound on the undirected graph
+    (Magnien/Latapy/Habib's classic heuristic — on real-world graphs the
+    bound is usually exact or off by 1).
+
+    Sweep 1: BFS from a deterministic start — the max-undirected-degree
+    vertex (ties broken by smallest id); take the farthest reached vertex u
+    (ties again by smallest id).  Sweep 2: BFS from u; the eccentricity of u
+    is the bound.  Both sweeps are :func:`bfs_levels` runs (distributed,
+    level-synchronous); the only driver-side data are TWO single-row argmax
+    lookups — bounded metadata, never the frontier.
+
+    ``max_depth`` caps both sweeps, so with a finite cap the result is
+    min(true bound, max_depth) — the externally-verifiable fixed-depth
+    semantics the gate's DuckDB twin unrolls.  Returns ONE row
+    ``(start, far_vertex, diameter_lb)``.  Raises on an empty vertex set.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    deg = und.groupBy(F.col("src").alias("vertex_id")).agg(
+        F.count("*").alias("deg")
+    )
+    start_row = (
+        vertices.select("vertex_id")
+        .join(deg, "vertex_id", "left")
+        .select("vertex_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("vertex_id").asc())
+        .limit(1)
+        .collect()
+    )
+    if not start_row:
+        raise ValueError("empty vertex set")
+    start = int(start_row[0]["vertex_id"])
+    d1 = bfs_levels(edges, vertices, [start], max_depth=max_depth,
+                    directed=False)
+    far_row = (
+        d1.orderBy(F.col("dist").desc(), F.col("vertex_id").asc())
+        .limit(1)
+        .collect()
+    )
+    far = int(far_row[0]["vertex_id"])
+    d2 = bfs_levels(edges, vertices, [far], max_depth=max_depth,
+                    directed=False)
+    spark = edges.sparkSession
+    ecc = d2.agg(F.max("dist").alias("diameter_lb")).collect()[0][0]
+    return spark.createDataFrame(
+        [(start, far, int(ecc))],
+        "start long, far_vertex long, diameter_lb long",
+    )
