@@ -1830,6 +1830,25 @@ def _q_setjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(sh, t_num=1, t_den=3)
 
 
+def _q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic budgeted data mixing: 5000 whitespace-tokens per
+    language, portable-hash membership (bit-exact DuckDB twin)."""
+    from halvesting_geometric_spark.operators.mixing import budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_mix(docs, "lang", token_budget=5000, seed=0).select(
+        "doc_id", "lang", "group_tokens", "rate_ppm"
+    )
+
+
+def _q_chunks32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking: 32-token windows, 8-token overlap."""
+    from halvesting_geometric_spark.operators.mixing import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=32, overlap=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1852,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter4": _q_diameter4,
         "influence3": _q_influence3,
         "setjoin_pairs": _q_setjoin_pairs,
+        "data_mix": _q_data_mix,
+        "chunks32": _q_chunks32,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2604,6 +2625,46 @@ FROM inter i
 JOIN sizes sa ON i.a = sa.id
 JOIN sizes sb ON i.b = sb.id
 WHERE i.n_inter * {t_den} >= {t_num} * (sa.sz + sb.sz - i.n_inter)
+"""
+
+
+def _data_mix_sql(budget: int, seed: int) -> str:
+    """Budgeted-mixing twin: same integer ppm rate + portable-hash keep."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    h = portable_hash64_sql("t.doc_id", seed=seed)
+    return rf"""
+WITH tc AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents),
+grp AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS group_tokens
+        FROM tc GROUP BY lang),
+rt AS (SELECT lang, group_tokens,
+        CAST(least(1000000,
+                   floor(CAST({budget} AS BIGINT) * 1000000.0 / group_tokens))
+             AS BIGINT) AS rate_ppm
+       FROM grp)
+SELECT t.doc_id, t.lang, r.group_tokens, r.rate_ppm
+FROM tc t JOIN rt r ON t.lang = r.lang
+WHERE {h} % 1000000 < r.rate_ppm
+"""
+
+
+def _chunks_sql(size: int, overlap: int) -> str:
+    """Chunking twin: identical 1-based start arithmetic, inclusive slices."""
+    stride = size - overlap
+    return rf"""
+WITH tc AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id,
+       CAST((u.s - 1) // {stride} AS BIGINT) AS chunk_idx,
+       CAST(len(tc.toks[u.s:least(u.s + {size} - 1, len(tc.toks))]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(tc.toks[u.s:least(u.s + {size} - 1, len(tc.toks))], ' ')
+         AS chunk
+FROM tc, unnest(range(1, len(tc.toks) + 1, {stride})) AS u(s)
 """
 
 
@@ -3622,6 +3683,8 @@ def oracle_sql() -> dict[str, str]:
         "diameter4": _diameter_sql(4),
         "influence3": _influence_sql(n_seeds=20, t_num=1, t_den=4, rounds=3),
         "setjoin_pairs": _setjoin_sql(t_num=1, t_den=3),
+        "data_mix": _data_mix_sql(budget=5000, seed=0),
+        "chunks32": _chunks_sql(size=32, overlap=8),
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

@@ -35,6 +35,7 @@ ALGORITHMS = (
     "ppr", "hits", "kcore", "coreness", "bfs", "sssp", "linkpred",
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
     "betweenness", "coloring", "louvain", "scc", "hh",
+    "salsa", "influence", "diameter", "reciprocity", "richclub",
 )
 
 
@@ -338,6 +339,44 @@ def main(argv: list[str] | None = None) -> int:
         # Row.asDict keeps ints as ints (pandas would coerce the mixed row
         # to float64)
         summary.update(st.first().asDict())
+    elif args.algorithm == "salsa":
+        from halvesting_geometric_spark.operators.centrality import salsa
+
+        scores = salsa(g.edges, g.vertices, fixed_iters=args.iters)
+        scores.write.mode("overwrite").parquet(args.output)
+        summary.update(iterations=args.iters)
+    elif args.algorithm == "influence":
+        from halvesting_geometric_spark.operators.influence import (
+            linear_threshold,
+        )
+
+        act = linear_threshold(
+            g.edges, g.vertices, args.seeds, max_rounds=args.max_iter
+        )
+        act.write.mode("overwrite").parquet(args.output)
+        summary.update(seeds=args.seeds, activated=act.count())
+    elif args.algorithm == "diameter":
+        from halvesting_geometric_spark.operators.traversal import (
+            double_sweep_diameter,
+        )
+
+        dia = double_sweep_diameter(
+            g.edges, g.vertices, max_depth=args.max_iter
+        )
+        dia.write.mode("overwrite").parquet(args.output)
+        summary.update(dia.first().asDict())
+    elif args.algorithm == "reciprocity":
+        from halvesting_geometric_spark.operators.metrics import reciprocity
+
+        rec = reciprocity(g.edges)
+        rec.write.mode("overwrite").parquet(args.output)
+        summary.update(rec.first().asDict())
+    elif args.algorithm == "richclub":
+        from halvesting_geometric_spark.operators.metrics import rich_club
+
+        rc = rich_club(g.edges, k=args.k)
+        rc.write.mode("overwrite").parquet(args.output)
+        summary.update(rc.first().asDict())
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

@@ -111,6 +111,7 @@ from halvesting_geometric_spark.operators.centrality import (
 )
 from halvesting_geometric_spark.operators.influence import linear_threshold
 from halvesting_geometric_spark.operators.metrics import reciprocity, rich_club
+from halvesting_geometric_spark.operators.mixing import budget_mix, chunk_tokens
 from halvesting_geometric_spark.operators.setjoin import (
     prefix_filter_pairs,
     similarity_join,
@@ -232,4 +233,6 @@ __all__ = [
     "linear_threshold",
     "prefix_filter_pairs",
     "similarity_join",
+    "budget_mix",
+    "chunk_tokens",
 ]

@@ -112,3 +112,23 @@ def test_cli_heavy_hitters(spark, tmp_path, capsys):
     # roles alternate user/assistant: both must surface with counts >= true
     assert set(rows) <= {"user", "assistant", "tool"}
     assert all(v > 0 for v in rows.values())
+
+
+def test_cli_round3b_algorithms(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_r3b")
+    generate_transcripts(spark, 25, seed=12).write.parquet(tr_dir)
+    for algo, extra in [
+        ("salsa", ["--iters", "2"]),
+        ("influence", ["--seeds", "0", "1", "--max-iter", "3"]),
+        ("diameter", ["--max-iter", "4"]),
+        ("reciprocity", []),
+        ("richclub", ["--k", "2"]),
+    ]:
+        out_dir = str(tmp_path / f"out_r3b_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out_dir] + extra
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert spark.read.parquet(out_dir).count() > 0
