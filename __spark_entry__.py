@@ -1849,6 +1849,36 @@ def _q_chunks32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(docs, chunk_size=32, overlap=8)
 
 
+def _q_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAT-style softmax attention aggregation over the embeddings table
+    with the sage_mean derived edge set; three sampled dims e4-rounded."""
+    from halvesting_geometric_spark.operators.neighbors import (
+        attention_aggregate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("vertex_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    edges = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") % 97).alias("dst")
+    )
+    r = attention_aggregate(feats, edges, dim=64)
+    e4 = lambda i, n: (  # noqa: E731
+        F.floor(F.element_at(F.col("agg_vec"), i) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias(n)
+    )
+    return r.select(
+        "vertex_id",
+        "nbr_count",
+        e4(1, "d1_e4"),
+        e4(32, "d32_e4"),
+        e4(64, "d64_e4"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1873,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setjoin_pairs": _q_setjoin_pairs,
         "data_mix": _q_data_mix,
         "chunks32": _q_chunks32,
+        "attention": _q_attention,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2665,6 +2696,28 @@ SELECT doc_id,
        array_to_string(tc.toks[u.s:least(u.s + {size} - 1, len(tc.toks))], ' ')
          AS chunk
 FROM tc, unnest(range(1, len(tc.toks) + 1, {stride})) AS u(s)
+"""
+
+
+_ATTENTION_SQL = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+ed AS (SELECT vec_id AS u, vec_id % 97 AS dst FROM embeddings),
+pe AS (
+  SELECT ed.u, ed.dst, fu.x AS xu,
+         list_dot_product(fu.x, fv.x) / sqrt(64) AS s
+  FROM ed JOIN emb fu ON ed.u = fu.vec_id JOIN emb fv ON ed.dst = fv.vec_id),
+mx AS (SELECT dst, MAX(s) AS m FROM pe GROUP BY dst),
+w AS (SELECT pe.dst, pe.xu, exp(pe.s - mx.m) AS w
+      FROM pe JOIN mx ON pe.dst = mx.dst),
+z AS (SELECT dst, SUM(w) AS z, COUNT(*) AS cnt FROM w GROUP BY dst)
+SELECT w.dst AS vertex_id,
+       CAST(ANY_VALUE(z.cnt) AS BIGINT) AS nbr_count,
+       CAST(floor(SUM(w.xu[1] * w.w / z.z) * 10000 + 0.5) AS BIGINT) AS d1_e4,
+       CAST(floor(SUM(w.xu[32] * w.w / z.z) * 10000 + 0.5) AS BIGINT) AS d32_e4,
+       CAST(floor(SUM(w.xu[64] * w.w / z.z) * 10000 + 0.5) AS BIGINT) AS d64_e4
+FROM w JOIN z ON w.dst = z.dst
+GROUP BY w.dst
 """
 
 
@@ -3685,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "setjoin_pairs": _setjoin_sql(t_num=1, t_den=3),
         "data_mix": _data_mix_sql(budget=5000, seed=0),
         "chunks32": _chunks_sql(size=32, overlap=8),
+        "attention": _ATTENTION_SQL,
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

@@ -71,18 +71,28 @@ def aggregate_neighbors(
     feature_col: str = "features",
     agg: str = "mean",
     direction: str = "in",
+    _gathered: DataFrame | None = None,
 ) -> DataFrame:
     """Elementwise ``agg`` of each vertex's neighbors' feature vectors.
 
     Returns (vertex_id, nbr_count, agg_vec: array<double>). Vertices with no
     neighbors in the chosen direction are absent. ``dim`` is the fixed vector
     width (validated in the kernel).
+
+    ``_gathered`` (internal): a pre-built (dst, vec) frame to reduce instead
+    of gathering from ``features``/``edges`` — lets message-transforming
+    operators (:func:`attention_aggregate`'s per-edge softmax scaling) reuse
+    the bounded-state partial kernel unchanged.
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    gathered = _gather(features, edges, id_col, feature_col, direction)
+    gathered = (
+        _gathered
+        if _gathered is not None
+        else _gather(features, edges, id_col, feature_col, direction)
+    )
     is_max = agg == "max"
 
     def _reduce(dst: np.ndarray, mat: np.ndarray, cnt: np.ndarray):
@@ -217,4 +227,80 @@ def aggregate_neighbors_positional(
             F.col("nbr_count").cast("long").alias("nbr_count"),
             "agg_vec",
         )
+    )
+
+
+def attention_aggregate(
+    features: DataFrame,
+    edges: DataFrame,
+    dim: int,
+    id_col: str = "vertex_id",
+    feature_col: str = "features",
+    direction: str = "in",
+    scale: bool = True,
+) -> DataFrame:
+    """Softmax attention-weighted neighbor aggregation — the GAT-style
+    substrate (Veličković et al. ICLR'18) with the untrained identity
+    projection, completing the A6 attention row of SURVEY §2 (the reference's
+    ``GATConv`` path in ``modules/gat.py``) the same way
+    :func:`aggregate_neighbors` completes the SAGE row:
+
+        score(u→v) = <x_u, x_v>            (· dim^-1/2 when ``scale``)
+        alpha(u→v) = softmax over v's in-edges, max-stabilized
+        out(v)     = Σ_u alpha(u→v) · x_u
+
+    The attention weights are pure Catalyst scalar expressions — the dot
+    product via ``zip_with``+``aggregate``, the stabilizing max and the
+    partition function as two per-dst hash aggregates — so everything up to
+    the final vector reduction is whole-stage-codegen.  The weighted sum of
+    the alpha-scaled message vectors then reuses :func:`aggregate_neighbors`'
+    Arrow partial kernel (``agg="sum"``), keeping per-executor state bounded
+    by distinct dst per partition, never by degree — a 10⁸-degree hub costs
+    one partial row per partition, exactly as in the mean/sum/max path.
+
+    Deterministic up to float summation order; the correctness gate rounds
+    to e4 fixed-point, which absorbs both the cross-engine ``exp`` ulp and
+    the order-dependence of the double sums (same argument as the pagerank
+    and hits gates).  Returns (vertex_id, nbr_count, agg_vec).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    key, out = ("src", "dst") if direction == "in" else ("dst", "src")
+    e = edges.select(F.col(key).alias("_u"), F.col(out).alias("dst"))
+    fu = features.select(
+        F.col(id_col).alias("_u"), F.col(feature_col).alias("_xu")
+    )
+    fv = features.select(
+        F.col(id_col).alias("dst"), F.col(feature_col).alias("_xv")
+    )
+    dot = F.aggregate(
+        F.zip_with("_xu", "_xv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if scale:
+        dot = dot / float(dim) ** 0.5
+    per_edge = (
+        e.join(fu, "_u").join(fv, "dst").select("_u", "dst", "_xu",
+                                                dot.alias("_s"))
+    )
+    mx = per_edge.groupBy("dst").agg(F.max("_s").alias("_mx"))
+    weighted = per_edge.join(mx, "dst").select(
+        "dst", "_xu", F.exp(F.col("_s") - F.col("_mx")).alias("_w")
+    )
+    z = weighted.groupBy("dst").agg(F.sum("_w").alias("_z"))
+    gathered = (
+        weighted.join(z, "dst")
+        .select(
+            "dst",
+            F.transform(
+                "_xu", lambda x: x * (F.col("_w") / F.col("_z"))
+            ).alias("vec"),
+        )
+    )
+    return aggregate_neighbors(
+        features, edges, dim, id_col, feature_col,
+        agg="sum", direction=direction, _gathered=gathered,
     )
