@@ -1879,6 +1879,36 @@ def _q_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual gated (RGGC-style) aggregation over the embeddings table
+    with the sage_mean derived edge set; three sampled dims e4-rounded."""
+    from halvesting_geometric_spark.operators.neighbors import (
+        gated_aggregate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("vertex_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    edges = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") % 97).alias("dst")
+    )
+    r = gated_aggregate(feats, edges, dim=64)
+    e4 = lambda i, n: (  # noqa: E731
+        F.floor(F.element_at(F.col("agg_vec"), i) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias(n)
+    )
+    return r.select(
+        "vertex_id",
+        "nbr_count",
+        e4(1, "d1_e4"),
+        e4(32, "d32_e4"),
+        e4(64, "d64_e4"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1904,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mix": _q_data_mix,
         "chunks32": _q_chunks32,
         "attention": _q_attention,
+        "gated": _q_gated,
         # -- round-2 locally-verified queries --
         "clustering": _q_clustering,
         "graph_stats": _q_graph_stats,
@@ -2718,6 +2749,29 @@ SELECT w.dst AS vertex_id,
        CAST(floor(SUM(w.xu[64] * w.w / z.z) * 10000 + 0.5) AS BIGINT) AS d64_e4
 FROM w JOIN z ON w.dst = z.dst
 GROUP BY w.dst
+"""
+
+
+_GATED_SQL = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+ed AS (SELECT vec_id AS u, vec_id % 97 AS dst FROM embeddings),
+pe AS (
+  SELECT ed.dst, fu.x AS xu, fv.x AS xv
+  FROM ed JOIN emb fu ON ed.u = fu.vec_id JOIN emb fv ON ed.dst = fv.vec_id)
+SELECT pe.dst AS vertex_id,
+       CAST(COUNT(*) AS BIGINT) AS nbr_count,
+       CAST(floor((ANY_VALUE(pe.xv[1])
+             + SUM(pe.xu[1] / (1.0 + exp(-(pe.xu[1] + pe.xv[1])))))
+            * 10000 + 0.5) AS BIGINT) AS d1_e4,
+       CAST(floor((ANY_VALUE(pe.xv[32])
+             + SUM(pe.xu[32] / (1.0 + exp(-(pe.xu[32] + pe.xv[32])))))
+            * 10000 + 0.5) AS BIGINT) AS d32_e4,
+       CAST(floor((ANY_VALUE(pe.xv[64])
+             + SUM(pe.xu[64] / (1.0 + exp(-(pe.xu[64] + pe.xv[64])))))
+            * 10000 + 0.5) AS BIGINT) AS d64_e4
+FROM pe
+GROUP BY pe.dst
 """
 
 
@@ -3739,6 +3793,7 @@ def oracle_sql() -> dict[str, str]:
         "data_mix": _data_mix_sql(budget=5000, seed=0),
         "chunks32": _chunks_sql(size=32, overlap=8),
         "attention": _ATTENTION_SQL,
+        "gated": _GATED_SQL,
         "extract_edges": f"WITH {_BASE} SELECT src_conv, dst_conv FROM ce",
         "vertex_ids": f"WITH {_BASE} SELECT vertex_id, conv_id FROM verts",
         "edges": f"WITH {_BASE} SELECT src, dst FROM edges",

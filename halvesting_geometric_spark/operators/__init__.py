@@ -112,7 +112,10 @@ from halvesting_geometric_spark.operators.centrality import (
 from halvesting_geometric_spark.operators.influence import linear_threshold
 from halvesting_geometric_spark.operators.metrics import reciprocity, rich_club
 from halvesting_geometric_spark.operators.mixing import budget_mix, chunk_tokens
-from halvesting_geometric_spark.operators.neighbors import attention_aggregate
+from halvesting_geometric_spark.operators.neighbors import (
+    attention_aggregate,
+    gated_aggregate,
+)
 from halvesting_geometric_spark.operators.setjoin import (
     prefix_filter_pairs,
     similarity_join,
@@ -237,4 +240,5 @@ __all__ = [
     "budget_mix",
     "chunk_tokens",
     "attention_aggregate",
+    "gated_aggregate",
 ]

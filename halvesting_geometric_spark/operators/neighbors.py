@@ -304,3 +304,64 @@ def attention_aggregate(
         features, edges, dim, id_col, feature_col,
         agg="sum", direction=direction, _gathered=gathered,
     )
+
+
+def gated_aggregate(
+    features: DataFrame,
+    edges: DataFrame,
+    dim: int,
+    id_col: str = "vertex_id",
+    feature_col: str = "features",
+    direction: str = "in",
+) -> DataFrame:
+    """Residual gated neighbor aggregation — the ``ResGatedGraphConv``
+    substrate (Bresson & Laurent 2017; the reference's RGGC model,
+    ``/root/reference/halvesting_geometric/modules/rggc.py:8,31-35``) with
+    untrained identity weights, closing SURVEY §2's A7 gated-aggregate row:
+
+        gate(u→v) = σ(x_u + x_v)            (elementwise sigmoid)
+        out(v)    = x_v + Σ_u gate(u→v) ⊙ x_u   (residual + gated sum)
+
+    The per-edge gated message is pure Catalyst (``zip_with`` with an inline
+    sigmoid); the sum reduction reuses :func:`aggregate_neighbors`' Arrow
+    partial kernel via ``_gathered`` exactly like :func:`attention_aggregate`
+    — bounded executor state, hub-proof. Returns (vertex_id, nbr_count,
+    agg_vec); vertices with no in-neighbors are absent (consistent with the
+    other aggregates — the pure-residual row carries no relational signal).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    key, out = ("src", "dst") if direction == "in" else ("dst", "src")
+    e = edges.select(F.col(key).alias("_u"), F.col(out).alias("dst"))
+    fu = features.select(
+        F.col(id_col).alias("_u"), F.col(feature_col).alias("_xu")
+    )
+    fv = features.select(
+        F.col(id_col).alias("dst"), F.col(feature_col).alias("_xv")
+    )
+    gated = F.zip_with(
+        "_xu", "_xv", lambda u, v: u / (F.lit(1.0) + F.exp(-(u + v)))
+    )
+    gathered = (
+        e.join(fu, "_u").join(fv, "dst").select("dst", gated.alias("vec"))
+    )
+    summed = aggregate_neighbors(
+        features, edges, dim, id_col, feature_col,
+        agg="sum", direction=direction, _gathered=gathered,
+    )
+    return (
+        summed.join(
+            features.select(
+                F.col(id_col).alias("vertex_id"),
+                F.col(feature_col).alias("_res"),
+            ),
+            "vertex_id",
+        )
+        .select(
+            "vertex_id",
+            "nbr_count",
+            F.zip_with("agg_vec", "_res", lambda a, r: a + r).alias("agg_vec"),
+        )
+    )

@@ -85,3 +85,40 @@ def test_attention_rejects_bad_args(spark):
         attention_aggregate(fdf, edf, dim=0)
     with pytest.raises(ValueError):
         attention_aggregate(fdf, edf, dim=1, direction="sideways")
+
+
+def test_gated_matches_numpy(spark):
+    from halvesting_geometric_spark.operators.neighbors import (
+        gated_aggregate,
+    )
+
+    fdf, edf, feats, pairs, n, dim = _fixture(spark, seed=21)
+    got = {
+        r["vertex_id"]: (r["nbr_count"], np.array(r["agg_vec"]))
+        for r in gated_aggregate(fdf, edf, dim=dim).collect()
+    }
+    by_dst: dict[int, list[int]] = {}
+    for a, b in pairs:
+        by_dst.setdefault(b, []).append(a)
+    assert set(got) == set(by_dst)
+    for v, srcs in by_dst.items():
+        gate = 1.0 / (1.0 + np.exp(-(feats[srcs] + feats[v])))
+        want = feats[v] + (gate * feats[srcs]).sum(axis=0)
+        cnt, vec = got[v]
+        assert cnt == len(srcs)
+        np.testing.assert_allclose(vec, want, atol=1e-12)
+
+
+def test_gated_rejects_bad_args(spark):
+    from halvesting_geometric_spark.operators.neighbors import (
+        gated_aggregate,
+    )
+
+    fdf = spark.createDataFrame(
+        [(0, [1.0])], "vertex_id long, features array<double>"
+    )
+    edf = spark.createDataFrame([(0, 0)], "src long, dst long")
+    with pytest.raises(ValueError):
+        gated_aggregate(fdf, edf, dim=-2)
+    with pytest.raises(ValueError):
+        gated_aggregate(fdf, edf, dim=1, direction="up")
