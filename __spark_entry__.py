@@ -270,7 +270,7 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        F.floor(cosine_similarity("qv", "cv") * 10_000 + F.lit(0.5))
+        F.floor(cosine_similarity("qv", "cv", dim=64) * 10_000 + F.lit(0.5))
         .cast("long")
         .alias("sim_e4"),
     )

@@ -102,21 +102,48 @@ def parse_stringified_list(col: Column | str) -> Column:
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
+    """``a[0]·b[0] + … + a[dim-1]·b[dim-1]`` as plain codegen arithmetic.
+
+    Higher-order ``F.aggregate`` folds are evaluated *interpreted* with
+    per-element boxing — a measured 8.8× penalty on a 20M×32 scoring pass
+    (BENCH/BASELINE.md, attention A/B: 277.4s HOF vs 31.5s unrolled,
+    bit-identical sums). Unrolling keeps the whole reduction inside
+    whole-stage codegen; use it whenever the vector width is statically
+    known and small enough (≤128) not to strain codegen method limits.
+    """
+    dot = a[0].cast("double") * b[0].cast("double")
+    for i in range(1, dim):
+        dot = dot + a[i].cast("double") * b[i].cast("double")
+    return dot
+
+
+def cosine_similarity(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side.
 
-    ``F.zip_with`` + ``F.aggregate`` keep the arithmetic inside codegen —
-    no Python. Returns double; 0.0 for zero-norm inputs.
+    Returns double; 0.0 for zero-norm inputs. Pass ``dim`` when the vector
+    width is statically known: the dot and norms then unroll into plain
+    codegen arithmetic (see :func:`unrolled_dot`) instead of interpreted
+    higher-order folds — the fast path for pair-space scoring (knn, ANN
+    rerank, near-dup filters). Without ``dim`` (or above 128) the
+    ``zip_with``+``aggregate`` form is kept.
     """
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    na, nb = norm(a), norm(b)
+    if dim is not None and 1 <= dim <= 128:
+        dot = unrolled_dot(a, b, dim)
+        na = F.sqrt(unrolled_dot(a, a, dim))
+        nb = F.sqrt(unrolled_dot(b, b, dim))
+    else:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda v: F.sqrt(  # noqa: E731
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+        na, nb = norm(a), norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))

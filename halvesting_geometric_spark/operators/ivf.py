@@ -247,7 +247,11 @@ def ivf_topk(
         scored = paired.select(
             "query_id",
             "neighbor_id",
-            F.floor(cosine_similarity("qv", "cv") * 10_000 + F.lit(0.5))
+            F.floor(
+                cosine_similarity("qv", "cv", dim=int(centroids.shape[1]))
+                * 10_000
+                + F.lit(0.5)
+            )
             .cast("long")
             .alias("sim_e4"),
         )

@@ -370,7 +370,15 @@ def pq_adc_rerank_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.floor(cosine_similarity("qv", "cv") * 10_000 + F.lit(0.5))
+            F.floor(
+                cosine_similarity(
+                    "qv",
+                    "cv",
+                    dim=int(codebooks.shape[0] * codebooks.shape[2]),
+                )
+                * 10_000
+                + F.lit(0.5)
+            )
             .cast("long")
             .alias("sim_e4"),
         )

@@ -87,6 +87,7 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -101,7 +102,7 @@ def cosine_topk_bruteforce(
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity("qv", "cv").alias("cosine"),
+        cosine_similarity("qv", "cv", dim=dim).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -134,14 +135,23 @@ def lsh_bucket(
     planes = _hyperplanes(dim, n_planes, seed)
     sig = None
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_plane, lambda a, b: a.cast("double") * b
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if dim <= 128:
+            # literal coefficients + getItem: stays in whole-stage codegen
+            # (a HOF fold here runs interpreted once per plane per row —
+            # see functions.unrolled_dot for the measured 8.8× penalty)
+            v = F.col(vec_col)
+            dot = v[0].cast("double") * float(plane[0])
+            for j in range(1, dim):
+                dot = dot + v[j].cast("double") * float(plane[j])
+        else:
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), lit_plane, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ) * F.lit(1 << i).cast("long")
@@ -213,7 +223,9 @@ def lsh_ann_topk(
             "neighbor_id",
         )
         .select(
-            "query_id", "neighbor_id", cosine_similarity("qv", "cv").alias("cosine")
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("qv", "cv", dim=dim).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -244,7 +256,7 @@ def embedding_near_dups(
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine_similarity("va", "vb").alias("cosine"))
+        .select("a", "b", cosine_similarity("va", "vb", dim=dim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
