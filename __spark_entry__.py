@@ -1058,8 +1058,8 @@ def _q_vecops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = l2_normalize(emb)
-    q = quantize_int8(emb)
+    n = l2_normalize(emb, dim=64)
+    q = quantize_int8(emb, dim=64)
     e6 = lambda c, a: (  # noqa: E731
         F.floor(c * 1_000_000 + F.lit(0.5)).cast("long").alias(a)
     )

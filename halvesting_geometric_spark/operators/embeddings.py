@@ -112,6 +112,11 @@ def pca_project(
     """Append ``out_col`` = components @ (x − mean): the projection runs as
     codegen'd array expressions over broadcast literal components — no
     Python, no shuffle."""
+    # Measured (2M×64, k=8, BENCH/BASELINE.md round 3): unrolling all k·d
+    # terms into one giant projection expression is 0.4× — the generated
+    # method for k·d=512 terms blows past JIT limits and deoptimizes. The
+    # staged-fold form below wins whenever k > 1; single-dot consumers
+    # (cosine, attention) are where unrolling pays (8.8×).
     centered = F.zip_with(
         F.col(emb_col).cast("array<double>"),
         F.array(*[F.lit(float(m)) for m in mean]),
