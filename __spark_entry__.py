@@ -1909,6 +1909,35 @@ def _q_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kahn_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kahn topological layering of the acyclic src<dst sub-DAG: level =
+    longest unweighted path from any in-degree-0 source (isolated vertices
+    level 0). The oracle recomputes it as a recursive max-distance CTE —
+    an independent algorithm (reachability recursion vs frontier peeling)."""
+    from halvesting_geometric_spark.operators.dag import kahn_levels
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    dag = edges.filter(F.col("src") < F.col("dst"))
+    return kahn_levels(dag, verts).select(
+        "vertex_id", F.col("level").cast("long").alias("level")
+    )
+
+
+def _q_critical_path6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted critical path (6 MAX-relaxation supersteps) on the src<dst
+    sub-DAG from its in-degree-0 sources, synthetic weight w = (src+dst) %
+    5 + 1 — integer-valued doubles, exact, cast to long. The DuckDB twin
+    unrolls the same 6 relaxations (mirror of the sssp6 oracle with MAX)."""
+    from halvesting_geometric_spark.operators.dag import dag_longest_paths
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    dag = edges.filter(F.col("src") < F.col("dst")).withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    d = dag_longest_paths(dag, verts, weight_col="w", fixed_iters=6)
+    return d.select("vertex_id", F.col("dist").cast("long").alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -1918,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tools/check_oracles.py`` (same Spark-vs-DuckDB comparison)."""
     return {
         # -- queries new this session: front of the capture window --
+        "kahn_levels": _q_kahn_levels,
+        "critical_path6": _q_critical_path6,
         "eigencent6": _q_eigencent6,
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
@@ -2800,6 +2831,45 @@ def _sssp_sql(iters: int) -> str:
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM r{iters}"
     )
+
+
+def _critical_path_sql(iters: int) -> str:
+    """Critical-path twin: k unrolled MAX-relaxations on the src<dst
+    sub-DAG from its in-degree-0 sources — the mirror image of
+    ``_sssp_sql`` (MIN → MAX), same synthetic weight w = (src+dst) % 5 + 1.
+    MATERIALIZED keeps DuckDB from exponentially inlining the chain."""
+    parts = [
+        _BASE,
+        "dagE AS (SELECT src, dst FROM edges WHERE src < dst)",
+        "c0 AS MATERIALIZED (SELECT vertex_id AS v, 0.0 AS d FROM verts "
+        "WHERE vertex_id NOT IN (SELECT dst FROM dagE))",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT v, MAX(d) AS d FROM (
+    SELECT v, d FROM c{p}
+    UNION ALL
+    SELECT e.dst AS v, r.d + CAST((e.src + e.dst) % 5 + 1 AS DOUBLE) AS d
+    FROM dagE e JOIN c{p} r ON e.src = r.v) u
+  GROUP BY v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM c{iters}"
+    )
+
+
+_KAHN_LEVELS_SQL = f"""WITH RECURSIVE {_BASE},
+dagE AS (SELECT src, dst FROM edges WHERE src < dst),
+lev(v, d) AS (
+  SELECT vertex_id, 0 FROM verts
+  WHERE vertex_id NOT IN (SELECT dst FROM dagE)
+  UNION
+  SELECT e.dst, l.d + 1 FROM lev l JOIN dagE e ON e.src = l.v)
+SELECT v AS vertex_id, CAST(MAX(d) AS BIGINT) AS level FROM lev GROUP BY v"""
 
 
 def _walks_sql(length: int, seed: int = 42) -> str:
@@ -3889,6 +3959,8 @@ SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vertices,
                   / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1))
                   * 1000000 + 0.5) AS BIGINT) AS density_e6""",
         "sssp6": _sssp_sql(6),
+        "kahn_levels": _KAHN_LEVELS_SQL,
+        "critical_path6": _critical_path_sql(6),
         "repetition": f"""WITH {_TOKENS_SQL},
 base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
 grams AS (

@@ -20,6 +20,10 @@ from halvesting_geometric_spark.operators.ids import (
     dense_ids_window,
     edges_to_ids,
 )
+from halvesting_geometric_spark.operators.dag import (
+    dag_longest_paths,
+    kahn_levels,
+)
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
 from halvesting_geometric_spark.operators.ivf import (
@@ -153,6 +157,8 @@ __all__ = [
     "connected_components",
     "coreness",
     "covariance_matrix",
+    "dag_longest_paths",
+    "kahn_levels",
     "degree_assortativity",
     "densest_subgraph",
     "dense_ids_scalable",
