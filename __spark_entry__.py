@@ -1909,6 +1909,22 @@ def _q_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_coengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user ↔ conversation interaction relation
+    (user_id, event_id % 211) onto conversations: co-engagement pairs with
+    weight = distinct shared users (≥ 2) plus exact conversation degrees."""
+    from halvesting_geometric_spark.operators.bipartite import (
+        bipartite_project,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rel = ev.select(
+        F.col("user_id").alias("u"),
+        (F.col("event_id") % 211).alias("v"),
+    )
+    return bipartite_project(rel, "u", "v", min_weight=2)
+
+
 def _q_kahn_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kahn topological layering of the acyclic src<dst sub-DAG: level =
     longest unweighted path from any in-degree-0 source (isolated vertices
@@ -1949,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- queries new this session: front of the capture window --
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
+        "coengagement": _q_coengagement,
         "eigencent6": _q_eigencent6,
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
@@ -3961,6 +3978,19 @@ SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vertices,
         "sssp6": _sssp_sql(6),
         "kahn_levels": _KAHN_LEVELS_SQL,
         "critical_path6": _critical_path_sql(6),
+        "coengagement": """
+WITH rel AS (SELECT DISTINCT user_id AS u, event_id % 211 AS v FROM events),
+rdeg AS (SELECT v, COUNT(*) AS deg FROM rel GROUP BY v),
+udeg AS (SELECT u, COUNT(*) AS ud FROM rel GROUP BY u),
+kept AS (SELECT r.u, r.v FROM rel r JOIN udeg d ON d.u = r.u
+         WHERE d.ud <= 1024),
+pairs AS (
+  SELECT l.v AS a, r.v AS b, COUNT(*) AS weight
+  FROM kept l JOIN kept r ON l.u = r.u AND l.v < r.v
+  GROUP BY l.v, r.v
+  HAVING COUNT(*) >= 2)
+SELECT p.a, p.b, p.weight, da.deg AS da, db.deg AS db
+FROM pairs p JOIN rdeg da ON da.v = p.a JOIN rdeg db ON db.v = p.b""",
         "repetition": f"""WITH {_TOKENS_SQL},
 base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
 grams AS (

@@ -20,6 +20,7 @@ from halvesting_geometric_spark.operators.ids import (
     dense_ids_window,
     edges_to_ids,
 )
+from halvesting_geometric_spark.operators.bipartite import bipartite_project
 from halvesting_geometric_spark.operators.dag import (
     dag_longest_paths,
     kahn_levels,
@@ -150,6 +151,7 @@ __all__ = [
     "aggregate_neighbors_positional",
     "betweenness_sampled",
     "bfs_levels",
+    "bipartite_project",
     "build_graph",
     "build_vertices",
     "canonical_edges",
