@@ -1909,6 +1909,25 @@ def _q_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pmi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-2 word co-occurrence counts + PMI ratio over documents. The
+    gate pins cnt and ratio_e4 = floor(ratio·1e4 + 0.5); ratio is a fixed
+    order of IEEE divisions/multiplications, identical in both engines
+    (ln(pmi) itself is libm-dependent, checked by pytest vs numpy)."""
+    from halvesting_geometric_spark.operators.cooccur import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = cooccurrence_pmi(docs, window=2, min_count=2)
+    return p.select(
+        "a",
+        "b",
+        "cnt",
+        F.floor(F.col("ratio") * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("ratio_e4"),
+    )
+
+
 def _q_coengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the user ↔ conversation interaction relation
     (user_id, event_id % 211) onto conversations: co-engagement pairs with
@@ -1966,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
+        "pmi2": _q_pmi2,
         "eigencent6": _q_eigencent6,
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
@@ -3991,6 +4011,32 @@ pairs AS (
   HAVING COUNT(*) >= 2)
 SELECT p.a, p.b, p.weight, da.deg AS da, db.deg AS db
 FROM pairs p JOIN rdeg da ON da.v = p.a JOIN rdeg db ON db.v = p.b""",
+        "pmi2": r"""
+WITH tk AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+pr AS (
+  SELECT least(tk.l[u.i], tk.l[u.i + o.o]) AS a,
+         greatest(tk.l[u.i], tk.l[u.i + o.o]) AS b
+  FROM tk,
+       unnest(range(1, len(tk.l) + 1)) AS u(i),
+       (SELECT unnest(range(1, 3)) AS o) o
+  WHERE u.i + o.o <= len(tk.l)),
+uni AS (SELECT u.t AS w, COUNT(*) AS c
+        FROM tk, unnest(tk.l) AS u(t) GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM uni),
+ptot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS C FROM pr),
+cnts AS (SELECT a, b, COUNT(*) AS cnt FROM pr
+         GROUP BY a, b HAVING COUNT(*) >= 2)
+SELECT c.a, c.b, c.cnt,
+       CAST(FLOOR((CAST(c.cnt AS DOUBLE) / pt.C) /
+                  ((ua.c / tt.T) * (ub.c / tt.T)) * 10000 + 0.5) AS BIGINT)
+         AS ratio_e4
+FROM cnts c
+JOIN uni ua ON ua.w = c.a
+JOIN uni ub ON ub.w = c.b
+CROSS JOIN tot tt CROSS JOIN ptot pt""",
         "repetition": f"""WITH {_TOKENS_SQL},
 base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
 grams AS (

@@ -21,6 +21,10 @@ from halvesting_geometric_spark.operators.ids import (
     edges_to_ids,
 )
 from halvesting_geometric_spark.operators.bipartite import bipartite_project
+from halvesting_geometric_spark.operators.cooccur import (
+    cooccurrence_counts,
+    cooccurrence_pmi,
+)
 from halvesting_geometric_spark.operators.dag import (
     dag_longest_paths,
     kahn_levels,
@@ -157,6 +161,8 @@ __all__ = [
     "canonical_edges",
     "clustering_coefficients",
     "connected_components",
+    "cooccurrence_counts",
+    "cooccurrence_pmi",
     "coreness",
     "covariance_matrix",
     "dag_longest_paths",
