@@ -1909,6 +1909,34 @@ def _q_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_role_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov role-transition table over consecutive transcript turns:
+    counts + e6-rounded row-normalized probability (one exact long→double
+    division, identical cross-engine)."""
+    from halvesting_geometric_spark.operators.dialogue import role_transitions
+
+    tr = derived_transcripts(spark, sf_dir)
+    t = role_transitions(tr)
+    return t.select(
+        "from_role",
+        "to_role",
+        "cnt",
+        F.floor(F.col("prob") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("prob_e6"),
+    )
+
+
+def _q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response-latency sums per role transition — exact integer
+    microseconds (no distributed float accumulation)."""
+    from halvesting_geometric_spark.operators.dialogue import turn_gaps
+
+    tr = derived_transcripts(spark, sf_dir)
+    g = turn_gaps(tr)
+    return g.select("from_role", "to_role", "n", "sum_gap_us")
+
+
 def _q_pmi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-2 word co-occurrence counts + PMI ratio over documents. The
     gate pins cnt and ratio_e4 = floor(ratio·1e4 + 0.5); ratio is a fixed
@@ -1986,6 +2014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
         "pmi2": _q_pmi2,
+        "role_trans": _q_role_trans,
+        "turn_gaps": _q_turn_gaps,
         "eigencent6": _q_eigencent6,
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
@@ -4037,6 +4067,32 @@ FROM cnts c
 JOIN uni ua ON ua.w = c.a
 JOIN uni ub ON ub.w = c.b
 CROSS JOIN tot tt CROSS JOIN ptot pt""",
+        "role_trans": """
+WITH pr AS (
+  SELECT event_type AS from_role,
+         lead(event_type) OVER (PARTITION BY user_id % 53
+                                ORDER BY ts, event_id) AS to_role
+  FROM events),
+cnts AS (
+  SELECT from_role, to_role, COUNT(*) AS cnt FROM pr
+  WHERE to_role IS NOT NULL GROUP BY 1, 2),
+tots AS (SELECT from_role, SUM(cnt) AS tot FROM cnts GROUP BY 1)
+SELECT c.from_role, c.to_role, c.cnt,
+       CAST(FLOOR(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000
+                  + 0.5) AS BIGINT) AS prob_e6
+FROM cnts c JOIN tots t ON t.from_role = c.from_role""",
+        "turn_gaps": """
+WITH pr AS (
+  SELECT event_type AS from_role,
+         lead(event_type) OVER (PARTITION BY user_id % 53
+                                ORDER BY ts, event_id) AS to_role,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id % 53
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events)
+SELECT from_role, to_role, COUNT(*) AS n,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+FROM pr WHERE to_role IS NOT NULL GROUP BY 1, 2""",
         "repetition": f"""WITH {_TOKENS_SQL},
 base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
 grams AS (

@@ -25,6 +25,10 @@ from halvesting_geometric_spark.operators.cooccur import (
     cooccurrence_counts,
     cooccurrence_pmi,
 )
+from halvesting_geometric_spark.operators.dialogue import (
+    role_transitions,
+    turn_gaps,
+)
 from halvesting_geometric_spark.operators.dag import (
     dag_longest_paths,
     kahn_levels,
@@ -207,6 +211,8 @@ __all__ = [
     "pca",
     "pca_project",
     "random_walks",
+    "role_transitions",
+    "turn_gaps",
     "sample_frames",
     "sample_neighbors",
     "sample_neighbors_layered",
