@@ -36,6 +36,7 @@ ALGORITHMS = (
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
     "betweenness", "coloring", "louvain", "scc", "hh",
     "salsa", "influence", "diameter", "reciprocity", "richclub",
+    "kahn", "critpath", "roletrans",
 )
 
 
@@ -377,6 +378,37 @@ def main(argv: list[str] | None = None) -> int:
         rc = rich_club(g.edges, k=args.k)
         rc.write.mode("overwrite").parquet(args.output)
         summary.update(rc.first().asDict())
+    elif args.algorithm == "kahn":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.dag import kahn_levels
+
+        lv = kahn_levels(
+            g.edges.filter(F.col("src") < F.col("dst")), g.vertices
+        )
+        lv.write.mode("overwrite").parquet(args.output)
+        summary["depth"] = lv.agg(F.max("level")).first()[0]
+    elif args.algorithm == "critpath":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.dag import dag_longest_paths
+
+        cp = dag_longest_paths(
+            g.edges.filter(F.col("src") < F.col("dst")),
+            g.vertices,
+            weight_col=args.weight_col,
+            fixed_iters=args.iters,
+        )
+        cp.write.mode("overwrite").parquet(args.output)
+        summary["max_dist"] = cp.agg(F.max("dist")).first()[0]
+    elif args.algorithm == "roletrans":
+        from halvesting_geometric_spark.operators.dialogue import (
+            role_transitions,
+        )
+
+        rt = role_transitions(transcripts)
+        rt.write.mode("overwrite").parquet(args.output)
+        summary["transitions"] = rt.count()
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

@@ -132,3 +132,20 @@ def test_cli_round3b_algorithms(spark, tmp_path, capsys):
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["algorithm"] == algo
         assert spark.read.parquet(out_dir).count() > 0
+
+
+def test_cli_round3c_algorithms(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr3c")
+    generate_transcripts(spark, 40, seed=7).write.parquet(tr_dir)
+    for algo, key in (
+        ("kahn", "depth"),
+        ("critpath", "max_dist"),
+        ("roletrans", "transitions"),
+    ):
+        out = str(tmp_path / f"out_{algo}")
+        rc = cli.main([algo, "--transcripts", tr_dir, "--output", out])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert summary[key] is not None
+        assert spark.read.parquet(out).count() > 0
