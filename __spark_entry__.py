@@ -1909,6 +1909,33 @@ def _q_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03) over documents:
+    k=3 word-grams, window 4, rightmost-min tie rule, portable hash — the
+    DuckDB twin replays gram hashing and per-window selection exactly."""
+    from halvesting_geometric_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        docs, k=3, window=4, hash_method="portable"
+    ).select("doc_id", "pos", "fp")
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Localized-overlap candidate pairs: documents sharing ≥2 winnowing
+    fingerprints after an IDF-style doc-frequency cap (20) drops
+    boilerplate fingerprints before the inverted-index self-join."""
+    from halvesting_geometric_spark.operators.winnow import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, k=3, window=4, min_shared=2, max_doc_freq=20,
+        hash_method="portable",
+    )
+
+
 def _q_role_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov role-transition table over consecutive transcript turns:
     counts + e6-rounded row-normalized probability (one exact long→double
@@ -2016,6 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi2": _q_pmi2,
         "role_trans": _q_role_trans,
         "turn_gaps": _q_turn_gaps,
+        "winnow": _q_winnow,
+        "winnow_pairs": _q_winnow_pairs,
         "eigencent6": _q_eigencent6,
         "msf": _q_msf,
         "fastrp2": _q_fastrp2,
@@ -2927,6 +2956,38 @@ def _critical_path_sql(iters: int) -> str:
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(d AS BIGINT) AS dist FROM c{iters}"
     )
+
+
+def _winnow_sel_sql(k: int, w: int) -> str:
+    """Shared winnowing-selection CTE chain: token k-grams, portable
+    hashes, per-window rightmost-min selection (ORDER BY h ASC, pos DESC,
+    row_number = 1) — the exact rule of operators/winnow.py."""
+    return rf"""tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+tk2 AS (SELECT doc_id, l, len(l) - {k} + 1 AS m FROM tk WHERE len(l) >= {k}),
+g AS (
+  SELECT doc_id, m, u.i - 1 AS pos,
+         array_to_string(l[u.i:u.i + {k} - 1], ' ') AS gram
+  FROM tk2, unnest(range(1, m + 1)) AS u(i)),
+hh AS (SELECT doc_id, m, pos, {_ph_fwd('gram', seed=0)} AS h FROM g),
+sel AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT s.doc_id, c.pos, c.h,
+           row_number() OVER (PARTITION BY s.doc_id, s.pos
+                              ORDER BY c.h ASC, c.pos DESC) AS rn
+    FROM hh s JOIN hh c
+      ON c.doc_id = s.doc_id AND c.pos BETWEEN s.pos AND s.pos + {w} - 1
+    WHERE s.pos <= greatest(s.m - {w}, 0)) t
+  WHERE rn = 1)"""
+
+
+def _ph_fwd(*exprs: str, seed: int | None = None) -> str:
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    return portable_hash64_sql(*exprs, seed=seed)
 
 
 _KAHN_LEVELS_SQL = f"""WITH RECURSIVE {_BASE},
@@ -4093,6 +4154,18 @@ WITH pr AS (
 SELECT from_role, to_role, COUNT(*) AS n,
        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
 FROM pr WHERE to_role IS NOT NULL GROUP BY 1, 2""",
+        "winnow": f"""
+WITH {_winnow_sel_sql(3, 4)}
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp
+FROM sel""",
+        "winnow_pairs": f"""
+WITH {_winnow_sel_sql(3, 4)},
+fps AS (SELECT DISTINCT doc_id AS id, h AS fp FROM sel),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20),
+kf AS (SELECT f.id, f.fp FROM fps f JOIN keep k ON k.fp = f.fp)
+SELECT l.id AS a, r.id AS b, COUNT(*) AS shared
+FROM kf l JOIN kf r ON l.fp = r.fp AND l.id < r.id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
         "repetition": f"""WITH {_TOKENS_SQL},
 base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
 grams AS (

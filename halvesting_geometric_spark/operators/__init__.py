@@ -146,6 +146,10 @@ from halvesting_geometric_spark.operators.traversal import (
     sssp,
 )
 from halvesting_geometric_spark.operators.triangles import triangle_count
+from halvesting_geometric_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
 from halvesting_geometric_spark.operators.wl import wl_histogram, wl_refinement
 from halvesting_geometric_spark.operators.walks import (
     metapath_walks,
@@ -222,6 +226,8 @@ __all__ = [
     "triad_census",
     "triangle_count",
     "undirected",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "wl_histogram",
     "wl_refinement",
     "ivf_assign",
