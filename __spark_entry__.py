@@ -2028,6 +2028,87 @@ def _q_critical_path6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("vertex_id", F.col("dist").cast("long").alias("dist"))
 
 
+def _q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection (operators/events.py burst_windows):
+    per (event_type, hour) z-score against the trailing 24 observed hourly
+    buckets (self-exclusive ROWS window); z is null under 6 buckets of
+    history or a zero stddev. Fixed-point e6 for the hash compare."""
+    from halvesting_geometric_spark.operators.events import burst_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = burst_windows(ev, trailing=24, min_history=6)
+    return out.select(
+        "event_type",
+        "hour",
+        "n",
+        F.floor(F.col("z") * 1_000_000 + F.lit(0.5)).cast("long").alias("z_e6"),
+    )
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 per-language length quantiles (operators/quantiles.py):
+    p50/p90/p99 of n_chars per lang located by a running sum over DISTINCT
+    values — no per-row sort anywhere in the plan."""
+    from halvesting_geometric_spark.operators.quantiles import group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_quantiles(docs, "lang", "n_chars", (0.5, 0.9, 0.99))
+
+
+def _q_ego2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop ego network around seed set {vertex_id % 50 == 0}: the induced
+    DISTINCT edge set on all vertices within 2 undirected hops
+    (operators/traversal.py ego_subgraph; BFS reuses the superstep driver)."""
+    from halvesting_geometric_spark.operators.traversal import ego_subgraph
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    seeds = verts.filter(F.col("vertex_id") % 50 == 0).select("vertex_id")
+    _, induced = ego_subgraph(edges, verts, seeds, hops=2, directed=False)
+    return induced
+
+
+def _q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact K4 count via degree-ordered triangle extension
+    (operators/triangles.py four_clique_total); the oracle is the closed
+    6-way join over the canonical undirected edge set."""
+    from halvesting_geometric_spark.operators.triangles import four_clique_total
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return four_clique_total(edges)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-set delta between two graph snapshots (operators/temporal.py
+    snapshot_diff): distinct reference edges present at min(ts)+9d but not
+    at min(ts)+3d. Cut timestamps are scalars computed from the same events
+    table in both engines; 'removed' rows are structurally absent on this
+    append-only stream (the oracle proves that too)."""
+    import datetime as _dt
+
+    from halvesting_geometric_spark.operators.temporal import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0")).collect()[0]["t0"]
+    tr = derived_transcripts(spark, sf_dir)
+    ts_type = dict(tr.dtypes)["ts"]
+    t_old = F.lit(t0 + _dt.timedelta(days=3)).cast(ts_type)
+    t_new = F.lit(t0 + _dt.timedelta(days=9)).cast(ts_type)
+    return snapshot_diff(tr, t_old, t_new)
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py
+    stratified_sample): exactly min(50, |lang|) documents per language,
+    the 50 smallest by portable seeded hash of doc_id — reproduced
+    rank-for-rank by the DuckDB twin."""
+    from halvesting_geometric_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", 50, ("doc_id",), hash_method="portable", seed=7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -2111,6 +2192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "cms_hh": _q_cms_hh,
         "wsample3": _q_wsample3,
+        "bursts": _q_bursts,
+        "length_quantiles": _q_length_quantiles,
+        "ego2": _q_ego2,
+        "four_cliques": _q_four_cliques,
+        "snapshot_diff": _q_snapshot_diff,
+        "stratified": _q_stratified,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -3974,6 +4061,8 @@ writes AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
     return {
         "eigencent6": _eigencent_sql(6),
         "msf": _msf_sql(rounds=10, jumps=8),
@@ -4898,6 +4987,85 @@ SELECT vec_id,
 FROM best WHERE rn = 1 GROUP BY vec_id""",
         "cms_hh": _cms_hh_sql(depth=4, width=2048, k=5),
         "wsample3": _wsample3_sql(seed=7, n=3),
+        "bursts": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER tw AS mean_prev,
+         stddev_samp(n) OVER tw AS std_prev,
+         count(n) OVER tw AS hist
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, n,
+       CASE WHEN hist >= 6 AND std_prev IS NOT NULL AND std_prev > 0
+            THEN CAST(floor((n - mean_prev) / std_prev * 1000000 + 0.5)
+                      AS BIGINT) END AS z_e6
+FROM w""",
+        "length_quantiles": """
+WITH vc AS (
+  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT lang, v,
+         SUM(c) OVER (PARTITION BY lang ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM vc)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum >= floor((n - 1) * 0.5) + 1 THEN v END) AS q_50,
+       MIN(CASE WHEN cum >= floor((n - 1) * 0.9) + 1 THEN v END) AS q_90,
+       MIN(CASE WHEN cum >= floor((n - 1) * 0.99) + 1 THEN v END) AS q_99
+FROM cum GROUP BY lang""",
+        "ego2": f"""WITH {_BASE},
+seeds AS (SELECT vertex_id FROM verts WHERE vertex_id % 50 = 0),
+h1 AS (
+  SELECT DISTINCT s.dst AS v FROM sym s JOIN seeds ON s.src = seeds.vertex_id),
+m1 AS (SELECT vertex_id FROM seeds UNION SELECT v FROM h1),
+h2 AS (
+  SELECT DISTINCT s.dst AS v FROM sym s JOIN m1 ON s.src = m1.vertex_id),
+mem AS (SELECT vertex_id FROM m1 UNION SELECT v FROM h2)
+SELECT DISTINCT e.src, e.dst
+FROM edges e JOIN mem a ON e.src = a.vertex_id
+             JOIN mem b ON e.dst = b.vertex_id""",
+        "four_cliques": f"""WITH {_BASE}
+SELECT CAST(COUNT(*) AS BIGINT) AS four_cliques
+FROM canon e1
+JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN canon e3 ON e2.a = e3.a AND e2.b < e3.b
+JOIN canon e4 ON e4.a = e1.b AND e4.b = e2.b
+JOIN canon e5 ON e5.a = e1.b AND e5.b = e3.b
+JOIN canon e6 ON e6.a = e2.b AND e6.b = e3.b""",
+        "snapshot_diff": f"""
+WITH tt AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS src_conv,
+         'c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') AS dst_conv,
+         ts
+  FROM events),
+cuts AS (
+  SELECT min(ts) + INTERVAL 3 DAY AS t_old,
+         min(ts) + INTERVAL 9 DAY AS t_new
+  FROM events),
+old AS (SELECT DISTINCT src_conv, dst_conv FROM tt, cuts WHERE ts <= t_old),
+new AS (SELECT DISTINCT src_conv, dst_conv FROM tt, cuts WHERE ts <= t_new)
+SELECT src_conv, dst_conv, 'added' AS status
+FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+UNION ALL
+SELECT src_conv, dst_conv, 'removed' AS status
+FROM (SELECT * FROM old EXCEPT SELECT * FROM new)""",
+        "stratified": f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {portable_hash64_sql("doc_id", seed=7)} AS hh
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+  FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= 50""",
         "minhash_near_dups": _minhash_sql(num_hashes=32, bands=16, threshold=0.3),
         "lsh_ann": _lsh_ann_sql(n_planes=8, n_tables=2, k=3),
         "domain_split": """

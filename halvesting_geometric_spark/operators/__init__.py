@@ -114,8 +114,12 @@ from halvesting_geometric_spark.operators.sampling import (
     sample_neighbors,
     sample_neighbors_layered,
     split_edges,
+    stratified_sample,
     weighted_sample,
 )
+from halvesting_geometric_spark.operators.quantiles import group_quantiles
+from halvesting_geometric_spark.operators.events import burst_windows
+from halvesting_geometric_spark.operators.temporal import snapshot_diff
 from halvesting_geometric_spark.operators.centrality import (
     eigenvector_centrality,
     hits,
@@ -143,9 +147,13 @@ from halvesting_geometric_spark.operators.triads import triad_census
 from halvesting_geometric_spark.operators.traversal import (
     bfs_levels,
     double_sweep_diameter,
+    ego_subgraph,
     sssp,
 )
-from halvesting_geometric_spark.operators.triangles import triangle_count
+from halvesting_geometric_spark.operators.triangles import (
+    four_clique_total,
+    triangle_count,
+)
 from halvesting_geometric_spark.operators.winnow import (
     winnow_fingerprints,
     winnow_pairs,
@@ -164,6 +172,12 @@ __all__ = [
     "betweenness_sampled",
     "bfs_levels",
     "bipartite_project",
+    "burst_windows",
+    "ego_subgraph",
+    "four_clique_total",
+    "group_quantiles",
+    "snapshot_diff",
+    "stratified_sample",
     "build_graph",
     "build_vertices",
     "canonical_edges",

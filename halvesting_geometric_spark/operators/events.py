@@ -57,3 +57,49 @@ def top_k_per_user(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("user_id", "event_id", "value", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    trailing: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """Event-rate burst detection: per (event_type, hour) z-score of the
+    hourly count against the trailing ``trailing`` observed hours.
+
+    The trailing window is ROW-based over *observed* hour buckets (hours with
+    zero events are absent from the stream rollup, so they neither dilute the
+    baseline nor emit rows) and EXCLUDES the current hour — the classic
+    self-exclusive rolling baseline. Rows with fewer than ``min_history``
+    trailing buckets, or a zero/undefined sample stddev, carry a null
+    ``z`` (insufficient evidence), not a zero.
+
+    Scale shape: one shuffle to (event_type, hour) for the rollup, then a
+    per-type sort window whose partition size is bounded by the number of
+    distinct hours (time, not data volume) — safe at any event count.
+    Returns (event_type, hour, n, mean_prev, std_prev, z).
+    """
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-trailing, -1)
+    )
+    mean_prev = F.avg("n").over(w)
+    std_prev = F.stddev_samp("n").over(w)
+    hist = F.count("n").over(w)
+    z = F.when(
+        (hist >= min_history) & std_prev.isNotNull() & (std_prev > 0),
+        (F.col("n") - mean_prev) / std_prev,
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        mean_prev.alias("mean_prev"),
+        std_prev.alias("std_prev"),
+        z.alias("z"),
+    )

@@ -343,3 +343,46 @@ def weighted_sample(
         .drop("_rn")
         .withColumnRenamed("_pri", "priority_e6")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    tie_cols: tuple[str, ...],
+    hash_method: str = "portable",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, |group|)`` rows per
+    group, chosen as the n smallest by a seeded hash of ``tie_cols`` — a
+    uniform-without-replacement draw that is reproducible across engines
+    (``hash_method='portable'`` has a DuckDB twin) and across runs.
+
+    Scale shape: groups small enough to keep whole are passed through with no
+    sort at all (an aggregate count + broadcastable join decides); only
+    oversized groups enter the row_number window, and their sort key is the
+    hash — Spark's window sort is spillable, and the emitted quota is bounded
+    at ``n`` per group, so no hub group can blow up an output partition.
+    Returns the input columns (hash/rank columns dropped).
+    """
+    if n_per_group <= 0:
+        return df.limit(0)
+    h = hash64(hash_method, *tie_cols, seed=seed)
+    sized = df.join(
+        F.broadcast(
+            df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+        ),
+        group_col,
+    )
+    small = sized.filter(F.col("_gn") <= n_per_group).drop("_gn")
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    big = (
+        sized.filter(F.col("_gn") > n_per_group)
+        .drop("_gn")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+    return small.unionByName(big)

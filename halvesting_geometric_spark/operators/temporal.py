@@ -15,7 +15,7 @@ shuffle once on (vertex, bucket). Deterministic, fully SQL-twinnable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from halvesting_geometric_spark.functions import extract_refs
@@ -84,3 +84,35 @@ def graph_growth(transcripts: DataFrame, bucket: str = "day") -> DataFrame:
     return per_bucket.withColumn(
         "cum_refs", F.sum("n_refs").over(w).cast("long")
     )
+
+
+def snapshot_diff(
+    transcripts: DataFrame,
+    t_old,
+    t_new,
+) -> DataFrame:
+    """Edge-set delta between two time cutoffs of the reference graph.
+
+    The graph at time ``t`` is the DISTINCT (src_conv, dst_conv) set over
+    edge events with ``ts <= t``. Returns one row per edge that differs:
+    (src_conv, dst_conv, status) with status ``'added'`` (present at
+    ``t_new``, absent at ``t_old``) or ``'removed'`` (the reverse — empty on
+    an append-only stream, kept for generality so the operator also serves
+    retraction-bearing sources).
+
+    ``t_old`` / ``t_new``: timestamp literals or Columns (e.g. a computed
+    ``min(ts) + INTERVAL`` cutoff). Anti-joins on the two distinct edge
+    sets — two shuffles on (src, dst), no window, no collect.
+    """
+    ev = edge_events(transcripts)
+    t_old = F.lit(t_old) if not isinstance(t_old, Column) else t_old
+    t_new = F.lit(t_new) if not isinstance(t_new, Column) else t_new
+    old = ev.filter(F.col("ts") <= t_old).select("src_conv", "dst_conv").distinct()
+    new = ev.filter(F.col("ts") <= t_new).select("src_conv", "dst_conv").distinct()
+    added = new.join(old, ["src_conv", "dst_conv"], "left_anti").select(
+        "src_conv", "dst_conv", F.lit("added").alias("status")
+    )
+    removed = old.join(new, ["src_conv", "dst_conv"], "left_anti").select(
+        "src_conv", "dst_conv", F.lit("removed").alias("status")
+    )
+    return added.unionByName(removed)

@@ -299,3 +299,36 @@ def double_sweep_diameter(
         [(start, far, int(ecc))],
         "start long, far_vertex long, diameter_lb long",
     )
+
+
+def ego_subgraph(
+    edges: DataFrame,
+    vertices: DataFrame,
+    seeds: DataFrame | list[int],
+    hops: int = 2,
+    directed: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """K-hop ego network around a seed set: the induced subgraph on every
+    vertex within ``hops`` of a seed.
+
+    Returns ``(members, induced)``: members = (vertex_id, dist) from
+    :func:`bfs_levels` (each kept vertex with its hop distance), induced =
+    the distinct edges of the ORIGINAL direction whose both endpoints are
+    members — two left-semi joins against the (small, frontier-bounded)
+    member set, which Catalyst broadcasts when it fits. This is the subgraph
+    a GNN mini-batch or a debugging session extracts around entities of
+    interest; reachability reuses the superstep BFS driver (one job per hop,
+    lineage-truncated).
+    """
+    members = bfs_levels(
+        edges, vertices, seeds, max_depth=hops, directed=directed
+    )
+    mem_ids = members.select("vertex_id")
+    induced = (
+        edges.select("src", "dst")
+        .distinct()
+        .join(mem_ids.select(F.col("vertex_id").alias("src")), "src", "left_semi")
+        .join(mem_ids.select(F.col("vertex_id").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return members, induced

@@ -184,3 +184,39 @@ def triangle_count(
         )
     # tri stays cached: per_vertex still derives from it; caller's action reuses it
     return TrianglesResult(total=total, per_vertex=per_vertex)
+
+
+def four_clique_total(edges: DataFrame) -> DataFrame:
+    """Exact K4 (4-clique) count via degree-ordered triangle extension.
+
+    Every K4 {a,b,c,d} ordered by the same (degree, id) total order the
+    triangle orientation uses is produced exactly once: list the triangle on
+    its three smallest vertices (a<b<c, each once, from
+    :func:`triangle_listing`), extend along the oriented edge c→d, and keep
+    extensions where oriented edges a→d and b→d also exist (two left-semi
+    joins on the oriented pair set). Orientation bounds every out-adjacency
+    at O(√E), so the extension fan-out per triangle is O(√E) — the same
+    structural cap that makes the triangle wedge join feasible on power-law
+    graphs; no degree parameter is needed for safety.
+
+    Returns a one-row DataFrame (four_cliques: long).
+    """
+    o = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = o.select("a", "b")
+    tri = triangle_listing(edges, oriented=o)
+    cand = tri.join(
+        pairs.select(F.col("a").alias("c"), F.col("b").alias("d")), "c"
+    )
+    k4 = cand.join(
+        pairs.select(F.col("a").alias("a"), F.col("b").alias("d")),
+        ["a", "d"],
+        "left_semi",
+    ).join(
+        pairs.select(F.col("a").alias("b"), F.col("b").alias("d")),
+        ["b", "d"],
+        "left_semi",
+    )
+    out = k4.agg(F.count("*").cast("long").alias("four_cliques"))
+    out = out.localCheckpoint(eager=True)
+    o.unpersist()
+    return out
