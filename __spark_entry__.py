@@ -2109,6 +2109,99 @@ def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view→click→purchase (operators/behavior.py
+    funnel_steps): per user the earliest valid completion chain; the DuckDB
+    twin is the same chain of conditional-min CTEs."""
+    from halvesting_geometric_spark.operators.behavior import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def _q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/behavior.py cohort_retention):
+    users bucketed by first-activity week, distinct-counted per later
+    active week offset."""
+    from halvesting_geometric_spark.operators.behavior import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, bucket="week")
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common session paths (operators/behavior.py session_paths): the
+    '>'-joined event-type sequence of each 30-minute session (first 12
+    events), counted, kept at support >= 2."""
+    from halvesting_geometric_spark.operators.behavior import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_paths(ev, gap_minutes=30, max_len=12, min_count=2)
+
+
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance linkage (operators/fuzzy.py fuzzy_pairs):
+    candidate pairs inside (lang, n_chars//50) blocks, scored with the
+    JVM levenshtein on the 40-char prefix, kept at distance <= 16."""
+    from halvesting_geometric_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blk = F.concat_ws(
+        "|", F.col("lang"), F.floor(F.col("n_chars") / 50).cast("string")
+    )
+    return fuzzy_pairs(
+        docs, "doc_id", "text", block_expr=blk, prefix_len=40,
+        max_distance=16, max_block=1000,
+    )
+
+
+def _q_hitting4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-walk hitting probability within 4 steps of target set
+    {vertex_id < 3} (operators/traversal.py hitting_probability); the
+    oracle unrolls the same 4 gather supersteps."""
+    from halvesting_geometric_spark.operators.traversal import (
+        hitting_probability,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    targets = verts.filter(F.col("vertex_id") < 3).select("vertex_id")
+    h = hitting_probability(edges, verts, targets, steps=4)
+    return h.select(
+        "vertex_id",
+        F.floor(F.col("hit_prob") * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "hit_e6"
+        ),
+    )
+
+
+def _hitting_sql(steps: int) -> str:
+    parts = [
+        _BASE,
+        """h0 AS (
+  SELECT vertex_id AS v,
+         CASE WHEN vertex_id < 3 THEN 1.0 ELSE 0.0 END AS h
+  FROM verts)""",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""h{k} AS (
+  SELECT v.vertex_id AS v,
+         CASE WHEN v.vertex_id < 3 THEN 1.0
+              ELSE COALESCE(s.m, 0) END AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS v, SUM(h.h / o.d) AS m
+    FROM edges e JOIN h{k - 1} h ON e.dst = h.v
+                 JOIN outdeg o ON e.src = o.src
+    GROUP BY e.src) s ON v.vertex_id = s.v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, "
+        f"CAST(floor(h * 1000000 + 0.5) AS BIGINT) AS hit_e6 FROM h{steps}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -2198,6 +2291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cliques": _q_four_cliques,
         "snapshot_diff": _q_snapshot_diff,
         "stratified": _q_stratified,
+        "funnel3": _q_funnel3,
+        "cohorts": _q_cohorts,
+        "session_paths": _q_session_paths,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "hitting4": _q_hitting4,
         # -- flagship / north-rule set (driver-verified in r02) --
         "extract_edges": _q_extract_edges,
         "vertex_ids": _q_vertex_ids,
@@ -5056,6 +5154,70 @@ FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
 UNION ALL
 SELECT src_conv, dst_conv, 'removed' AS status
 FROM (SELECT * FROM old EXCEPT SELECT * FROM new)""",
+        "funnel3": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t_1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_2 GROUP BY 1)
+SELECT s1.user_id,
+       CAST(1 + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS steps_completed,
+       t_1, t_2, t_3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+        "cohorts": """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events)
+SELECT cohort,
+       CAST(floor((epoch(b) - epoch(cohort)) / 604800) AS BIGINT) AS offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2""",
+        "session_paths": """
+WITH g AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+r AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM s)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 12 GROUP BY 1, 2) t
+GROUP BY path HAVING COUNT(*) >= 2""",
+        "fuzzy_pairs": """
+WITH b AS (
+  SELECT doc_id,
+         lang || '|' || CAST(n_chars // 50 AS VARCHAR) AS blk,
+         substr(text, 1, 40) AS pfx
+  FROM documents),
+sz AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= 1000)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS distance
+FROM b x JOIN sz USING (blk) JOIN b y USING (blk)
+WHERE x.doc_id < y.doc_id AND levenshtein(x.pfx, y.pfx) <= 16""",
+        "hitting4": _hitting_sql(4),
         "stratified": f"""
 WITH h AS (
   SELECT doc_id, lang,

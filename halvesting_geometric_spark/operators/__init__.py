@@ -120,6 +120,12 @@ from halvesting_geometric_spark.operators.sampling import (
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
 from halvesting_geometric_spark.operators.events import burst_windows
 from halvesting_geometric_spark.operators.temporal import snapshot_diff
+from halvesting_geometric_spark.operators.behavior import (
+    cohort_retention,
+    funnel_steps,
+    session_paths,
+)
+from halvesting_geometric_spark.operators.fuzzy import fuzzy_pairs
 from halvesting_geometric_spark.operators.centrality import (
     eigenvector_centrality,
     hits,
@@ -148,6 +154,7 @@ from halvesting_geometric_spark.operators.traversal import (
     bfs_levels,
     double_sweep_diameter,
     ego_subgraph,
+    hitting_probability,
     sssp,
 )
 from halvesting_geometric_spark.operators.triangles import (
@@ -173,9 +180,14 @@ __all__ = [
     "bfs_levels",
     "bipartite_project",
     "burst_windows",
+    "cohort_retention",
     "ego_subgraph",
     "four_clique_total",
+    "funnel_steps",
+    "fuzzy_pairs",
     "group_quantiles",
+    "hitting_probability",
+    "session_paths",
     "snapshot_diff",
     "stratified_sample",
     "build_graph",

@@ -1,0 +1,150 @@
+"""Behavioral / product analytics over the event stream: funnels, cohort
+retention, session paths.
+
+Engine-new surface (the reference processes static citation metadata — its
+closest shape is the per-domain rollup in ``/root/reference/
+halvesting_geometric/utils/data/link_prediction_metadata.py``); a
+transcript/event corpus at 10^12-turn scale needs exactly these three
+questions answered: do users progress through an ordered set of actions
+(funnel), do they come back (cohorts), and what do their sessions look like
+(paths).
+
+All three are single-shuffle-per-stage DataFrame plans: conditional
+aggregations for the funnel (one groupBy per step, each a map-side partial
+agg), one groupBy + join for cohorts, a per-session sorted collect bounded
+by session length for paths. No UDFs, no collects, no windows over
+unbounded partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.events import sessionize
+
+
+def funnel_steps(
+    events: DataFrame, steps: Sequence[str]
+) -> DataFrame:
+    """Ordered funnel completion per user.
+
+    A user completes step i when an event of type ``steps[i]`` occurs at or
+    after their completion time of step i-1 (classic unordered-window
+    funnel: earliest valid completion per step, ties allowed at equal
+    timestamps). Returns (user_id, steps_completed, t_1..t_k) with the
+    completion timestamp per reached step (null past the last).
+
+    The plan is k conditional-min aggregations: step 1 is a plain groupBy;
+    each later step filters events to the step's type, joins the (small,
+    one-row-per-user) frontier, and takes the min eligible timestamp —
+    every stage shuffles once on user_id and AQE broadcasts the frontier
+    when it fits.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .select("user_id", "ts")
+            .join(cur.select("user_id", F.col(f"t_{i-1}").alias("_prev")), "user_id")
+            .filter(F.col("ts") >= F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    completed = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        completed = completed + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        "user_id",
+        completed.cast("long").alias("steps_completed"),
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(events: DataFrame, bucket: str = "week") -> DataFrame:
+    """Cohort retention table: users grouped by first-activity bucket, then
+    counted per later activity bucket.
+
+    Returns (cohort, offset, n_users): ``cohort`` is each user's first
+    ``date_trunc(bucket)`` period, ``offset`` the whole-period distance of
+    an active bucket from the cohort start, ``n_users`` the distinct users
+    of that cohort active at that offset (offset 0 row = cohort size).
+    Two shuffles: first-activity groupBy, then the (user, bucket) distinct
+    + join + count — the join side of cohorts is one row per user.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc(bucket, F.min("ts")).alias("cohort")
+    )
+    active = (
+        events.select(
+            "user_id", F.date_trunc(bucket, F.col("ts")).alias("b")
+        ).distinct()
+    )
+    per = active.join(firsts, "user_id").select(
+        "user_id",
+        "cohort",
+        (
+            F.floor(
+                (
+                    F.unix_timestamp(F.col("b").cast("timestamp"))
+                    - F.unix_timestamp(F.col("cohort").cast("timestamp"))
+                )
+                / F.lit(604800 if bucket == "week" else 86400)
+            )
+        ).cast("long").alias("offset"),
+    )
+    return (
+        per.groupBy("cohort", "offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_len: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Most common session paths: the ordered event-type sequence of each
+    session (first ``max_len`` events, '>'-joined), counted across sessions.
+
+    Sessionization reuses :func:`sessionize`; the per-session sequence is a
+    sort_array(collect_list(struct(ts, event_id, type))) bounded by
+    ``max_len`` — state per group is capped, so a runaway session cannot
+    blow an aggregation buffer. Returns (path, n_sessions) with
+    ``n_sessions >= min_count``.
+    """
+    sess = sessionize(events, gap_minutes=gap_minutes)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    seq = (
+        sess.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_len)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("_rn").alias("r"), F.col("event_type").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_count)
+    )

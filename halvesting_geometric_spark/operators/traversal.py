@@ -332,3 +332,82 @@ def ego_subgraph(
         .select("src", "dst")
     )
     return members, induced
+
+
+def hitting_probability(
+    edges: DataFrame,
+    vertices: DataFrame,
+    targets: DataFrame | list[int],
+    steps: int,
+) -> DataFrame:
+    """Absorbing-random-walk hitting probability: for every vertex, the
+    probability a uniform out-edge walk reaches the target set within
+    ``steps`` steps (targets absorb: h=1 always; dangling non-targets
+    never hit: h=0).
+
+    Recurrence h_i(v) = 1 if v ∈ T else Σ_{(v,u) ∈ E} h_{i-1}(u) / outdeg(v),
+    h_0 = [v ∈ T] — the same gather-scatter superstep as PageRank with the
+    target rows pinned, so the per-iteration plan is one join on the
+    edge destination + one groupBy on the source (shuffles on vertex id,
+    AQE-planned), with per-round lineage truncation. Returns
+    (vertex_id, hit_prob: double).
+    """
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    spark = edges.sparkSession
+    if isinstance(targets, (list, tuple)):
+        targets = spark.createDataFrame(
+            [(int(t),) for t in targets], "vertex_id long"
+        )
+    tset = (
+        targets.select("vertex_id")
+        .distinct()
+        .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    topo = edges.select("src", "dst").join(outdeg, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    topo.count()
+    # h_0: exactly the target indicator (join-based; no driver-side id list)
+    h = (
+        vertices.select("vertex_id")
+        .join(tset.withColumn("_t", F.lit(1)), "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.when(F.col("_t").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("hit_prob"),
+        )
+    )
+    prev_cp = None
+    for _ in range(steps):
+        gathered = (
+            topo.join(
+                h.select(F.col("vertex_id").alias("dst"), "hit_prob"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("hit_prob") / F.col("od")).alias("_g"))
+        )
+        nxt = (
+            vertices.select("vertex_id")
+            .join(gathered.select(F.col("src").alias("vertex_id"), "_g"),
+                  "vertex_id", "left")
+            .join(tset.withColumn("_t", F.lit(1)), "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.when(F.col("_t").isNotNull(), F.lit(1.0))
+                .otherwise(F.coalesce(F.col("_g"), F.lit(0.0)))
+                .alias("hit_prob"),
+            )
+        )
+        h = nxt.localCheckpoint(eager=True)
+        if prev_cp is not None:
+            prev_cp.unpersist()
+        prev_cp = h
+    out = h.select("vertex_id", "hit_prob")
+    out = out.localCheckpoint(eager=True)
+    topo.unpersist()
+    tset.unpersist()
+    return out
