@@ -1964,6 +1964,51 @@ def _q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("from_role", "to_role", "n", "sum_gap_us")
 
 
+def _q_tool_seq2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call bigram mining over the transcripts' tool-bearing turns:
+    'what does the agent call after X?' — one conversation-bounded window +
+    one map-side-combined groupBy."""
+    from halvesting_geometric_spark.operators.dialogue import tool_sequences
+
+    tr = derived_transcripts(spark, sf_dir)
+    return tool_sequences(tr, n=2)
+
+
+def _q_tool_runs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent retry-loop detector: maximal runs of >= 2 consecutive identical
+    tool calls per conversation (gaps-and-islands, two conversation-bounded
+    windows)."""
+    from halvesting_geometric_spark.operators.dialogue import tool_runs
+
+    tr = derived_transcripts(spark, sf_dir)
+    r = tool_runs(tr, min_len=2)
+    return r.select(
+        "conv_id",
+        "tool",
+        F.col("start_idx").cast("long").alias("start_idx"),
+        "run_len",
+    )
+
+
+def _q_hll_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers for distinct-users-per-event-type, lgk=8,
+    portable hash — the sketch state itself is pure integer arithmetic, so
+    the gate pins it bit-for-bit (estimator accuracy is pinned by pytest;
+    its ln() is libm-dependent and stays out of the cross-engine hash)."""
+    from halvesting_geometric_spark.operators.sketch import hll_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    s = hll_sketch(
+        ev, "user_id", group_cols=("event_type",), lgk=8,
+        hash_method="portable",
+    )
+    return s.select(
+        "event_type",
+        F.col("reg").cast("long").alias("reg"),
+        F.col("rho").cast("long").alias("rho"),
+    )
+
+
 def _q_pmi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-2 word co-occurrence counts + PMI ratio over documents. The
     gate pins cnt and ratio_e4 = floor(ratio·1e4 + 0.5); ratio is a fixed
@@ -2217,6 +2262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi2": _q_pmi2,
         "role_trans": _q_role_trans,
         "turn_gaps": _q_turn_gaps,
+        "tool_seq2": _q_tool_seq2,
+        "tool_runs2": _q_tool_runs2,
+        "hll_regs": _q_hll_regs,
         "winnow": _q_winnow,
         "winnow_pairs": _q_winnow_pairs,
         "eigencent6": _q_eigencent6,
@@ -4341,6 +4389,44 @@ WITH pr AS (
 SELECT from_role, to_role, COUNT(*) AS n,
        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
 FROM pr WHERE to_role IS NOT NULL GROUP BY 1, 2""",
+        "tool_seq2": """
+WITH t AS (
+  SELECT user_id % 53 AS conv, ts, event_id,
+         't' || CAST(event_id % 7 AS VARCHAR) AS tool
+  FROM events WHERE event_id % 3 = 0),
+pr AS (
+  SELECT tool AS a,
+         lead(tool) OVER (PARTITION BY conv ORDER BY ts, event_id) AS b
+  FROM t)
+SELECT a || '>' || b AS gram, COUNT(*) AS cnt
+FROM pr WHERE b IS NOT NULL GROUP BY 1""",
+        "tool_runs2": """
+WITH tr AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,
+         row_number() OVER (PARTITION BY user_id % 53
+                            ORDER BY ts, event_id) - 1 AS turn_idx,
+         CASE WHEN event_id % 3 = 0
+              THEN 't' || CAST(event_id % 7 AS VARCHAR) ELSE '' END AS tool
+  FROM events),
+t AS (SELECT conv_id, tool, turn_idx FROM tr WHERE tool <> ''),
+isl AS (
+  SELECT conv_id, tool, turn_idx,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+           AS g
+  FROM t)
+SELECT conv_id, tool, MIN(turn_idx) AS start_idx, COUNT(*) AS run_len
+FROM isl GROUP BY conv_id, tool, g HAVING COUNT(*) >= 2""",
+        "hll_regs": f"""
+WITH h AS (
+  SELECT event_type,
+         {portable_hash64_sql("user_id", seed=0)} AS h
+  FROM events),
+rr AS (SELECT event_type, h % 256 AS reg, h // 256 AS w FROM h)
+SELECT event_type, reg,
+       CAST(MAX(CASE WHEN w = 0 THEN 53
+                     ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
+FROM rr GROUP BY event_type, reg""",
         "winnow": f"""
 WITH {_winnow_sel_sql(3, 4)}
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp

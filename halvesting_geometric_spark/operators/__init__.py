@@ -27,6 +27,8 @@ from halvesting_geometric_spark.operators.cooccur import (
 )
 from halvesting_geometric_spark.operators.dialogue import (
     role_transitions,
+    tool_runs,
+    tool_sequences,
     turn_gaps,
 )
 from halvesting_geometric_spark.operators.dag import (
@@ -67,8 +69,12 @@ from halvesting_geometric_spark.operators.bpe import (
 from halvesting_geometric_spark.operators.sketch import (
     cms_estimate,
     cms_merge,
+    approx_distinct,
     count_min_sketch,
     heavy_hitters,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
 )
 from halvesting_geometric_spark.operators.scc import (
     condensation,
@@ -242,6 +248,8 @@ __all__ = [
     "pca_project",
     "random_walks",
     "role_transitions",
+    "tool_runs",
+    "tool_sequences",
     "turn_gaps",
     "sample_frames",
     "sample_neighbors",
@@ -280,8 +288,12 @@ __all__ = [
     "topological_levels",
     "cms_estimate",
     "cms_merge",
+    "approx_distinct",
     "count_min_sketch",
     "heavy_hitters",
+    "hll_estimate",
+    "hll_merge",
+    "hll_sketch",
     "salsa",
     "reciprocity",
     "rich_club",

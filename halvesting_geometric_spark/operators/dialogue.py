@@ -15,6 +15,21 @@ exact integer microsecond sums and counts (no distributed float sums, so
 results are order-independent and cross-engine reproducible) plus the
 derived mean for convenience.
 
+``tool_sequences``: frequent n-grams over the TOOL column of tool-bearing
+turns — "what does the agent call after X?" mined as one window + one
+map-side-combined groupBy. The window shuffle is bounded by conversation
+size (a conversation fits a partition buffer by construction — turns per
+conversation is thousands, not billions), so the op scales linearly in
+conversations.
+
+``tool_runs``: maximal runs of consecutive identical tool calls inside a
+conversation — the classic gaps-and-islands rewrite (two ``row_number``s
+whose difference is constant within a run), used to flag agent retry
+loops. The two windows partition by (conv) and (conv, tool): the second
+exchange hash-partitions on a superset key of the first, so data already
+grouped by conversation co-locates and both sorts are bounded by
+conversation size.
+
 Reference analog: none (the reference never looks at turn adjacency);
 engine-new for the transcripts axis.
 """
@@ -91,4 +106,81 @@ def turn_gaps(
         (F.col("sum_gap_us").cast("double") / F.col("n").cast("double")).alias(
             "mean_gap_us"
         ),
+    )
+
+def tool_sequences(
+    tr: DataFrame,
+    n: int = 2,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    min_count: int = 1,
+) -> DataFrame:
+    """(gram, cnt): frequency of every n-gram of consecutive TOOL calls.
+
+    Rows whose ``tool`` is empty/null (non-tool turns) are dropped FIRST, so
+    adjacency is over the tool-call subsequence of each conversation — the
+    sequence an agent-behaviour analyst actually asks about. The gram is the
+    '>'-joined tool chain (e.g. ``t1>t4``); grams never span conversations.
+
+    Plan shape: filter (pushed to the scan) → one window partitioned by
+    conversation → groupBy with map-side partial aggregation. No UDFs.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    t = tr.filter(
+        F.col(tool_col).isNotNull() & (F.col(tool_col) != "")
+    ).select(conv_col, *order_cols, tool_col)
+    steps = [F.col(tool_col)] + [
+        F.lead(tool_col, i).over(w) for i in range(1, n)
+    ]
+    grams = t.select(F.concat_ws(">", *steps).alias("gram"), *[
+        s.alias(f"_s{i}") for i, s in enumerate(steps)
+    ][n - 1:])
+    # the last lead is null on the tail of each conversation: drop partials
+    grams = grams.filter(F.col(f"_s{n - 1}").isNotNull()).select("gram")
+    out = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out
+
+
+def tool_runs(
+    tr: DataFrame,
+    min_len: int = 2,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """(conv_id, tool, start_idx, run_len): maximal runs of >= min_len
+    CONSECUTIVE identical tool calls within a conversation — the retry-loop
+    detector. Gaps-and-islands: among tool-bearing turns ordered by turn,
+    ``row_number() - row_number() per tool`` is constant exactly within a
+    run; grouping on that island id yields one row per maximal run.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    order = [F.col(c) for c in order_cols]
+    w_all = Window.partitionBy(conv_col).orderBy(*order)
+    w_tool = Window.partitionBy(conv_col, tool_col).orderBy(*order)
+    t = tr.filter(
+        F.col(tool_col).isNotNull() & (F.col(tool_col) != "")
+    ).select(conv_col, *order_cols, tool_col)
+    islands = t.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(tool_col).alias("tool"),
+        F.col(order_cols[0]).alias("_ord"),
+        (F.row_number().over(w_all) - F.row_number().over(w_tool)).alias(
+            "_isl"
+        ),
+    )
+    return (
+        islands.groupBy("conv_id", "tool", "_isl")
+        .agg(
+            F.min("_ord").alias("start_idx"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select("conv_id", "tool", "start_idx", "run_len")
     )

@@ -8,6 +8,9 @@ arithmetic that both Spark and ANSI SQL evaluate identically:
 
 - ``conv_id`` = ``'c' || lpad(user_id % 53, 6, '0')``
 - ``text``    embeds one marker ``[[ref:c<lpad(event_id % 211)>]]``
+- ``tool``    = ``'t' || (event_id % 7)`` on every third event
+  (``event_id % 3 = 0``), else ``''`` — a deterministic stand-in for
+  agent tool-call turns so the tool-sequence analytics are exercisable
 
 so the conversation graph has ≤211 vertices, power-from-the-data edge
 multiplicity, and the whole pipeline (marker extraction → vertex-set
@@ -50,13 +53,17 @@ def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    tool = F.when(
+        (F.col("event_id") % 3) == 0,
+        F.concat(F.lit("t"), (F.col("event_id") % 7).cast("string")),
+    ).otherwise(F.lit(""))
     w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     return (
         ev.select(
             conv.alias("conv_id"),
             F.col("event_type").alias("role"),
             text.alias("text"),
-            F.lit("").alias("tool"),
+            tool.alias("tool"),
             F.col("ts"),
             F.col("event_id"),
         )

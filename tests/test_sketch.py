@@ -172,3 +172,100 @@ def test_streaming_sketch_matches_batch_and_resumes(spark, tmp_path):
     }
     want2 = {(r["row"], r["bucket"]): r["cnt"] for r in batch2.collect()}
     assert fold2 == want2
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_at_lgk12(spark):
+    from halvesting_geometric_spark.operators.sketch import approx_distinct
+
+    n = 5000
+    df = spark.range(0, n * 3).selectExpr("concat('k', id % 5000) AS k")
+    est = approx_distinct(df, "k", lgk=12).first()["approx_distinct"]
+    # stderr ~ 1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(est - n) / n < 0.065
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from halvesting_geometric_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    a = spark.range(0, 4000).selectExpr("concat('k', id) AS k")
+    b = spark.range(2000, 7000).selectExpr("concat('k', id) AS k")
+    sa, sb = hll_sketch(a, "k", lgk=10), hll_sketch(b, "k", lgk=10)
+    merged = hll_merge(sa, sb)
+    whole = hll_sketch(a.union(b), "k", lgk=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # idempotent: folding a sketch with itself changes nothing
+    twice = hll_merge(merged, merged)
+    assert sorted(map(tuple, twice.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = hll_estimate(merged, lgk=10).first()["approx_distinct"]
+    assert abs(est - 7000) / 7000 < 0.15  # 4+ sigma at m=1024
+
+
+def test_hll_small_range_linear_counting_is_tight(spark):
+    from halvesting_geometric_spark.operators.sketch import approx_distinct
+
+    df = spark.range(0, 500).selectExpr("concat('u', id % 25) AS k")
+    est = approx_distinct(df, "k", lgk=12).first()["approx_distinct"]
+    assert abs(est - 25) < 1.0
+
+
+def test_hll_grouped_tracks_exact_per_group(spark):
+    from halvesting_geometric_spark.operators.sketch import approx_distinct
+
+    df = spark.range(0, 20000).selectExpr(
+        "id % 4 AS g", "concat('v', id % (1000 * (1 + id % 4))) AS k"
+    )
+    exact = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("k").alias("d"))
+        .collect()
+    }
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in approx_distinct(df, "k", group_cols=("g",), lgk=12).collect()
+    }
+    assert set(got) == set(exact)
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e < 0.1
+
+
+def test_hll_portable_matches_python_replica(spark):
+    """The portable-hash register table is bit-reproducible outside Spark."""
+    from halvesting_geometric_spark.operators.sketch import hll_sketch
+
+    vals = [f"u{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = sorted(
+        (r["reg"], r["rho"])
+        for r in hll_sketch(df, "k", lgk=6, hash_method="portable").collect()
+    )
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = _py_portable(v, 0)  # already 60-bit
+        reg, w = h % 64, h >> 6
+        rho = (60 - 6) + 1 - w.bit_length() if w else (60 - 6) + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    assert got == sorted(regs.items())
+
+
+def test_hll_rejects_bad_lgk(spark):
+    from halvesting_geometric_spark.operators.sketch import hll_sketch
+
+    df = spark.range(1).selectExpr("'x' AS k")
+    with pytest.raises(ValueError):
+        hll_sketch(df, "k", lgk=3)
+    with pytest.raises(ValueError):
+        hll_sketch(df, "k", lgk=17)
