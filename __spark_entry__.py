@@ -2009,6 +2009,34 @@ def _q_hll_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over distinct event users (m=4096 bits, k=3, portable
+    hash): the sparse set-position table, bit-exact cross-engine. The
+    probe/merge laws are pinned by pytest (tests/test_sketch.py)."""
+    from halvesting_geometric_spark.operators.sketch import bloom_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return bloom_sketch(
+        ev, "user_id", m_bits=4096, k=3, hash_method="portable"
+    )
+
+
+def _q_zorder10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values (bits=10) of (user_id % 1024, event_id % 1024) with
+    multiplicity — the layout-clustering key as pure codegen integer
+    arithmetic; the per-file min/max-box payoff is pinned by pytest
+    (tests/test_layout.py)."""
+    from halvesting_geometric_spark.operators.layout import zorder_value
+
+    ev = load_table(spark, sf_dir, "events")
+    z = ev.select(
+        zorder_value(
+            F.col("user_id") % 1024, F.col("event_id") % 1024, bits=10
+        ).alias("z")
+    )
+    return z.groupBy("z").agg(F.count("*").alias("cnt"))
+
+
 def _q_pmi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-2 word co-occurrence counts + PMI ratio over documents. The
     gate pins cnt and ratio_e4 = floor(ratio·1e4 + 0.5); ratio is a fixed
@@ -2265,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_seq2": _q_tool_seq2,
         "tool_runs2": _q_tool_runs2,
         "hll_regs": _q_hll_regs,
+        "bloom_pos": _q_bloom_pos,
+        "zorder10": _q_zorder10,
         "winnow": _q_winnow,
         "winnow_pairs": _q_winnow_pairs,
         "eigencent6": _q_eigencent6,
@@ -4208,6 +4238,9 @@ writes AS (
 
 def oracle_sql() -> dict[str, str]:
     from halvesting_geometric_spark.functions import portable_hash64_sql
+    from halvesting_geometric_spark.operators.layout import zorder_sql
+
+    _zorder_sql_expr = zorder_sql("x", "y", bits=10)
 
     return {
         "eigencent6": _eigencent_sql(6),
@@ -4427,6 +4460,20 @@ SELECT event_type, reg,
        CAST(MAX(CASE WHEN w = 0 THEN 53
                      ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
 FROM rr GROUP BY event_type, reg""",
+        "bloom_pos": f"""
+SELECT DISTINCT pos FROM (
+  SELECT {portable_hash64_sql("CAST(user_id AS VARCHAR)", seed=0)} % 4096
+    AS pos FROM events
+  UNION ALL
+  SELECT {portable_hash64_sql("CAST(user_id AS VARCHAR)", seed=1)} % 4096
+    FROM events
+  UNION ALL
+  SELECT {portable_hash64_sql("CAST(user_id AS VARCHAR)", seed=2)} % 4096
+    FROM events)""",
+        "zorder10": f"""
+SELECT {_zorder_sql_expr} AS z, COUNT(*) AS cnt
+FROM (SELECT user_id % 1024 AS x, event_id % 1024 AS y FROM events)
+GROUP BY 1""",
         "winnow": f"""
 WITH {_winnow_sel_sql(3, 4)}
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp

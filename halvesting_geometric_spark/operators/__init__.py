@@ -43,6 +43,11 @@ from halvesting_geometric_spark.operators.ivf import (
     kmeans_fit,
     seed_centroids,
 )
+from halvesting_geometric_spark.operators.layout import (
+    cluster_by_zorder,
+    zorder_sql,
+    zorder_value,
+)
 from halvesting_geometric_spark.operators.labelprop import label_propagation
 from halvesting_geometric_spark.operators.pq import (
     pq_adc_rerank_topk,
@@ -70,6 +75,9 @@ from halvesting_geometric_spark.operators.sketch import (
     cms_estimate,
     cms_merge,
     approx_distinct,
+    bloom_merge,
+    bloom_probe,
+    bloom_sketch,
     count_min_sketch,
     heavy_hitters,
     hll_estimate,
@@ -247,6 +255,9 @@ __all__ = [
     "pca",
     "pca_project",
     "random_walks",
+    "cluster_by_zorder",
+    "zorder_sql",
+    "zorder_value",
     "role_transitions",
     "tool_runs",
     "tool_sequences",
@@ -289,6 +300,9 @@ __all__ = [
     "cms_estimate",
     "cms_merge",
     "approx_distinct",
+    "bloom_merge",
+    "bloom_probe",
+    "bloom_sketch",
     "count_min_sketch",
     "heavy_hitters",
     "hll_estimate",

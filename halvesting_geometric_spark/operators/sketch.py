@@ -298,3 +298,96 @@ def approx_distinct(
         group_cols,
         lgk,
     )
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable approximate membership
+# (Bloom, CACM 1970; partitioned-position variant — public knowledge)
+# ---------------------------------------------------------------------------
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: tuple[str, ...] = (),
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Sparse Bloom filter per group: (group..., pos) — the DISTINCT set of
+    set bit positions. Sparse representation keeps the op a plain
+    aggregation: the shuffle per group is capped at ``m_bits`` rows no
+    matter how many input rows hash into it (map-side distinct folds
+    duplicates), and merging filters over disjoint or overlapping data is
+    just union+distinct (:func:`bloom_merge`) — associative, commutative,
+    idempotent, the property that lets per-partition / per-day partials
+    fold in any order at 100 TB.
+
+    ``k`` independent positions per key come from seeding the selected
+    64-bit hash with ``0..k-1`` (same convention as the count-min rows).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    kc = _key_col(key).cast("string")
+    pos = F.explode(
+        F.array(*[_bucket(hash_method, kc, d, m_bits) for d in range(k)])
+    ).alias("pos")
+    return df.select(*group_cols, pos).distinct()
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of set positions — folding filters built over any data split."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    key: Column | str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    hash_method: str = "xxhash64",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append boolean ``maybe_present``: True iff ALL ``k`` positions of the
+    key are set (never a false negative; false-positive odds ~
+    (1-e^{-kn/m})^k). Distributed probe: k candidate rows per input row
+    semi-matched against the (bounded, often broadcastable) position table,
+    then ``count == k`` per row — no driver-side bitmap, no UDF. The classic
+    100 TB use: build the filter on the small join side, probe-prune the big
+    side before the real shuffle join."""
+    kc = _key_col(key).cast("string")
+    probe = df.select(
+        *group_cols,
+        kc.alias("_bk"),
+    ).distinct()
+    cand = probe.select(
+        *group_cols,
+        "_bk",
+        F.explode(
+            F.array(
+                *[_bucket(hash_method, F.col("_bk"), d, m_bits) for d in range(k)]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        cand.join(bloom, [*group_cols, "pos"], "left_semi")
+        .groupBy(*group_cols, "_bk")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .select(*group_cols, "_bk", F.lit(True).alias("maybe_present"))
+    )
+    return (
+        df.withColumn("_bk", kc)
+        .join(hits, [*group_cols, "_bk"], "left")
+        .withColumn(
+            "maybe_present", F.coalesce(F.col("maybe_present"), F.lit(False))
+        )
+        .drop("_bk")
+    )

@@ -269,3 +269,100 @@ def test_hll_rejects_bad_lgk(spark):
         hll_sketch(df, "k", lgk=3)
     with pytest.raises(ValueError):
         hll_sketch(df, "k", lgk=17)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_false_negative(spark):
+    from halvesting_geometric_spark.operators.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    present = spark.range(0, 500).selectExpr("concat('k', id) AS k")
+    bloom = bloom_sketch(present, "k", m_bits=4096, k=3)
+    probed = bloom_probe(present, "k", bloom, m_bits=4096, k=3)
+    assert probed.filter("NOT maybe_present").count() == 0
+
+
+def test_bloom_false_positive_rate_tracks_theory(spark):
+    import math
+
+    from halvesting_geometric_spark.operators.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    m, k, n = 4096, 3, 500
+    present = spark.range(0, n).selectExpr("concat('k', id) AS k")
+    absent = spark.range(0, 2000).selectExpr("concat('absent', id) AS k")
+    bloom = bloom_sketch(present, "k", m_bits=m, k=k)
+    fp = (
+        bloom_probe(absent, "k", bloom, m_bits=m, k=k)
+        .filter("maybe_present")
+        .count()
+    )
+    theory = (1.0 - math.exp(-k * n / m)) ** k  # ~0.029
+    rate = fp / 2000
+    assert rate < 3 * theory, (rate, theory)
+
+
+def test_bloom_merge_equals_sketch_of_union(spark):
+    from halvesting_geometric_spark.operators.sketch import (
+        bloom_merge,
+        bloom_sketch,
+    )
+
+    a = spark.range(0, 300).selectExpr("concat('k', id) AS k")
+    b = spark.range(200, 600).selectExpr("concat('k', id) AS k")
+    merged = bloom_merge(
+        bloom_sketch(a, "k", m_bits=2048, k=3),
+        bloom_sketch(b, "k", m_bits=2048, k=3),
+    )
+    whole = bloom_sketch(a.union(b), "k", m_bits=2048, k=3)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in whole.collect()
+    )
+
+
+def test_bloom_grouped_membership_is_per_group(spark):
+    from halvesting_geometric_spark.operators.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    rows = [("a", "x1"), ("a", "x2"), ("b", "y1")]
+    df = spark.createDataFrame(rows, "g string, k string")
+    bloom = bloom_sketch(df, "k", group_cols=("g",), m_bits=1024, k=3)
+    probe = spark.createDataFrame(
+        [("a", "x1"), ("b", "x1"), ("b", "y1"), ("a", "y1")],
+        "g string, k string",
+    )
+    got = {
+        (r["g"], r["k"]): r["maybe_present"]
+        for r in bloom_probe(
+            probe, "k", bloom, m_bits=1024, k=3, group_cols=("g",)
+        ).collect()
+    }
+    assert got[("a", "x1")] is True and got[("b", "y1")] is True
+    assert got[("b", "x1")] is False and got[("a", "y1")] is False
+
+
+def test_bloom_portable_positions_match_python(spark):
+    from halvesting_geometric_spark.operators.sketch import bloom_sketch
+
+    vals = [f"v{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = sorted(
+        r["pos"]
+        for r in bloom_sketch(
+            df, "k", m_bits=512, k=2, hash_method="portable"
+        ).collect()
+    )
+    want = sorted(
+        {_py_portable(v, d) % 512 for v in vals for d in range(2)}
+    )
+    assert got == want
