@@ -69,3 +69,64 @@ def read_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         ["batch_id", "row", "bucket"]
     )
     return parts.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog — approximate distinct over an unbounded stream
+# ---------------------------------------------------------------------------
+
+
+def stream_hll_available_now(
+    spark: SparkSession,
+    input_path: str,
+    hll_path: str,
+    checkpoint_path: str,
+    schema: StructType | str,
+    key: Column | str,
+    group_cols: tuple[str, ...] = (),
+    lgk: int = 12,
+    hash_method: str = "xxhash64",
+) -> None:
+    """Drain all currently-available input files, appending one partial HLL
+    register table (group..., reg, rho) per micro-batch. Unlike the CMS
+    fold, register MAX is IDEMPOTENT, so a crash-replayed append cannot
+    change the folded result — no batch_id bookkeeping is needed; the
+    appended partials are simply unioned and re-maxed at read time. State
+    per group is bounded by batches·2^lgk rows on disk and 2^lgk after
+    fold."""
+    from halvesting_geometric_spark.operators.sketch import hll_sketch
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_sketch(
+                batch_df, key, group_cols=group_cols, lgk=lgk,
+                hash_method=hash_method,
+            )
+            .write.mode("append")
+            .parquet(hll_path)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll(
+    spark: SparkSession,
+    hll_path: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold appended register partials into the merged sketch — identical to
+    the batch sketch of the union of all drained input (MAX is associative,
+    commutative, idempotent)."""
+    return (
+        spark.read.parquet(hll_path)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )

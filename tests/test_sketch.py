@@ -366,3 +366,43 @@ def test_bloom_portable_positions_match_python(spark):
         {_py_portable(v, d) % 512 for v in vals for d in range(2)}
     )
     assert got == want
+
+
+def test_stream_hll_folds_to_batch_sketch(spark, tmp_path):
+    from halvesting_geometric_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from halvesting_geometric_spark.streaming.sketch import (
+        read_hll,
+        stream_hll_available_now,
+    )
+
+    in_dir, hll_dir, ck_dir = (
+        str(tmp_path / d) for d in ("in", "hll", "ck")
+    )
+    rows = [(i, f"user_{i % 40}") for i in range(200)]
+    spark.createDataFrame(rows, "row_id long, u string").write.parquet(in_dir)
+    stream_hll_available_now(
+        spark, in_dir, hll_dir, ck_dir, "row_id long, u string", "u", lgk=8
+    )
+    want = sorted(
+        map(tuple, hll_sketch(spark.read.parquet(in_dir), "u", lgk=8).collect())
+    )
+    assert sorted(map(tuple, read_hll(spark, hll_dir).collect())) == want
+
+    # new files land; re-drain folds only the delta, registers stay exact
+    rows2 = [(i, f"user_{i % 90}") for i in range(200, 450)]
+    spark.createDataFrame(rows2, "row_id long, u string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_hll_available_now(
+        spark, in_dir, hll_dir, ck_dir, "row_id long, u string", "u", lgk=8
+    )
+    want2 = sorted(
+        map(tuple, hll_sketch(spark.read.parquet(in_dir), "u", lgk=8).collect())
+    )
+    folded = read_hll(spark, hll_dir)
+    assert sorted(map(tuple, folded.collect())) == want2
+    est = hll_estimate(folded, lgk=8).first()["approx_distinct"]
+    assert abs(est - 90) / 90 < 0.25
