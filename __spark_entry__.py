@@ -2009,6 +2009,42 @@ def _q_hll_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact AUROC (Mann-Whitney rank-sum on the per-score
+    histogram, tie-aware) over a deterministic scoring: score = event_id %
+    997, label = user_id % 2 — the reference's BinaryAUROC quality metric
+    (modeling_link_prediction.py:112) as one aggregation. Gate runs the
+    scalable two-phase prefix-sum path; e6 fixed-point pins the one
+    IEEE-deterministic final division."""
+    from halvesting_geometric_spark.operators.metrics import auroc
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_id") % 997).alias("score"),
+        (F.col("user_id") % 2).cast("int").alias("label"),
+    )
+    a = auroc(scored, scalable=True, buckets=64)
+    return a.select(
+        F.floor(F.col("auroc") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("auroc_e6"),
+        "n_pos",
+        "n_neg",
+    )
+
+
+def _q_decontam5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any distinct word
+    5-gram with the deterministic pseudo-benchmark (doc_id % 97 == 0).
+    Broadcast shingle-set semi-join + one groupBy — the n=13 pipeline
+    hygiene step at gate-testable n."""
+    from halvesting_geometric_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
 def _q_bloom_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over distinct event users (m=4096 bits, k=3, portable
     hash): the sparse set-position table, bit-exact cross-engine. The
@@ -2295,6 +2331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_regs": _q_hll_regs,
         "bloom_pos": _q_bloom_pos,
         "zorder10": _q_zorder10,
+        "decontam5": _q_decontam5,
+        "auroc_events": _q_auroc,
         "winnow": _q_winnow,
         "winnow_pairs": _q_winnow_pairs,
         "eigencent6": _q_eigencent6,
@@ -4460,6 +4498,46 @@ SELECT event_type, reg,
        CAST(MAX(CASE WHEN w = 0 THEN 53
                      ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
 FROM rr GROUP BY event_type, reg""",
+        "auroc_events": """
+WITH src AS (
+  SELECT event_id % 997 AS s, CAST(user_id % 2 AS INTEGER) AS y FROM events),
+hist AS (
+  SELECT s, SUM(y) AS p_s, SUM(1 - y) AS n_s FROM src GROUP BY s),
+cum AS (
+  SELECT p_s, n_s,
+         COALESCE(SUM(n_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM hist),
+agg AS (
+  SELECT SUM(p_s * nb) AS wins, SUM(p_s * n_s) AS ties,
+         SUM(p_s) AS np, SUM(n_s) AS nn
+  FROM cum)
+SELECT CAST(FLOOR((CAST(wins AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
+                  / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS auroc_e6,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM agg""",
+        "decontam5": r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, u.s AS shingle FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+4], ' ')
+                          for i in range(1, greatest(len(toks) - 4, 1) + 1)])
+             AS shl
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+  ) x, unnest(x.shl) AS u(s)
+  WHERE u.s <> ''),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+hits AS (
+  SELECT sh.id, COUNT(*) AS hits
+  FROM sh JOIN bench b ON b.shingle = sh.shingle
+  GROUP BY sh.id)
+SELECT d.doc_id AS id,
+       COALESCE(h.hits, 0) AS hits,
+       COALESCE(h.hits, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN hits h ON h.id = d.doc_id""",
         "bloom_pos": f"""
 SELECT DISTINCT pos FROM (
   SELECT {portable_hash64_sql("CAST(user_id AS VARCHAR)", seed=0)} % 4096

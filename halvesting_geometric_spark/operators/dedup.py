@@ -419,3 +419,54 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (id, hits, contaminated) per training doc.
+
+    The standard LLM-corpus hygiene step (n-gram overlap flagging, n=13 in
+    the GPT-3/PaLM/Gopher pipelines — public papers): a training document is
+    contaminated when it shares >= ``min_hits`` distinct word ``n``-grams
+    with ANY benchmark document. Both sides shingle with
+    :func:`word_shingles` (pure codegen array ops); the benchmark shingle
+    set is deduped and — being eval-set sized, i.e. tiny next to a 100 TB
+    corpus — broadcast, so the flagging pass is one scan of the training
+    side with a map-side hash-join + one groupBy. Set
+    ``broadcast_benchmark=False`` for an unusually large benchmark side and
+    the join plans as a regular shuffle join.
+
+    ``hits`` counts DISTINCT overlapping n-grams (shingles are distinct per
+    doc), so thresholded policies ("drop if >= k colliding 13-grams") are a
+    filter on the output.
+    """
+    d = word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    b = (
+        word_shingles(benchmark, text_col=bench_text_col, id_col=bench_id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    hit = d.join(b, "shingle").groupBy("id").agg(F.count("*").alias("hits"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(hit, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -102,3 +102,111 @@ def rich_club(edges: DataFrame, k: int) -> DataFrame:
             ).alias("phi_e6"),
         )
     )
+
+
+def auroc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols: tuple[str, ...] = (),
+    scalable: bool = False,
+    buckets: int = 1 << 12,
+) -> DataFrame:
+    """Exact AUROC (area under the ROC curve) with proper tie handling.
+
+    The reference's quality metric (BinaryAUROC,
+    /root/reference/halvesting_geometric/modules/modeling_link_prediction.py:112,158,183-185)
+    as a DataFrame aggregation: AUROC = P(s_pos > s_neg) + 0.5·P(s_pos =
+    s_neg) over all positive/negative pairs — computed WITHOUT forming the
+    |P|·|N| pair set, via the rank-sum (Mann-Whitney U) identity on the
+    per-distinct-score histogram:
+
+        AUC = sum_s [ p_s · N_below(s) + p_s · n_s / 2 ] / (P · N)
+
+    ``scalable=False`` (default — validation scale) takes the prefix sum
+    ``N_below`` with an unpartitioned window over DISTINCT scores: tiny
+    state for discretized scores, a single-task sort otherwise.
+    ``scalable=True`` replaces the global window with the engine's
+    two-phase pattern (same shape as ids.dense_ids two-phase): hash scores
+    into ``buckets`` RANGE buckets via fixed-point quantization is wrong
+    for arbitrary floats, so phase 1 range-partitions distinct scores and
+    computes per-partition negative totals (driver sees ``buckets``-bounded
+    counts), phase 2 adds each partition's offset locally — no global
+    sort, no single-task window.
+
+    Returns one row (group..., auroc double, n_pos, n_neg). Degenerate
+    groups (no positives or no negatives) return NULL auroc.
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("int")
+    hist = (
+        scored.select(*group_cols, s.alias("_s"), y.alias("_y"))
+        .groupBy(*group_cols, "_s")
+        .agg(
+            F.sum("_y").alias("p_s"),
+            F.sum(1 - F.col("_y")).alias("n_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    if not scalable:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        hist = hist.withColumn(
+            "n_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+        )
+    else:
+        # two-phase prefix sum over range partitions of the score axis
+        parts = hist.repartitionByRange(buckets, *group_cols, F.col("_s"))
+        parts = parts.withColumn("_pid", F.spark_partition_id())
+        # per (group, partition) negative totals — bounded rows to shuffle
+        totals = (
+            parts.groupBy(*group_cols, "_pid")
+            .agg(F.sum("n_s").alias("_tn"), F.min("_s").alias("_lo"))
+        )
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_lo", "_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn(
+            "_off", F.coalesce(F.sum("_tn").over(w_off), F.lit(0))
+        ).select(*group_cols, "_pid", "_off")
+        w_in = (
+            Window.partitionBy(*group_cols, "_pid")
+            .orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        hist = (
+            parts.withColumn(
+                "_local", F.coalesce(F.sum("n_s").over(w_in), F.lit(0))
+            )
+            .join(offsets, [*group_cols, "_pid"])
+            .withColumn("n_below", F.col("_local") + F.col("_off"))
+        )
+    # decimal accumulators: p_s·n_below can exceed 2^63 at extreme scale
+    # and ANSI mode would throw on a long sum; decimal(38,0) stays exact
+    out = hist.groupBy(*group_cols).agg(
+        F.sum(
+            F.col("p_s").cast("decimal(38,0)") * F.col("n_below")
+        ).alias("_wins"),
+        F.sum(
+            F.col("p_s").cast("decimal(38,0)") * F.col("n_s")
+        ).alias("_ties"),
+        F.sum("p_s").alias("n_pos"),
+        F.sum("n_s").alias("n_neg"),
+    )
+    auc = (
+        F.col("_wins").cast("double")
+        + F.col("_ties").cast("double") / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return out.select(
+        *group_cols,
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc
+        ).alias("auroc"),
+        "n_pos",
+        "n_neg",
+    )

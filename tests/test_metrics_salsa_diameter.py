@@ -181,3 +181,95 @@ def test_double_sweep_path_graph_exact(spark):
     # depth cap clamps the bound: both sweeps stop at 2 hops
     row2 = double_sweep_diameter(edges, verts, max_depth=2).collect()[0]
     assert row2["diameter_lb"] == 2
+
+
+# ---------------------------------------------------------------------------
+# AUROC
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc(pairs):
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_auroc_exact_with_ties(spark):
+    from halvesting_geometric_spark.operators.metrics import auroc
+
+    pairs = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0), (0.5, 1),
+        (0.5, 0), (0.3, 0), (0.1, 0), (0.9, 0),
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    got = auroc(df).first()
+    assert got["auroc"] == pytest.approx(_brute_auc(pairs), abs=1e-12)
+    assert (got["n_pos"], got["n_neg"]) == (4, 6)
+
+
+def test_auroc_perfect_and_random(spark):
+    from halvesting_geometric_spark.operators.metrics import auroc
+
+    perfect = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(perfect, "score double, label int")
+    assert auroc(df).first()["auroc"] == pytest.approx(1.0)
+    const = [(1.0, i % 2) for i in range(100)]
+    df2 = spark.createDataFrame(const, "score double, label int")
+    assert auroc(df2).first()["auroc"] == pytest.approx(0.5)
+
+
+def test_auroc_degenerate_group_is_null(spark):
+    from halvesting_geometric_spark.operators.metrics import auroc
+
+    rows = [("a", 0.5, 1), ("a", 0.2, 0), ("b", 0.9, 1), ("b", 0.7, 1)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {r["g"]: r["auroc"] for r in auroc(df, group_cols=("g",)).collect()}
+    assert got["a"] == pytest.approx(1.0)
+    assert got["b"] is None
+
+
+def test_auroc_scalable_matches_exact(spark):
+    import random
+
+    from halvesting_geometric_spark.operators.metrics import auroc
+
+    rng = random.Random(7)
+    pairs = [
+        (round(rng.random(), 2), 1 if rng.random() < 0.3 else 0)
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int").repartition(8)
+    a = auroc(df).first()
+    b = auroc(df, scalable=True, buckets=16).first()
+    assert a["auroc"] == pytest.approx(b["auroc"], abs=1e-12)
+    assert a["auroc"] == pytest.approx(_brute_auc(pairs), abs=1e-9)
+    assert (a["n_pos"], a["n_neg"]) == (b["n_pos"], b["n_neg"])
+
+
+def test_auroc_grouped_scalable(spark):
+    import random
+
+    from halvesting_geometric_spark.operators.metrics import auroc
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 3}", float(rng.randint(0, 50)), rng.randint(0, 1))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    want = {
+        g: _brute_auc([(s, y) for gg, s, y in rows if gg == g])
+        for g in ("g0", "g1", "g2")
+    }
+    got = {
+        r["g"]: r["auroc"]
+        for r in auroc(
+            df, group_cols=("g",), scalable=True, buckets=8
+        ).collect()
+    }
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=1e-9), g

@@ -185,3 +185,74 @@ def test_stratified_sample_small_groups_kept_whole(spark):
     df = spark.createDataFrame([("x", "g1"), ("y", "g2")], "id string, g string")
     out = stratified_sample(df, "g", 10, ("id",))
     assert sorted(r["id"] for r in out.collect()) == ["x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_only_ngram_overlap(spark):
+    from halvesting_geometric_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, "I saw the quick brown fox yesterday evening"),
+            (4, "quick brown unrelated fox"),  # shares words, not a 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    # doc1: 'the quick brown' + 'quick brown fox' = 2 hits; doc3 same 2
+    assert got[1] == (2, True)
+    assert got[3] == (2, True)
+    assert got[2] == (0, False)
+    assert got[4] == (0, False)
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from halvesting_geometric_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=2, min_hits=3).collect()
+    }
+    # doc1 shares 3 bigrams -> contaminated; doc2 shares 2 -> clean
+    assert got == {1: True, 2: False}
+
+
+def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    from halvesting_geometric_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} shared tail phrase") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "shared tail phrase")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, decontaminate(docs, bench, n=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate(
+                docs, bench, n=3, broadcast_benchmark=False
+            ).collect(),
+        )
+    )
+    assert a == b and all(r[2] for r in a)
