@@ -36,7 +36,8 @@ ALGORITHMS = (
     "clustering", "stats", "walks", "nf", "mis", "harmonic",
     "betweenness", "coloring", "louvain", "scc", "hh",
     "salsa", "influence", "diameter", "reciprocity", "richclub",
-    "kahn", "critpath", "roletrans",
+    "kahn", "critpath", "roletrans", "toolseq", "toolruns",
+    "distinct", "zorder", "auroc",
 )
 
 
@@ -63,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--iters", type=int, default=10,
                     help="ppr/hits: fixed iteration count")
     ap.add_argument("--k", type=int, default=3,
-                    help="kcore: minimum degree; hh: top-k size")
+                    help="kcore: minimum degree; hh: top-k size; "
+                         "toolruns: minimum run length")
     ap.add_argument("--hh-col", default="role",
                     help="hh: transcripts column to find heavy hitters in")
     ap.add_argument("--weight-col", default=None,
@@ -77,7 +79,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--walk-seed", type=int, default=42,
                     help="walks/mis: hash seed")
     ap.add_argument("--lgk", type=int, default=12,
-                    help="nf: HLL sketch precision (2^lgk bytes/vertex)")
+                    help="nf/distinct: HLL sketch precision (2^lgk registers)")
+    ap.add_argument("--n", type=int, default=2,
+                    help="toolseq: n-gram length")
+    ap.add_argument("--zbits", type=int, default=16,
+                    help="zorder: bits per interleaved dimension")
     ap.add_argument(
         "--aqe-bypass",
         action=argparse.BooleanOptionalAction,
@@ -409,6 +415,55 @@ def main(argv: list[str] | None = None) -> int:
         rt = role_transitions(transcripts)
         rt.write.mode("overwrite").parquet(args.output)
         summary["transitions"] = rt.count()
+    elif args.algorithm == "toolseq":
+        from halvesting_geometric_spark.operators.dialogue import (
+            tool_sequences,
+        )
+
+        ts = tool_sequences(transcripts, n=args.n)
+        ts.write.mode("overwrite").parquet(args.output)
+        summary["grams"] = ts.count()
+    elif args.algorithm == "toolruns":
+        from halvesting_geometric_spark.operators.dialogue import tool_runs
+
+        runs = tool_runs(transcripts, min_len=args.k)
+        runs.write.mode("overwrite").parquet(args.output)
+        summary["runs"] = runs.count()
+    elif args.algorithm == "distinct":
+        from halvesting_geometric_spark.operators.sketch import (
+            approx_distinct,
+        )
+
+        ad = approx_distinct(transcripts, "conv_id", lgk=args.lgk)
+        ad.write.mode("overwrite").parquet(args.output)
+        summary["approx_distinct"] = ad.first()["approx_distinct"]
+    elif args.algorithm == "zorder":
+        from halvesting_geometric_spark.operators.layout import (
+            cluster_by_zorder,
+        )
+        from pyspark.sql import functions as F
+
+        lim = 1 << args.zbits
+        pre = transcripts.select(
+            "*",
+            (F.xxhash64("conv_id") % lim + lim) % lim,
+            (F.col("turn_idx") % lim + lim) % lim,
+        )
+        cols = tuple(pre.columns[-2:])
+        cz = cluster_by_zorder(pre, cols, bits=args.zbits).drop(*cols)
+        cz.write.mode("overwrite").parquet(args.output)
+        summary["rows"] = transcripts.count()
+    elif args.algorithm == "auroc":
+        from halvesting_geometric_spark.operators.metrics import auroc
+        from pyspark.sql import functions as F
+
+        scored = transcripts.select(
+            (F.xxhash64("text") % 997).alias("score"),
+            (F.length("text") % 2).cast("int").alias("label"),
+        )
+        a = auroc(scored, scalable=True)
+        a.write.mode("overwrite").parquet(args.output)
+        summary.update(a.first().asDict())
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))
