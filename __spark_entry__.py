@@ -2009,6 +2009,18 @@ def _q_hll_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line removal (MassiveText/Gopher hygiene step)
+    driven at token granularity (sep=' ', max_occurrences=50) so the tiny
+    gate corpus actually exercises removal + ordered reassembly. The engine
+    groups lines by xxhash64; the oracle groups by the normalized string —
+    identical results absent 64-bit collisions."""
+    from halvesting_geometric_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines(docs, max_occurrences=50, sep=" ")
+
+
 def _q_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact AUROC (Mann-Whitney rank-sum on the per-score
     histogram, tie-aware) over a deterministic scoring: score = event_id %
@@ -2333,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder10": _q_zorder10,
         "decontam5": _q_decontam5,
         "auroc_events": _q_auroc,
+        "line_dedup": _q_line_dedup,
         "winnow": _q_winnow,
         "winnow_pairs": _q_winnow_pairs,
         "eigencent6": _q_eigencent6,
@@ -4498,6 +4511,28 @@ SELECT event_type, reg,
        CAST(MAX(CASE WHEN w = 0 THEN 53
                      ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
 FROM rr GROUP BY event_type, reg""",
+        "line_dedup": """
+WITH ln AS (
+  SELECT doc_id AS id, u.i AS pos, toks[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(range(1, len(toks) + 1)) AS u(i)),
+keyed AS (
+  SELECT id, pos, line,
+         CASE WHEN trim(line) = '' THEN NULL
+              ELSE lower(trim(line)) END AS key
+  FROM ln),
+hot AS (SELECT key FROM keyed WHERE key IS NOT NULL
+        GROUP BY key HAVING COUNT(*) > 50),
+kept AS (SELECT k.id, k.pos, k.line FROM keyed k
+         LEFT JOIN hot h ON h.key = k.key WHERE h.key IS NULL),
+reb AS (SELECT id, string_agg(line, ' ' ORDER BY pos) AS text,
+               COUNT(*) AS n_lines
+        FROM kept GROUP BY id),
+tot AS (SELECT id, COUNT(*) AS total FROM keyed GROUP BY id)
+SELECT t.id, COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines, 0) AS n_lines,
+       t.total - COALESCE(r.n_lines, 0) AS n_removed
+FROM tot t LEFT JOIN reb r ON r.id = t.id""",
         "auroc_events": """
 WITH src AS (
   SELECT event_id % 997 AS s, CAST(user_id % 2 AS INTEGER) AS y FROM events),

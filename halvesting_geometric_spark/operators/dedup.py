@@ -470,3 +470,68 @@ def decontaminate(
             ),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide repeated-LINE removal (id, text, n_lines, n_removed).
+
+    The MassiveText/Gopher hygiene step that document-level dedup cannot
+    express: boilerplate lines (headers, navigation, license blurbs)
+    repeated across MANY distinct documents are dropped from every document
+    once their corpus-wide occurrence count exceeds ``max_occurrences``,
+    then each document is reassembled in original line order.
+
+    Dataflow: posexplode(split) → groupBy(line-hash) count (map-side
+    combined; the count table is per-DISTINCT-line, typically tiny next to
+    the corpus and join-able by hash only) → left_anti-style filter →
+    per-doc ordered reassembly via sort_array(collect_list(struct(pos,
+    line))) — the collect_list buffer is bounded by DOCUMENT size (a doc
+    fits an aggregation buffer by construction), never by corpus size.
+    ``normalize`` compares lines case-folded/trimmed, removal keeps the
+    original text. Empty lines are never counted as boilerplate (they'd hit
+    the cap instantly) and are preserved verbatim.
+    """
+    norm = F.lower(F.trim(F.col("_line"))) if normalize else F.col("_line")
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_key", F.when(F.trim("_line") == "", None).otherwise(
+        F.xxhash64(norm)
+    ))
+    hot = (
+        lines.filter(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_occurrences)
+        .select("_key")
+    )
+    kept = lines.join(hot, "_key", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("_total"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            (F.col("_total") - F.coalesce(F.col("n_lines"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

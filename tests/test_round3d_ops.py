@@ -256,3 +256,73 @@ def test_decontaminate_shuffle_path_matches_broadcast(spark):
         )
     )
     assert a == b and all(r[2] for r in a)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    from halvesting_geometric_spark.operators.dedup import dedup_lines
+
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{boiler}\nbody text A"),
+            (2, f"{boiler}\nbody text B"),
+            (3, f"body text C\n{boiler}"),
+            (4, "unique doc with no boilerplate"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in dedup_lines(docs, max_occurrences=2).collect()
+    }
+    assert got[1] == ("alpha one\nbody text A", 2, 1)
+    assert got[2] == ("body text B", 1, 1)
+    assert got[3] == ("body text C", 1, 1)
+    assert got[4] == ("unique doc with no boilerplate", 1, 0)
+
+
+def test_dedup_lines_preserves_order_and_empty_lines(spark):
+    from halvesting_geometric_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "z last\n\na first\n\nz last again")],
+        "doc_id long, text string",
+    )
+    got = dedup_lines(docs, max_occurrences=5).first()
+    assert got["text"] == "z last\n\na first\n\nz last again"
+    assert got["n_removed"] == 0
+
+
+def test_dedup_lines_normalization_folds_case(spark):
+    from halvesting_geometric_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "Click Here\nkeep me"), (2, "  click here  \nother")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["text"]
+        for r in dedup_lines(docs, max_occurrences=1).collect()
+    }
+    assert got == {1: "keep me", 2: "other"}
+    raw = {
+        r["id"]: r["n_removed"]
+        for r in dedup_lines(docs, max_occurrences=1, normalize=False).collect()
+    }
+    assert raw == {1: 0, 2: 0}
+
+
+def test_dedup_lines_fully_boilerplate_doc_becomes_empty(spark):
+    from halvesting_geometric_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(i, "same line") for i in range(5)], "doc_id long, text string"
+    )
+    rows = dedup_lines(docs, max_occurrences=3).collect()
+    assert all(r["text"] == "" and r["n_lines"] == 0 and r["n_removed"] == 1
+               for r in rows)
