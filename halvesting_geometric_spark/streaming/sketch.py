@@ -130,3 +130,53 @@ def read_hll(
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom filter — approximate membership over an unbounded stream
+# ---------------------------------------------------------------------------
+
+
+def stream_bloom_available_now(
+    spark: SparkSession,
+    input_path: str,
+    bloom_path: str,
+    checkpoint_path: str,
+    schema: StructType | str,
+    key: Column | str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    hash_method: str = "xxhash64",
+) -> None:
+    """Drain all currently-available input files, appending one partial
+    Bloom position table per micro-batch. Like the HLL fold (set-UNION is
+    idempotent) a crash-replayed append cannot change the folded filter, so
+    no batch bookkeeping is needed. Canonical use: keep a filter of
+    every key ever ingested; new batches probe it cheaply for
+    first-seen routing before the expensive exact check."""
+    from halvesting_geometric_spark.operators.sketch import bloom_sketch
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bloom_sketch(
+                batch_df, key, m_bits=m_bits, k=k, hash_method=hash_method
+            )
+            .write.mode("append")
+            .parquet(bloom_path)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_bloom(spark: SparkSession, bloom_path: str) -> DataFrame:
+    """Fold appended position partials into the merged filter (DISTINCT
+    union — associative, commutative, idempotent)."""
+    return spark.read.parquet(bloom_path).select("pos").distinct()

@@ -406,3 +406,46 @@ def test_stream_hll_folds_to_batch_sketch(spark, tmp_path):
     assert sorted(map(tuple, folded.collect())) == want2
     est = hll_estimate(folded, lgk=8).first()["approx_distinct"]
     assert abs(est - 90) / 90 < 0.25
+
+
+def test_stream_bloom_folds_to_batch_sketch(spark, tmp_path):
+    from halvesting_geometric_spark.operators.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+    from halvesting_geometric_spark.streaming.sketch import (
+        read_bloom,
+        stream_bloom_available_now,
+    )
+
+    in_dir, bl_dir, ck_dir = (str(tmp_path / d) for d in ("in", "bl", "ck"))
+    rows = [(i, f"key_{i}") for i in range(300)]
+    spark.createDataFrame(rows, "row_id long, u string").write.parquet(in_dir)
+    stream_bloom_available_now(
+        spark, in_dir, bl_dir, ck_dir, "row_id long, u string", "u",
+        m_bits=2048, k=3,
+    )
+    want = sorted(
+        r["pos"]
+        for r in bloom_sketch(
+            spark.read.parquet(in_dir), "u", m_bits=2048, k=3
+        ).collect()
+    )
+    assert sorted(r["pos"] for r in read_bloom(spark, bl_dir).collect()) == want
+
+    # delta batch folds in; probe of the folded filter has no false negatives
+    rows2 = [(i, f"key_{i}") for i in range(300, 500)]
+    spark.createDataFrame(rows2, "row_id long, u string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_bloom_available_now(
+        spark, in_dir, bl_dir, ck_dir, "row_id long, u string", "u",
+        m_bits=2048, k=3,
+    )
+    probe = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(500)], "u string"
+    )
+    hits = bloom_probe(
+        probe, "u", read_bloom(spark, bl_dir), m_bits=2048, k=3
+    )
+    assert hits.filter("NOT maybe_present").count() == 0
