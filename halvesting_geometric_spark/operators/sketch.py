@@ -391,3 +391,76 @@ def bloom_probe(
         )
         .drop("_bk")
     )
+
+
+def bloom_pack(bloom: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Pack a sparse position table into 64-bit words: (group..., word,
+    bits) with ``bits`` = OR of ``1 << (pos % 64)`` over the word's set
+    positions. 64× fewer rows than the sparse form (m_bits=2^24 → 2^18
+    longs ≈ 4 MB), which is what makes :func:`bloom_probe_packed`'s filter
+    side BROADCASTABLE at realistic sizes. Pure shift/or aggregation;
+    re-packing a packed-then-unpacked filter is a fixpoint."""
+    return (
+        bloom.select(
+            *group_cols,
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("_b"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_probe_packed(
+    df: DataFrame,
+    key: Column | str,
+    packed: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    hash_method: str = "xxhash64",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`bloom_probe` against a word-packed filter (:func:`bloom_pack`).
+
+    Same result, different physical plan: the k candidate positions join the
+    (64× smaller, normally broadcast) word table on ``pos >> 6`` and each
+    membership test is one shift/AND — the probe becomes a map-side pass
+    over the fact side with no shuffle of fact rows at all when the filter
+    broadcasts. This is the shape to use when pruning a 100 TB fact table
+    against a dimension-side filter."""
+    kc = _key_col(key).cast("string")
+    probe = df.select(*group_cols, kc.alias("_bk")).distinct()
+    cand = probe.select(
+        *group_cols,
+        "_bk",
+        F.explode(
+            F.array(
+                *[_bucket(hash_method, F.col("_bk"), d, m_bits) for d in range(k)]
+            )
+        ).alias("pos"),
+    ).withColumn("word", F.shiftright(F.col("pos"), 6))
+    joined = cand.join(
+        F.broadcast(packed), [*group_cols, "word"], "left"
+    ).withColumn(
+        "_hit",
+        (
+            F.expr(
+                "shiftright(COALESCE(bits, 0L), CAST(pos % 64 AS INT)) & 1"
+            )
+            == 1
+        ).cast("int"),
+    )
+    hits = (
+        joined.groupBy(*group_cols, "_bk")
+        .agg(F.sum("_hit").alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .select(*group_cols, "_bk", F.lit(True).alias("maybe_present"))
+    )
+    return (
+        df.withColumn("_bk", kc)
+        .join(hits, [*group_cols, "_bk"], "left")
+        .withColumn(
+            "maybe_present", F.coalesce(F.col("maybe_present"), F.lit(False))
+        )
+        .drop("_bk")
+    )

@@ -449,3 +449,44 @@ def test_stream_bloom_folds_to_batch_sketch(spark, tmp_path):
         probe, "u", read_bloom(spark, bl_dir), m_bits=2048, k=3
     )
     assert hits.filter("NOT maybe_present").count() == 0
+
+
+def test_bloom_packed_probe_matches_sparse_probe(spark):
+    from halvesting_geometric_spark.operators.sketch import (
+        bloom_pack,
+        bloom_probe,
+        bloom_probe_packed,
+        bloom_sketch,
+    )
+
+    present = spark.range(0, 400).selectExpr("concat('k', id) AS k")
+    mixed = spark.range(0, 800).selectExpr("concat('k', id) AS k")
+    bloom = bloom_sketch(present, "k", m_bits=4096, k=3)
+    packed = bloom_pack(bloom)
+    a = sorted(
+        map(tuple, bloom_probe(mixed, "k", bloom, m_bits=4096, k=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            bloom_probe_packed(
+                mixed, "k", packed, m_bits=4096, k=3
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert all(flag for key, flag in a if int(key[1:]) < 400)
+
+
+def test_bloom_pack_word_arithmetic(spark):
+    from halvesting_geometric_spark.operators.sketch import bloom_pack
+
+    bloom = spark.createDataFrame(
+        [(0,), (1,), (63,), (64,), (200,)], "pos long"
+    )
+    got = {r["word"]: r["bits"] for r in bloom_pack(bloom).collect()}
+
+    def s64(x: int) -> int:  # the packed word is a SIGNED long bitset
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    assert got == {0: s64((1 << 0) | (1 << 1) | (1 << 63)), 1: 1, 3: 1 << 8}
