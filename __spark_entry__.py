@@ -1032,6 +1032,22 @@ def _q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges, k=4, fixed_rounds=3).select("src", "dst", "support")
 
 
+def _q_simrank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration SimRank (C=0.8, in-neighbor formulation) on the directed
+    link graph; canonical a < b pairs with positive score, e6 rounding."""
+    from halvesting_geometric_spark.operators.simrank import simrank
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    res = simrank(edges, k=2, c=0.8)
+    return res.select(
+        "a",
+        "b",
+        F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_e6"),
+    )
+
+
 def _q_metapath2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metapath walks user -writes-> conv -cites-> conv from the 5
     smallest user ids (portable hash, seed 42)."""
@@ -2383,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic4": _q_harmonic4,
         "modularity3": _q_modularity3,
         "ktruss4": _q_ktruss4,
+        "simrank2": _q_simrank2,
         "metapath2": _q_metapath2,
         "vecops": _q_vecops,
         "clean_corpus": _q_clean_corpus,
@@ -3510,6 +3527,43 @@ SELECT walker_id, CAST(1 AS BIGINT) AS step, 'conv' AS vtype,
 UNION ALL
 SELECT walker_id, CAST(2 AS BIGINT) AS step, 'conv' AS vtype,
        v AS vertex_id FROM s2"""
+
+
+def _simrank_sql(k: int, c: float = 0.8) -> str:
+    """SimRank twin: unrolls the in-neighbor recurrence — f{t} is the full
+    symmetric state (both pair orders + implicit diagonal over vertices with
+    out-edges), x{t} the canonical a < b off-diagonal update."""
+    parts = [
+        _BASE,
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        """ind AS MATERIALIZED (
+  SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM de GROUP BY dst)""",
+        "f0 AS (SELECT DISTINCT src AS a, src AS b, 1.0 AS s FROM de)",
+    ]
+    for t in range(1, k + 1):
+        p = t - 1
+        parts.append(
+            f"""x{t} AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b,
+         {c!r} * SUM(f.s) / (da.d * db.d) AS s
+  FROM f{p} f
+  JOIN de e1 ON e1.src = f.a
+  JOIN de e2 ON e2.src = f.b
+  JOIN ind da ON da.v = e1.dst
+  JOIN ind db ON db.v = e2.dst
+  WHERE e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst, da.d, db.d),
+f{t} AS (
+  SELECT a, b, s FROM x{t}
+  UNION ALL SELECT b AS a, a AS b, s FROM x{t}
+  UNION ALL SELECT a, b, s FROM f0)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT a, b, "
+        f"CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_e6 FROM x{k}"
+    )
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -4851,6 +4905,7 @@ GROUP BY d.doc_id""",
         "harmonic4": _harmonic_sql(4),
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),
+        "simrank2": _simrank_sql(2, c=0.8),
         "metapath2": _metapath_sql(),
         "vecops": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -37,7 +37,7 @@ ALGORITHMS = (
     "betweenness", "coloring", "louvain", "scc", "hh",
     "salsa", "influence", "diameter", "reciprocity", "richclub",
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
-    "distinct", "zorder", "auroc",
+    "distinct", "zorder", "auroc", "simrank",
 )
 
 
@@ -63,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="ppr: teleport seed vertex ids")
     ap.add_argument("--iters", type=int, default=10,
                     help="ppr/hits: fixed iteration count")
+    ap.add_argument("--simrank-c", type=float, default=0.8,
+                    help="SimRank decay constant C")
     ap.add_argument("--k", type=int, default=3,
                     help="kcore: minimum degree; hh: top-k size; "
                          "toolruns: minimum run length")
@@ -378,6 +380,12 @@ def main(argv: list[str] | None = None) -> int:
         rec = reciprocity(g.edges)
         rec.write.mode("overwrite").parquet(args.output)
         summary.update(rec.first().asDict())
+    elif args.algorithm == "simrank":
+        from halvesting_geometric_spark.operators.simrank import simrank
+
+        sim = simrank(g.edges, k=args.k, c=args.simrank_c)
+        sim.write.mode("overwrite").parquet(args.output)
+        summary.update(k=args.k, c=args.simrank_c, pairs=sim.count())
     elif args.algorithm == "richclub":
         from halvesting_geometric_spark.operators.metrics import rich_club
 

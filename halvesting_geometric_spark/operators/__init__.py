@@ -153,6 +153,7 @@ from halvesting_geometric_spark.operators.neighbors import (
     attention_aggregate,
     gated_aggregate,
 )
+from halvesting_geometric_spark.operators.simrank import simrank
 from halvesting_geometric_spark.operators.setjoin import (
     prefix_filter_pairs,
     similarity_join,
@@ -315,6 +316,7 @@ __all__ = [
     "linear_threshold",
     "prefix_filter_pairs",
     "similarity_join",
+    "simrank",
     "budget_mix",
     "chunk_tokens",
     "attention_aggregate",

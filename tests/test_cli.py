@@ -149,3 +149,18 @@ def test_cli_round3c_algorithms(spark, tmp_path, capsys):
         assert summary["algorithm"] == algo
         assert summary[key] is not None
         assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_simrank(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_sim")
+    generate_transcripts(spark, 30, seed=5).write.parquet(tr_dir)
+    out = str(tmp_path / "out_simrank")
+    rc = cli.main(
+        ["simrank", "--transcripts", tr_dir, "--output", out, "--k", "2"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["algorithm"] == "simrank"
+    assert summary["c"] == 0.8
+    got = spark.read.parquet(out)
+    assert got.count() == summary["pairs"] > 0
