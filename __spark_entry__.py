@@ -1048,6 +1048,15 @@ def _q_simrank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graphlets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3/4-node graphlet census (non-induced + induced counts, all
+    closed-form longs) of the undirected link graph."""
+    from halvesting_geometric_spark.operators.graphlets import graphlet_census
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return graphlet_census(edges)
+
+
 def _q_metapath2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metapath walks user -writes-> conv -cites-> conv from the 5
     smallest user ids (portable hash, seed 42)."""
@@ -2400,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity3": _q_modularity3,
         "ktruss4": _q_ktruss4,
         "simrank2": _q_simrank2,
+        "graphlets": _q_graphlets,
         "metapath2": _q_metapath2,
         "vecops": _q_vecops,
         "clean_corpus": _q_clean_corpus,
@@ -3564,6 +3574,86 @@ f{t} AS (
         f"SELECT a, b, "
         f"CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_e6 FROM x{k}"
     )
+
+
+_GRAPHLETS_SQL_BODY = """
+gcanon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+  FROM edges WHERE src <> dst),
+gsym AS MATERIALIZED (
+  SELECT u, w FROM gcanon UNION ALL SELECT w AS u, u AS w FROM gcanon),
+gdeg AS MATERIALIZED (SELECT u AS v, COUNT(*) AS d FROM gsym GROUP BY u),
+gtri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+  FROM gcanon e1
+  JOIN gcanon e2 ON e1.u = e2.u AND e1.w < e2.w
+  JOIN gcanon e3 ON e3.u = e1.w AND e3.w = e2.w),
+gtv AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT a AS v FROM gtri
+    UNION ALL SELECT b FROM gtri
+    UNION ALL SELECT c FROM gtri) GROUP BY v),
+gsup AS (
+  SELECT u, w, COUNT(*) AS sup FROM (
+    SELECT a AS u, b AS w FROM gtri
+    UNION ALL SELECT a, c FROM gtri
+    UNION ALL SELECT b, c FROM gtri) GROUP BY u, w),
+gcn AS (
+  SELECT l.w AS a, r.w AS b, COUNT(*) AS cn
+  FROM gsym l JOIN gsym r ON l.u = r.u AND l.w < r.w
+  GROUP BY 1, 2),
+gk4 AS (
+  SELECT COUNT(*) AS n FROM gtri t
+  JOIN gcanon e1 ON e1.u = t.c
+  WHERE EXISTS (SELECT 1 FROM gcanon x WHERE x.u = t.a AND x.w = e1.w)
+    AND EXISTS (SELECT 1 FROM gcanon x WHERE x.u = t.b AND x.w = e1.w)),
+sc AS (
+  SELECT
+    (SELECT COALESCE(SUM(d * (d-1)), 0) // 2 FROM gdeg) AS wedges,
+    (SELECT COALESCE(SUM(d * (d-1) * (d-2)), 0) // 6 FROM gdeg) AS claws,
+    (SELECT COUNT(*) FROM gtri) AS triangles,
+    (SELECT COALESCE(SUM((du.d - 1) * (dw.d - 1)), 0)
+     FROM gcanon c JOIN gdeg du ON du.v = c.u
+                  JOIN gdeg dw ON dw.v = c.w) AS path_raw,
+    (SELECT COALESCE(SUM(t * (gdeg.d - 2)), 0)
+     FROM gtv JOIN gdeg ON gdeg.v = gtv.v) AS tailed,
+    (SELECT COALESCE(SUM(sup * (sup-1)), 0) // 2 FROM gsup) AS diamonds,
+    (SELECT COALESCE(SUM(cn * (cn-1)), 0) // 4 FROM gcn) AS cycles4,
+    (SELECT n FROM gk4) AS cliques4),
+nc AS (
+  SELECT wedges, claws, path_raw - 3 * triangles AS paths4, triangles,
+         tailed AS tailed_triangles, cycles4, diamonds, cliques4
+  FROM sc),
+ic AS (
+  SELECT *,
+         diamonds - 6 * cliques4 AS ind_diamonds,
+         cycles4 - (diamonds - 6 * cliques4) - 3 * cliques4 AS ind_cycles4,
+         tailed_triangles - 4 * (diamonds - 6 * cliques4)
+           - 12 * cliques4 AS ind_tailed_triangles
+  FROM nc)
+SELECT CAST(wedges AS BIGINT) AS wedges,
+       CAST(claws AS BIGINT) AS claws,
+       CAST(paths4 AS BIGINT) AS paths4,
+       CAST(triangles AS BIGINT) AS triangles,
+       CAST(tailed_triangles AS BIGINT) AS tailed_triangles,
+       CAST(cycles4 AS BIGINT) AS cycles4,
+       CAST(diamonds AS BIGINT) AS diamonds,
+       CAST(cliques4 AS BIGINT) AS cliques4,
+       CAST(paths4 - 2 * ind_tailed_triangles - 4 * ind_cycles4
+            - 6 * ind_diamonds - 12 * cliques4 AS BIGINT) AS ind_paths4,
+       CAST(claws - ind_tailed_triangles - 2 * ind_diamonds
+            - 4 * cliques4 AS BIGINT) AS ind_claws,
+       CAST(ind_cycles4 AS BIGINT) AS ind_cycles4,
+       CAST(ind_tailed_triangles AS BIGINT) AS ind_tailed_triangles,
+       CAST(ind_diamonds AS BIGINT) AS ind_diamonds
+FROM ic"""
+
+
+def _graphlets_sql() -> str:
+    """Graphlet-census twin: the same closed-form formulas (degrees,
+    per-vertex/per-edge triangle counts, diagonal-pair 4-cycles, id-ordered
+    K4 extension) replayed over the canonical undirected edge set."""
+    return f"WITH {_BASE},{_GRAPHLETS_SQL_BODY}"
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -4906,6 +4996,7 @@ GROUP BY d.doc_id""",
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),
         "simrank2": _simrank_sql(2, c=0.8),
+        "graphlets": _graphlets_sql(),
         "metapath2": _metapath_sql(),
         "vecops": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

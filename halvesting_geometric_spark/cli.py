@@ -37,7 +37,7 @@ ALGORITHMS = (
     "betweenness", "coloring", "louvain", "scc", "hh",
     "salsa", "influence", "diameter", "reciprocity", "richclub",
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
-    "distinct", "zorder", "auroc", "simrank",
+    "distinct", "zorder", "auroc", "simrank", "graphlets",
 )
 
 
@@ -386,6 +386,14 @@ def main(argv: list[str] | None = None) -> int:
         sim = simrank(g.edges, k=args.k, c=args.simrank_c)
         sim.write.mode("overwrite").parquet(args.output)
         summary.update(k=args.k, c=args.simrank_c, pairs=sim.count())
+    elif args.algorithm == "graphlets":
+        from halvesting_geometric_spark.operators.graphlets import (
+            graphlet_census,
+        )
+
+        census = graphlet_census(g.edges)
+        census.write.mode("overwrite").parquet(args.output)
+        summary.update(census.first().asDict())
     elif args.algorithm == "richclub":
         from halvesting_geometric_spark.operators.metrics import rich_club
 

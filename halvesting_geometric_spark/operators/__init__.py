@@ -153,6 +153,7 @@ from halvesting_geometric_spark.operators.neighbors import (
     attention_aggregate,
     gated_aggregate,
 )
+from halvesting_geometric_spark.operators.graphlets import graphlet_census
 from halvesting_geometric_spark.operators.simrank import simrank
 from halvesting_geometric_spark.operators.setjoin import (
     prefix_filter_pairs,
@@ -198,6 +199,7 @@ __all__ = [
     "cohort_retention",
     "ego_subgraph",
     "four_clique_total",
+    "graphlet_census",
     "funnel_steps",
     "fuzzy_pairs",
     "group_quantiles",
