@@ -1048,6 +1048,31 @@ def _q_simrank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simrank_mc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo SimRank (8 reverse walks of length 3, c=4/5, portable
+    hash) over the first 16 vertices; exact integer meeting numerator +
+    e6-pinned score."""
+    from halvesting_geometric_spark.operators.simrank import simrank_mc
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = simrank_mc(
+        edges,
+        verts.where(F.col("vertex_id") < 16).select("vertex_id"),
+        num_walks=8,
+        walk_length=3,
+        seed=42,
+        hash_method="portable",
+    )
+    return res.select(
+        "a",
+        "b",
+        "meet_num",
+        F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_e6"),
+    )
+
+
 def _q_graphlets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3/4-node graphlet census (non-induced + induced counts, all
     closed-form longs) of the undirected link graph."""
@@ -2409,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity3": _q_modularity3,
         "ktruss4": _q_ktruss4,
         "simrank2": _q_simrank2,
+        "simrank_mc3": _q_simrank_mc3,
         "graphlets": _q_graphlets,
         "metapath2": _q_metapath2,
         "vecops": _q_vecops,
@@ -3574,6 +3600,69 @@ f{t} AS (
         f"SELECT a, b, "
         f"CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_e6 FROM x{k}"
     )
+
+
+def _simrank_mc_sql(
+    n_query: int = 16,
+    num_walks: int = 8,
+    length: int = 3,
+    c_num: int = 4,
+    c_den: int = 5,
+    seed: int = 42,
+) -> str:
+    """simrank_mc twin: ranked REVERSE adjacency + unrolled hash walks
+    (same step rule as _walks_sql), first-meeting min-step per (pair, rep),
+    exact integer contribution c_num^tau * c_den^(L-tau)."""
+    from halvesting_geometric_spark.functions import portable_hash64_sql
+
+    parts = [
+        _BASE,
+        """rde AS (SELECT DISTINCT dst AS src, src AS dst
+  FROM edges WHERE src <> dst),
+radj AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM rde)""",
+        f"""mw0 AS MATERIALIZED (
+  SELECT v.vertex_id * {num_walks} + r.rep AS walker_id,
+         v.vertex_id AS qv, r.rep AS rep, v.vertex_id AS v
+  FROM verts v CROSS JOIN (SELECT range AS rep FROM range({num_walks})) r
+  WHERE v.vertex_id < {n_query})""",
+    ]
+    for t in range(1, length + 1):
+        h = portable_hash64_sql("c.walker_id", str(t), seed=seed)
+        parts.append(
+            f"""mw{t} AS MATERIALIZED (
+  SELECT c.walker_id, c.qv, c.rep, a.dst AS v
+  FROM mw{t - 1} c JOIN radj a ON c.v = a.src
+  WHERE a.rnk = {h} % a.deg)"""
+        )
+    pos = " UNION ALL ".join(
+        f"SELECT qv, rep, {t} AS step, v FROM mw{t}"
+        for t in range(1, length + 1)
+    )
+    case = " ".join(
+        f"WHEN {t} THEN {c_num**t * c_den ** (length - t)}"
+        for t in range(1, length + 1)
+    )
+    den = float(c_den**length * num_walks)
+    parts.append(f"mpos AS MATERIALIZED ({pos})")
+    parts.append(
+        """mmeet AS (
+  SELECT p1.qv AS a, p2.qv AS b, p1.rep, MIN(p1.step) AS tau
+  FROM mpos p1
+  JOIN mpos p2 ON p1.step = p2.step AND p1.rep = p2.rep AND p1.v = p2.v
+  WHERE p1.qv < p2.qv
+  GROUP BY 1, 2, 3)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT a, b,
+       CAST(SUM(CASE tau {case} END) AS BIGINT) AS meet_num,
+       CAST(floor(CAST(SUM(CASE tau {case} END) AS DOUBLE) / {den!r}
+                  * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM mmeet GROUP BY a, b"""
 
 
 _GRAPHLETS_SQL_BODY = """
@@ -4996,6 +5085,7 @@ GROUP BY d.doc_id""",
         "modularity3": _modularity_sql(3),
         "ktruss4": _ktruss_sql(4, 3),
         "simrank2": _simrank_sql(2, c=0.8),
+        "simrank_mc3": _simrank_mc_sql(16, 8, 3, 4, 5, seed=42),
         "graphlets": _graphlets_sql(),
         "metapath2": _metapath_sql(),
         "vecops": """

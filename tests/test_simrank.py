@@ -122,3 +122,108 @@ def test_simrank_validation(spark):
         simrank(edges, c=0.0)
     with pytest.raises(ValueError):
         simrank(edges, c=1.5)
+
+
+# ---------------------------------------------------------------- simrank_mc
+
+import hashlib
+
+from halvesting_geometric_spark.operators.simrank import simrank_mc
+
+
+def _ph(*vals, seed):
+    s = "\x1f".join([str(v) for v in vals] + [str(seed)])
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _python_simrank_mc(pairs, queries, num_walks, length, c_num, c_den, seed):
+    """Replay the reverse walks + first-meeting estimator exactly."""
+    radj: dict[int, list[int]] = {}
+    for a, b in sorted({(a, b) for a, b in pairs if a != b}):
+        radj.setdefault(b, []).append(a)
+    for v in radj:
+        radj[v] = sorted(set(radj[v]))
+
+    pos = {}  # (qv, rep) -> list of vertices by step
+    for qv in queries:
+        for rep in range(num_walks):
+            wid = qv * num_walks + rep
+            path = [qv]
+            for t in range(1, length + 1):
+                cur = path[-1]
+                nbrs = radj.get(cur)
+                if not nbrs:
+                    break
+                path.append(nbrs[_ph(wid, t, seed=seed) % len(nbrs)])
+            pos[(qv, rep)] = path
+
+    out = {}
+    for i, a in enumerate(queries):
+        for b in queries[i + 1:]:
+            lo, hi = min(a, b), max(a, b)
+            num = 0
+            for rep in range(num_walks):
+                pa, pb = pos[(a, rep)], pos[(b, rep)]
+                tau = next(
+                    (
+                        t
+                        for t in range(1, min(len(pa), len(pb)))
+                        if pa[t] == pb[t]
+                    ),
+                    None,
+                )
+                if tau is not None:
+                    num += c_num**tau * c_den ** (length - tau)
+            if num:
+                out[(lo, hi)] = num
+    return out
+
+
+def test_simrank_mc_matches_python_twin(spark):
+    rng = np.random.default_rng(29)
+    pairs = _rand_edges(rng, 30, 150)
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    queries = list(range(12))
+    res = simrank_mc(
+        edges, queries, num_walks=6, walk_length=3, seed=7,
+        hash_method="portable",
+    ).collect()
+    got = {(int(r["a"]), int(r["b"])): int(r["meet_num"]) for r in res}
+    want = _python_simrank_mc(pairs, queries, 6, 3, 4, 5, 7)
+    assert got == want
+    den = 5**3 * 6
+    for r in res:
+        assert r["score"] == pytest.approx(r["meet_num"] / den, abs=0)
+
+
+def test_simrank_mc_converges_to_exact(spark):
+    rng = np.random.default_rng(31)
+    pairs = _rand_edges(rng, 20, 120)
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    queries = list(range(10))
+    exact = _collect(simrank(edges, k=3, c=0.8))
+    est_rows = simrank_mc(
+        edges, queries, num_walks=400, walk_length=3, seed=1
+    ).collect()
+    est = {(int(r["a"]), int(r["b"])): float(r["score"]) for r in est_rows}
+    qset = {
+        (a, b)
+        for i, a in enumerate(queries)
+        for b in queries[i + 1:]
+    }
+    errs = [
+        abs(est.get(p, 0.0) - exact.get(p, 0.0))
+        for p in qset
+    ]
+    assert max(errs) < 0.12
+    assert sum(errs) / len(errs) < 0.04
+
+
+def test_simrank_mc_validation(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        simrank_mc(edges, [1], num_walks=0)
+    with pytest.raises(ValueError):
+        simrank_mc(edges, [1], walk_length=0)
+    with pytest.raises(ValueError):
+        simrank_mc(edges, [1], c_num=5, c_den=5)
