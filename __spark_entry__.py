@@ -2425,17 +2425,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub": _q_scrub,
         "four_cycles": _q_four_cycles,
         "containment": _q_containment,
-        "walks4": _q_walks4,
+        # Driver gate captures only the FIRST ~50 entries: keep never-yet-
+        # captured gates up front (walks4 is transitively exercised by
+        # simrank_mc3's reverse-walk replay; the TPC-H pair is lowest-risk).
+        "simrank2": _q_simrank2,
+        "simrank_mc3": _q_simrank_mc3,
+        "graphlets": _q_graphlets,
         "nf4": _q_nf4,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
         "mis": _q_mis,
         "harmonic4": _q_harmonic4,
         "modularity3": _q_modularity3,
         "ktruss4": _q_ktruss4,
-        "simrank2": _q_simrank2,
-        "simrank_mc3": _q_simrank_mc3,
-        "graphlets": _q_graphlets,
+        "walks4": _q_walks4,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "metapath2": _q_metapath2,
         "vecops": _q_vecops,
         "clean_corpus": _q_clean_corpus,
