@@ -2216,6 +2216,31 @@ def _q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags on event values (operators/anomaly.py
+    robust_anomalies): rz = 0.6745*(x - median)/MAD with exact type-1
+    medians (two distinct-value quantile passes, stats broadcast back);
+    |rz| > 3.5 flags. rz_e6 fixed-point for the hash compare; null rz
+    (MAD == 0) flags false."""
+    from halvesting_geometric_spark.operators.anomaly import robust_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_anomalies(ev, "event_type", "value", threshold=3.5)
+    return out.select("event_id", "event_type", "rz_e6", "is_anomaly")
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point alarms over hourly event counts
+    (operators/anomaly.py cusum_changepoints): closed form
+    S_i = P_i - min(0, running_min(P_i)) over prefix sums — two windows,
+    no recursion — in exact e6 integer fixed point (reference mean is an
+    integer division), slack k=1 count, decision interval h=12 counts."""
+    from halvesting_geometric_spark.operators.anomaly import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoints(ev, slack=1.0, threshold=12.0)
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 per-language length quantiles (operators/quantiles.py):
     p50/p90/p99 of n_chars per lang located by a running sum over DISTINCT
@@ -2382,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tools/check_oracles.py`` (same Spark-vs-DuckDB comparison)."""
     return {
         # -- queries new this session: front of the capture window --
+        "anomalies": _q_anomalies,
+        "cusum": _q_cusum,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5570,6 +5597,75 @@ SELECT vec_id,
 FROM best WHERE rn = 1 GROUP BY vec_id""",
         "cms_hh": _cms_hh_sql(depth=4, width=2048, k=5),
         "wsample3": _wsample3_sql(seed=7, n=3),
+        "anomalies": """
+WITH vals AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+vc AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM vc),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= floor((n - 1) * 0.5) + 1 THEN v END) AS med
+  FROM cum GROUP BY 1),
+dev AS (
+  SELECT r.event_id, r.event_type, r.value, m.med,
+         abs(r.value - m.med) AS ad
+  FROM vals r JOIN med m USING (event_type)),
+dvc AS (
+  SELECT event_type, ad AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM dvc),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= floor((n - 1) * 0.5) + 1 THEN v END) AS mad
+  FROM dcum GROUP BY 1),
+scored AS (
+  SELECT d.event_id, d.event_type,
+         CASE WHEN m.mad > 0
+              THEN CAST(floor(0.6745 * (d.value - d.med) / m.mad * 1000000
+                              + 0.5) AS BIGINT) END AS rz_e6
+  FROM dev d JOIN mad m USING (event_type))
+SELECT event_id, event_type, rz_e6,
+       COALESCE(abs(rz_e6) > 3500000, FALSE) AS is_anomaly
+FROM scored""",
+        "cusum": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ref AS (
+  SELECT event_type,
+         CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS ref_e6
+  FROM hourly GROUP BY 1),
+drift AS (
+  SELECT h.event_type, h.bucket_ts, h.n,
+         h.n * 1000000 - r.ref_e6 - 1000000 AS dd
+  FROM hourly h JOIN ref r USING (event_type)),
+pre AS (
+  SELECT event_type, bucket_ts, n,
+         SUM(dd) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS UNBOUNDED PRECEDING) AS p
+  FROM drift),
+s AS (
+  SELECT event_type, bucket_ts, n, p,
+         MIN(p) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                      ROWS UNBOUNDED PRECEDING) AS pmin
+  FROM pre)
+SELECT event_type, bucket_ts, n,
+       CAST(p - LEAST(pmin, 0) AS BIGINT) AS cusum_e6,
+       (p - LEAST(pmin, 0)) > 12000000 AS alarm
+FROM s""",
         "bursts": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -1,5 +1,9 @@
 """Operator surface (SURVEY.md §2 inventory → Spark-first implementations)."""
 
+from halvesting_geometric_spark.operators.anomaly import (
+    cusum_changepoints,
+    robust_anomalies,
+)
 from halvesting_geometric_spark.operators.betweenness import betweenness_sampled
 from halvesting_geometric_spark.operators.components import connected_components
 from halvesting_geometric_spark.operators.extract import (
@@ -193,6 +197,8 @@ __all__ = [
     "aggregate_neighbors",
     "aggregate_neighbors_positional",
     "betweenness_sampled",
+    "cusum_changepoints",
+    "robust_anomalies",
     "bfs_levels",
     "bipartite_project",
     "burst_windows",
