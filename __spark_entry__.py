@@ -1372,6 +1372,55 @@ def _q_cms_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key", F.col("est").cast("long").alias("est"))
 
 
+def _rank_eval_sql(k: int = 10) -> str:
+    """DuckDB twin of _q_rank_eval10: the e9 integer discounts are inlined
+    from evalmetrics.dcg_discounts, so both engines sum identical longs."""
+    from halvesting_geometric_spark.operators.evalmetrics import dcg_discounts
+
+    disc = dcg_discounts(k)
+    disc_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, CAST({d} AS BIGINT) AS disc_e9"
+        for i, d in enumerate(disc)
+    )
+    prefix, acc = [], 0
+    for d in disc:
+        acc += d
+        prefix.append(acc)
+    idcg_case = " ".join(
+        f"WHEN {i + 1} THEN CAST({p} AS BIGINT)"
+        for i, p in enumerate(prefix)
+    )
+    return f"""
+WITH disc AS ({disc_rows}),
+results AS (
+  SELECT user_id % 100 AS query_id, event_id AS item_id,
+         row_number() OVER (PARTITION BY user_id % 100
+                            ORDER BY value DESC NULLS LAST, event_id)
+           AS rank
+  FROM events),
+topk AS (
+  SELECT r.query_id, r.item_id, r.rank, d.disc_e9
+  FROM results r JOIN disc d USING (rank) WHERE r.rank <= {k}),
+truth AS (
+  SELECT user_id % 100 AS query_id, event_id AS item_id FROM events
+  WHERE (event_id * 7 + user_id) % 13 = 0),
+perq AS (
+  SELECT t.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rel,
+         CAST(COUNT(k.rank) AS BIGINT) AS hits,
+         MIN(k.rank) AS best_rank,
+         CAST(COALESCE(SUM(k.disc_e9), 0) AS BIGINT) AS dcg_e9
+  FROM truth t LEFT JOIN topk k
+    ON k.query_id = t.query_id AND k.item_id = t.item_id
+  GROUP BY 1)
+SELECT query_id, n_rel, hits,
+       CAST((hits * 1000000) // n_rel AS BIGINT) AS recall_e6,
+       CAST(COALESCE(1000000 // best_rank, 0) AS BIGINT) AS rr_e6,
+       CAST((dcg_e9 * 1000000) //
+            (CASE LEAST(n_rel, {k}) {idcg_case} END) AS BIGINT) AS ndcg_e6
+FROM perq"""
+
+
 def _cms_hh_sql(depth: int = 4, width: int = 2048, k: int = 5) -> str:
     """DuckDB twin of the cms_hh gate: rebuild the sparse counter grid
     with the portable hash, probe every distinct key (the gate's
@@ -2241,6 +2290,77 @@ def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(ev, slack=1.0, threshold=12.0)
 
 
+def _q_temporal_tri48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting triangle motif count (operators/temporal.py
+    temporal_triangles, Paranjape et al. WSDM'17): event triples u→v→w→u
+    with t1 < t2 < t3 <= t1 + 48h over the timestamped reference stream.
+    Bucketized band joins (floor(t/delta) buckets, explode-into-2 probes)
+    keep every join a plain equi-join; integer-microsecond arithmetic
+    makes the DuckDB twin (epoch_us 3-way join) exact."""
+    from halvesting_geometric_spark.operators.temporal import (
+        edge_events,
+        temporal_triangles,
+    )
+
+    ev = edge_events(derived_transcripts(spark, sf_dir))
+    return temporal_triangles(ev, delta_s=48 * 3600)
+
+
+def _q_rank_eval10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (operators/evalmetrics.py ranking_metrics):
+    recall@10 / MRR@10 / nDCG@10 per query over a deterministic fixture —
+    results = each user-bucket's top-10 events by value (row_number,
+    NULLS LAST both engines), truth = the modular subset
+    (event_id*7 + user_id) % 13 == 0. nDCG uses e9 integer discounts
+    shared verbatim with the oracle, so DCG sums are order-free longs."""
+    from pyspark.sql import Window
+
+    from halvesting_geometric_spark.operators.evalmetrics import ranking_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("value").desc_nulls_last(), "item_id"
+    )
+    results = (
+        ev.select(
+            (F.col("user_id") % 100).alias("query_id"),
+            F.col("event_id").alias("item_id"),
+            "value",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .drop("value")
+    )
+    truth = ev.filter(
+        (F.col("event_id") * 7 + F.col("user_id")) % 13 == 0
+    ).select(
+        (F.col("user_id") % 100).alias("query_id"),
+        F.col("event_id").alias("item_id"),
+    )
+    return ranking_metrics(results, truth, k=10)
+
+
+def _q_ece10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability table + ECE (operators/evalmetrics.py
+    calibration_error): e6 fixed-point scores and binary labels derived
+    modularly from event ids (label rate tracks the score, so bins are
+    near-calibrated), 10 equal-width bins, every average an integer
+    division of long sums — engine-exact."""
+    from halvesting_geometric_spark.operators.evalmetrics import (
+        calibration_error,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        ((F.col("event_id") * 131) % 1000001).cast("long").alias("score_e6"),
+        (
+            (F.col("event_id") * 17 + F.col("user_id")) % 1000003
+            < (F.col("event_id") * 131) % 1000001
+        ).cast("int").alias("label"),
+    )
+    return calibration_error(scored, bins=10)
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 per-language length quantiles (operators/quantiles.py):
     p50/p90/p99 of n_chars per lang located by a running sum over DISTINCT
@@ -2409,6 +2529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- queries new this session: front of the capture window --
         "anomalies": _q_anomalies,
         "cusum": _q_cusum,
+        "temporal_tri48": _q_temporal_tri48,
+        "rank_eval10": _q_rank_eval10,
+        "ece10": _q_ece10,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5639,6 +5762,43 @@ scored AS (
 SELECT event_id, event_type, rz_e6,
        COALESCE(abs(rz_e6) > 3500000, FALSE) AS is_anomaly
 FROM scored""",
+        "rank_eval10": _rank_eval_sql(10),
+        "ece10": """
+WITH scored AS (
+  SELECT CAST((event_id * 131) % 1000001 AS BIGINT) AS score_e6,
+         CAST((event_id * 17 + user_id) % 1000003
+              < (event_id * 131) % 1000001 AS INTEGER) AS label
+  FROM events),
+per_bin AS (
+  SELECT LEAST((score_e6 * 10) // 1000000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(score_e6) AS BIGINT) AS s_sum,
+         CAST(SUM(label) * 1000000 AS BIGINT) AS l_sum
+  FROM scored GROUP BY 1),
+rows_ AS (
+  SELECT CAST(bin AS BIGINT) AS bin, n,
+         CAST(s_sum // n AS BIGINT) AS avg_score_e6,
+         CAST(l_sum // n AS BIGINT) AS avg_label_e6,
+         CAST(abs(s_sum // n - l_sum // n) AS BIGINT) AS gap_e6
+  FROM per_bin)
+SELECT * FROM rows_
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(SUM(n * gap_e6) // SUM(n) AS BIGINT)
+FROM rows_""",
+        "temporal_tri48": """
+WITH tev AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS src,
+         'c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') AS dst,
+         epoch_us(ts) AS t
+  FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS temporal_triangles
+FROM tev e1
+JOIN tev e2 ON e2.src = e1.dst AND e2.t > e1.t
+           AND e2.t < e1.t + 172800000000
+JOIN tev e3 ON e3.src = e2.dst AND e3.dst = e1.src
+           AND e3.t > e2.t AND e3.t <= e1.t + 172800000000""",
         "cusum": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,

@@ -4,6 +4,10 @@ from halvesting_geometric_spark.operators.anomaly import (
     cusum_changepoints,
     robust_anomalies,
 )
+from halvesting_geometric_spark.operators.evalmetrics import (
+    calibration_error,
+    ranking_metrics,
+)
 from halvesting_geometric_spark.operators.betweenness import betweenness_sampled
 from halvesting_geometric_spark.operators.components import connected_components
 from halvesting_geometric_spark.operators.extract import (
@@ -137,7 +141,10 @@ from halvesting_geometric_spark.operators.sampling import (
 )
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
 from halvesting_geometric_spark.operators.events import burst_windows
-from halvesting_geometric_spark.operators.temporal import snapshot_diff
+from halvesting_geometric_spark.operators.temporal import (
+    snapshot_diff,
+    temporal_triangles,
+)
 from halvesting_geometric_spark.operators.behavior import (
     cohort_retention,
     funnel_steps,
@@ -197,7 +204,9 @@ __all__ = [
     "aggregate_neighbors",
     "aggregate_neighbors_positional",
     "betweenness_sampled",
+    "calibration_error",
     "cusum_changepoints",
+    "ranking_metrics",
     "robust_anomalies",
     "bfs_levels",
     "bipartite_project",
@@ -212,6 +221,7 @@ __all__ = [
     "hitting_probability",
     "session_paths",
     "snapshot_diff",
+    "temporal_triangles",
     "stratified_sample",
     "build_graph",
     "build_vertices",

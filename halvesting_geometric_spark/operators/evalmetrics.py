@@ -1,0 +1,158 @@
+"""Retrieval and calibration evaluation metrics.
+
+Engine-new (the reference's only metric surface is the torchmetrics AUROC
+in ``/root/reference/halvesting_geometric/trainers/link_prediction.py``;
+the data-side AUROC lives in operators/metrics.py). This module closes
+the evaluation loop for the index structures the engine already builds
+(LSH ANN, IVF, PQ): given a ranked prediction table and a relevance
+table, score retrieval quality per query — and given scored binary
+outcomes, measure probability calibration.
+
+Cross-engine exactness: nDCG's ``1/log2(rank+1)`` discounts are NOT
+recomputed per engine (JVM vs DuckDB ``log2`` may differ in the last
+ulp, and float sums are partition-order-dependent); they are quantized
+once in Python to e9 integers (:func:`dcg_discounts`) that oracle
+builders inline verbatim, so DCG is a sum of longs — exact and
+order-free — and every metric is integer arithmetic end to end.
+
+Scale: one shuffle on query_id for the join + per-query aggregation
+(state = counters, not lists); the discount table is a k-row broadcast.
+ECE is a single groupBy on the bin id — B-bounded state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+E9 = 1_000_000_000
+
+
+def dcg_discounts(k: int) -> list[int]:
+    """The k shared nDCG discounts 1/log2(i+1), i = 1..k, as e9 integers.
+
+    Public so oracle builders inline the exact same constants; integer
+    DCG sums are order-free, so Spark's partition order and DuckDB's scan
+    order cannot produce differing float round-off."""
+    return [int(round(E9 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics at cutoff ``k``, binary relevance.
+
+    ``results``: (query_col, item_col, rank_col) with rank 1-based within
+    each query (ties are the caller's responsibility to break). ``truth``:
+    (query_col, item_col) relevant pairs. Returns one row per query that
+    appears in ``truth``: (query_col, n_rel, hits, recall_e6, rr_e6,
+    ndcg_e6) where rr is the reciprocal of the best (lowest) hit rank,
+    0 when no hit, and nDCG uses binary gains with the shared e9 integer
+    discounts from :func:`dcg_discounts` — its ideal DCG truncates at
+    ``min(n_rel, k)``. ``results`` must be unique per (query, item);
+    ``truth`` must be distinct pairs.
+    """
+    spark = SparkSession.getActiveSession()
+    disc = dcg_discounts(k)
+    disc_df = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, d) for i, d in enumerate(disc)],
+            f"{rank_col} long, disc_e9 long",
+        )
+    )
+    # ideal DCG prefix sums (e9 ints), rank -> sum of first `rank` discounts
+    prefix, acc = [], 0
+    for d in disc:
+        acc += d
+        prefix.append(acc)
+    idcg_e9 = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+    )
+
+    topk = results.filter(F.col(rank_col) <= k).join(disc_df, rank_col)
+    hits = truth.join(
+        topk, [query_col, item_col], "left"
+    )
+    per_q = hits.groupBy(query_col).agg(
+        F.count("*").cast("long").alias("n_rel"),
+        F.sum(F.col(rank_col).isNotNull().cast("long")).alias("hits"),
+        F.min(rank_col).alias("best_rank"),
+        F.coalesce(F.sum("disc_e9"), F.lit(0)).cast("long").alias("dcg_e9"),
+    )
+    return per_q.select(
+        query_col,
+        "n_rel",
+        "hits",
+        F.expr(f"(hits * {E6}) div n_rel").cast("long").alias("recall_e6"),
+        F.coalesce(
+            F.expr(f"{E6} div best_rank"), F.lit(0)
+        ).cast("long").alias("rr_e6"),
+        F.expr(f"dcg_e9 * {E6}").cast("long").alias("_num"),
+        idcg_e9.alias("_den"),
+    ).select(
+        query_col,
+        "n_rel",
+        "hits",
+        "recall_e6",
+        "rr_e6",
+        F.expr("_num div _den").cast("long").alias("ndcg_e6"),
+    )
+
+
+def calibration_error(
+    scored: DataFrame,
+    score_e6_col: str = "score_e6",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error, exact integers.
+
+    ``scored``: (score_e6_col long in [0, 1e6], label_col 0/1). Scores are
+    equal-width binned: ``bin = min(floor(score_e6 * bins / 1e6), bins-1)``.
+    Returns one row per non-empty bin — (bin, n, avg_score_e6,
+    avg_label_e6, gap_e6) — plus a summary row bin = -1 whose ``gap_e6``
+    is the ECE (sum of n/N-weighted gaps). Every average is an integer
+    division of long sums, so the result is engine-exact.
+    """
+    b = (
+        F.least(
+            F.floor(F.col(score_e6_col) * bins / E6), F.lit(bins - 1)
+        ).cast("long")
+    )
+    per_bin = (
+        scored.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(score_e6_col).cast("long").alias("s_sum"),
+            F.sum(F.col(label_col).cast("long") * E6).alias("l_sum"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("s_sum div n").alias("avg_score_e6"),
+            F.expr("l_sum div n").alias("avg_label_e6"),
+            F.abs(
+                F.expr("s_sum div n") - F.expr("l_sum div n")
+            ).alias("gap_e6"),
+        )
+    )
+    total = per_bin.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n").alias("n"),
+        F.lit(None).cast("long").alias("avg_score_e6"),
+        F.lit(None).cast("long").alias("avg_label_e6"),
+        # ECE: sum over bins of (n_b * gap_b) div N — one integer division
+        # at the end, so no per-bin rounding accumulates
+        F.expr("sum(n * gap_e6) div sum(n)").cast("long").alias("gap_e6"),
+    )
+    return per_bin.unionByName(total)

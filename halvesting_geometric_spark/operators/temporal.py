@@ -86,6 +86,103 @@ def graph_growth(transcripts: DataFrame, bucket: str = "day") -> DataFrame:
     )
 
 
+def temporal_triangles(
+    ev: DataFrame,
+    delta_s: int,
+    src: str = "src_conv",
+    dst: str = "dst_conv",
+    ts: str = "ts",
+    max_per_bucket: int | None = 4096,
+) -> DataFrame:
+    """Count time-respecting triangles within a ``delta_s``-second window.
+
+    The canonical cyclic temporal motif (Paranjape, Benson & Leskovec,
+    "Motifs in Temporal Networks", WSDM 2017): event triples
+    ``e1: u→v @ t1``, ``e2: v→w @ t2``, ``e3: w→u @ t3`` with
+    ``t1 < t2 < t3 <= t1 + delta``. Every event triple counts (edges are
+    occurrences, not deduped), matching the published motif semantics.
+
+    Scale path — the static wedge join's hub problem gains a time axis
+    here, and the fix is the bucketized band join already proven by
+    ``relational.range_join_pair_counts``: each event gets a
+    ``floor(t/delta)`` bucket; a partner within ``(t, t+delta]`` lives in
+    the same or the next bucket, so probes explode into exactly 2 bucket
+    keys and every join is a plain equi-join on (vertex, bucket) — join
+    key cardinality is per-vertex *per-window* activity, not lifetime
+    degree. Exact time predicates re-filter after the equi-join. All
+    time arithmetic is integer microseconds (``unix_micros``), so the
+    DuckDB oracle (``epoch_us``) matches exactly.
+
+    ``max_per_bucket`` caps events per join-role key per window
+    (deterministic ``row_number`` by (t, src, dst)) so one vertex that is
+    hot *within a single window* cannot go quadratic — the same
+    safe-by-default posture as ``linkpred.neighborhood_scores``. Counts
+    are exact whenever no key exceeds the cap (any realistic window
+    size); ``None`` opts into the exact-everywhere join.
+
+    Returns a 1-row DataFrame ``(temporal_triangles,)``.
+    """
+    delta_us = int(delta_s) * 1_000_000
+    e = ev.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        # cast: parquet TIMESTAMP_NTZ is read as naive; the session pins
+        # UTC, so NTZ -> LTZ is identity and unix_micros stays portable
+        # with the oracle's epoch_us.
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("t"),
+    ).withColumn("b", (F.col("t") / delta_us).cast("long"))
+
+    def _cap(df: DataFrame, *keys: str) -> DataFrame:
+        if max_per_bucket is None:
+            return df
+        w = Window.partitionBy(*keys, "b").orderBy("t", "u", "v")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_bucket)
+            .drop("_rn")
+        )
+
+    e1 = _cap(e, "v").select(
+        F.col("u").alias("a"),
+        F.col("v").alias("m"),
+        F.col("t").alias("t1"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    e2 = _cap(e, "u").select(
+        F.col("u").alias("m"),
+        F.col("v").alias("w"),
+        F.col("t").alias("t2"),
+        F.col("b").alias("jb"),
+    )
+    wedges = e1.join(e2, ["m", "jb"]).filter(
+        (F.col("t2") > F.col("t1")) & (F.col("t2") < F.col("t1") + delta_us)
+    )
+    probes = wedges.select(
+        "a",
+        "w",
+        "t1",
+        "t2",
+        F.explode(
+            F.array(
+                (F.col("t1") / delta_us).cast("long"),
+                (F.col("t1") / delta_us).cast("long") + 1,
+            )
+        ).alias("jb"),
+    )
+    e3 = _cap(e, "u", "v").select(
+        F.col("u").alias("w"),
+        F.col("v").alias("a"),
+        F.col("t").alias("t3"),
+        F.col("b").alias("jb"),
+    )
+    closed = probes.join(e3, ["w", "a", "jb"]).filter(
+        (F.col("t3") > F.col("t2")) & (F.col("t3") <= F.col("t1") + delta_us)
+    )
+    return closed.agg(
+        F.count("*").cast("long").alias("temporal_triangles")
+    )
+
+
 def snapshot_diff(
     transcripts: DataFrame,
     t_old,
