@@ -38,6 +38,7 @@ ALGORITHMS = (
     "salsa", "influence", "diameter", "reciprocity", "richclub",
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
     "distinct", "zorder", "auroc", "simrank", "graphlets",
+    "anomaly", "cusum", "tmotif",
 )
 
 
@@ -86,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="toolseq: n-gram length")
     ap.add_argument("--zbits", type=int, default=16,
                     help="zorder: bits per interleaved dimension")
+    ap.add_argument("--slack", type=float, default=0.0,
+                    help="cusum: allowance k in count units")
+    ap.add_argument("--threshold", type=float, default=10.0,
+                    help="cusum: decision interval h in count units")
+    ap.add_argument("--delta", type=int, default=172800,
+                    help="tmotif: motif window in seconds")
     ap.add_argument(
         "--aqe-bypass",
         action=argparse.BooleanOptionalAction,
@@ -480,6 +487,43 @@ def main(argv: list[str] | None = None) -> int:
         a = auroc(scored, scalable=True)
         a.write.mode("overwrite").parquet(args.output)
         summary.update(a.first().asDict())
+    elif args.algorithm == "anomaly":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.anomaly import (
+            robust_anomalies,
+        )
+
+        scored = robust_anomalies(
+            transcripts.select(
+                "conv_id", "turn_idx", "role",
+                F.length("text").cast("double").alias("n_chars"),
+            ),
+            "role",
+            "n_chars",
+        )
+        scored.write.mode("overwrite").parquet(args.output)
+        summary["flagged"] = scored.filter("is_anomaly").count()
+    elif args.algorithm == "cusum":
+        from halvesting_geometric_spark.operators.anomaly import (
+            cusum_changepoints,
+        )
+
+        cp = cusum_changepoints(
+            transcripts, group_col="role", ts_col="ts",
+            slack=args.slack, threshold=args.threshold,
+        )
+        cp.write.mode("overwrite").parquet(args.output)
+        summary["alarms"] = cp.filter("alarm").count()
+    elif args.algorithm == "tmotif":
+        from halvesting_geometric_spark.operators.temporal import (
+            edge_events,
+            temporal_triangles,
+        )
+
+        tt = temporal_triangles(edge_events(transcripts), delta_s=args.delta)
+        tt.write.mode("overwrite").parquet(args.output)
+        summary.update(tt.first().asDict())
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

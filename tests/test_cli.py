@@ -164,3 +164,22 @@ def test_cli_simrank(spark, tmp_path, capsys):
     assert summary["c"] == 0.8
     got = spark.read.parquet(out)
     assert got.count() == summary["pairs"] > 0
+
+
+def test_cli_anomaly_cusum_tmotif(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_anom")
+    generate_transcripts(spark, 40, seed=9).write.parquet(tr_dir)
+    for algo, key, extra in (
+        ("anomaly", "flagged", []),
+        ("cusum", "alarms", ["--slack", "1.0", "--threshold", "8.0"]),
+        ("tmotif", "temporal_triangles", ["--delta", "604800"]),
+    ):
+        out = str(tmp_path / f"out_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out] + extra
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert summary[key] is not None
+        assert spark.read.parquet(out).count() >= 0
