@@ -1372,6 +1372,45 @@ def _q_cms_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key", F.col("est").cast("long").alias("est"))
 
 
+def _landmark_sql(depth: int = 6, lm_mod: int = 37, pair_mod: int = 25) -> str:
+    """DuckDB twin of _q_landmark_est6: per-landmark BFS levels unrolled
+    over the symmetric edge set (the _betweenness_sql forward pattern),
+    then MIN(d(a,lm) + d(lm,b)) over the probe pairs."""
+    parts = [
+        _BASE,
+        f"lsrc AS (SELECT vertex_id AS lm FROM verts WHERE vertex_id % {lm_mod} = 0)",
+        "lst0 AS MATERIALIZED (SELECT lm, CAST(lm AS BIGINT) AS v, 0 AS dist "
+        "FROM lsrc)",
+    ]
+    for lvl in range(1, depth + 1):
+        p = lvl - 1
+        parts.append(
+            f"""lgr{lvl} AS (
+  SELECT DISTINCT st.lm, s.dst AS v
+  FROM lst{p} st JOIN sym s ON st.v = s.src
+  WHERE st.dist = {p}),
+lst{lvl} AS MATERIALIZED (
+  SELECT * FROM lst{p}
+  UNION ALL
+  SELECT g.lm, g.v, {lvl} AS dist FROM lgr{lvl} g
+  WHERE NOT EXISTS (SELECT 1 FROM lst{p} x WHERE x.lm = g.lm AND x.v = g.v))"""
+        )
+    parts.append(
+        f"""lpairs AS (
+  SELECT a.vertex_id AS a, b.vertex_id AS b
+  FROM verts a JOIN verts b ON a.vertex_id < b.vertex_id
+  WHERE a.vertex_id % {pair_mod} = 0 AND b.vertex_id % {pair_mod} = 0)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT p.a, p.b,
+       CAST(MIN(da.dist + db.dist) AS BIGINT) AS est_dist
+FROM lpairs p
+JOIN lst{depth} da ON da.v = p.a
+JOIN lst{depth} db ON db.lm = da.lm AND db.v = p.b
+GROUP BY 1, 2"""
+
+
 def _rank_eval_sql(k: int = 10) -> str:
     """DuckDB twin of _q_rank_eval10: the e9 integer discounts are inlined
     from evalmetrics.dcg_discounts, so both engines sum identical longs."""
@@ -2361,6 +2400,30 @@ def _q_ece10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_error(scored, bins=10)
 
 
+def _q_landmark_est6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance oracle (operators/traversal.py landmark_bfs +
+    landmark_distance_estimates, Das Sarma et al. WSDM'10): 6 landmarks
+    (vertex_id % 37 == 0) BFS to depth 6 undirected in ONE joint frontier,
+    then min(d(a,lm)+d(lm,b)) upper bounds for the 36 probe pairs
+    (vertex_id % 25 == 0, a < b). Oracle: unrolled per-landmark BFS levels
+    over the symmetric edge set (the betweenness forward-pass pattern)."""
+    from halvesting_geometric_spark.operators.traversal import (
+        landmark_bfs,
+        landmark_distance_estimates,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    lms = verts.filter(F.col("vertex_id") % 37 == 0).select("vertex_id")
+    dists = landmark_bfs(edges, verts, lms, max_depth=6, directed=False)
+    probe = verts.filter(F.col("vertex_id") % 25 == 0).select(
+        F.col("vertex_id").alias("a")
+    )
+    pairs = probe.join(
+        probe.select(F.col("a").alias("b")), F.col("a") < F.col("b")
+    )
+    return landmark_distance_estimates(dists, pairs)
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 per-language length quantiles (operators/quantiles.py):
     p50/p90/p99 of n_chars per lang located by a running sum over DISTINCT
@@ -2532,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_tri48": _q_temporal_tri48,
         "rank_eval10": _q_rank_eval10,
         "ece10": _q_ece10,
+        "landmark_est6": _q_landmark_est6,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5763,6 +5827,7 @@ SELECT event_id, event_type, rz_e6,
        COALESCE(abs(rz_e6) > 3500000, FALSE) AS is_anomaly
 FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
+        "landmark_est6": _landmark_sql(6, 37, 25),
         "ece10": """
 WITH scored AS (
   SELECT CAST((event_id * 131) % 1000001 AS BIGINT) AS score_e6,

@@ -182,6 +182,8 @@ from halvesting_geometric_spark.operators.traversal import (
     double_sweep_diameter,
     ego_subgraph,
     hitting_probability,
+    landmark_bfs,
+    landmark_distance_estimates,
     sssp,
 )
 from halvesting_geometric_spark.operators.triangles import (
@@ -206,6 +208,8 @@ __all__ = [
     "betweenness_sampled",
     "calibration_error",
     "cusum_changepoints",
+    "landmark_bfs",
+    "landmark_distance_estimates",
     "ranking_metrics",
     "robust_anomalies",
     "bfs_levels",

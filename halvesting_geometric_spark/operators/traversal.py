@@ -88,6 +88,111 @@ def bfs_levels(
     return out
 
 
+def landmark_bfs(
+    edges: DataFrame,
+    vertices: DataFrame,
+    landmarks: DataFrame | list[int],
+    max_depth: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-landmark hop distances: (vertex_id, lm, dist) for every vertex
+    within ``max_depth`` hops of each landmark.
+
+    The precompute half of a landmark distance oracle (Das Sarma et al.,
+    "A Sketch-Based Distance Oracle for Web-Scale Graphs", WSDM 2010 —
+    public paper): k seeds expand together in one frontier whose rows are
+    (vertex, landmark) pairs, so the whole precompute is ``max_depth``
+    supersteps regardless of k, on the same cached-topology /
+    frontier-anti-join substrate as :func:`bfs_levels`. State is at most
+    V×k rows — the explicit, budgetable cost of the oracle.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    spark = edges.sparkSession
+    if isinstance(landmarks, (list, tuple)):
+        landmarks = spark.createDataFrame(
+            [(int(s),) for s in landmarks], "vertex_id long"
+        )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    topo = edges.select("src", "dst")
+    if not directed:
+        topo = topo.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    topo = (
+        topo.repartition(n_shuffle, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    topo.count()
+
+    visited = (
+        landmarks.select("vertex_id")
+        .distinct()
+        .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
+        .select(
+            "vertex_id", F.col("vertex_id").alias("lm"), F.lit(0).alias("dist")
+        )
+    )
+    frontier = visited
+    prev_caches: list[DataFrame] = []
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            topo.join(
+                frontier.select(F.col("vertex_id").alias("src"), "lm"), "src"
+            )
+            .select(F.col("dst").alias("vertex_id"), "lm")
+            .distinct()
+            .join(visited.select("vertex_id", "lm"), ["vertex_id", "lm"], "left_anti")
+            .select("vertex_id", "lm", F.lit(depth).alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            nxt.unpersist()
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [nxt]
+    out = visited.select(
+        "vertex_id", "lm", F.col("dist").cast("long").alias("dist")
+    )
+    out = out.localCheckpoint(eager=True)
+    for p in prev_caches:
+        p.unpersist()
+    topo.unpersist()
+    return out
+
+
+def landmark_distance_estimates(
+    dists: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Query half of the landmark oracle: for each (a, b) pair, the upper
+    bound ``min over landmarks of d(a, lm) + d(lm, b)`` — exact whenever
+    some landmark sits on a shortest a-b path (triangle inequality).
+
+    ``dists``: output of :func:`landmark_bfs` (undirected for symmetric
+    estimates). ``pairs``: (a, b). Pairs sharing no reached landmark are
+    absent from the result (unknown, not zero). Two equi-join shuffles —
+    on ``a``, then on (b, lm) — then one groupBy; no per-vertex vectors
+    are ever buffered in a single row.
+    """
+    da = dists.select(
+        F.col("vertex_id").alias("a"), "lm", F.col("dist").alias("d_a")
+    )
+    db = dists.select(
+        F.col("vertex_id").alias("b"), "lm", F.col("dist").alias("d_b")
+    )
+    return (
+        pairs.join(da, "a")
+        .join(db, ["b", "lm"])
+        .groupBy("a", "b")
+        .agg(
+            F.min(F.col("d_a") + F.col("d_b")).cast("long").alias("est_dist")
+        )
+    )
+
+
 def sssp(
     edges: DataFrame,
     vertices: DataFrame,
