@@ -2424,6 +2424,25 @@ def _q_landmark_est6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_distance_estimates(dists, pairs)
 
 
+def _q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-length trend (operators/relational.py
+    grouped_linregress): OLS slope/intercept/R2 of length(text) on
+    turn_idx from exact integer sufficient sums — one groupBy, six longs
+    of state per group. The oracle emulates Spark's trunc-toward-zero
+    `div` on the possibly-negative numerators by sign-splitting DuckDB's
+    floor `//`."""
+    from halvesting_geometric_spark.operators.relational import (
+        grouped_linregress,
+    )
+
+    tr = derived_transcripts(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    return grouped_linregress(tr, "conv_id", "x", "y")
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 per-language length quantiles (operators/quantiles.py):
     p50/p90/p99 of n_chars per lang located by a running sum over DISTINCT
@@ -2596,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval10": _q_rank_eval10,
         "ece10": _q_ece10,
         "landmark_est6": _q_landmark_est6,
+        "conv_trend": _q_conv_trend,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5828,6 +5848,52 @@ SELECT event_id, event_type, rz_e6,
 FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
+        "conv_trend": """
+WITH tt AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,
+         'turn of c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') ||
+           ' see [[ref:c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') ||
+           ']] end' AS text,
+         ts, event_id
+  FROM events),
+idx AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS x,
+         CAST(length(text) AS BIGINT) AS y
+  FROM tt),
+sums AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY 1),
+d AS (
+  SELECT conv_id, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM sums),
+sl AS (
+  SELECT *,
+         CASE WHEN denx > 0 THEN
+           CASE WHEN num >= 0 THEN (num * 1000000) // denx
+                ELSE -((-num * 1000000) // denx) END
+         END AS slope_e6
+  FROM d),
+ic AS (
+  SELECT *, sy * 1000000 - slope_e6 * sx AS iy FROM sl)
+SELECT conv_id, n,
+       CAST(slope_e6 AS BIGINT) AS slope_e6,
+       CAST(CASE WHEN iy >= 0 THEN iy // n ELSE -((-iy) // n) END
+            AS BIGINT) AS intercept_e6,
+       CAST(CASE WHEN denx > 0 AND deny > 0 THEN
+              floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                    / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+                    * 1000000 + 0.5)
+            END AS BIGINT) AS r2_e6
+FROM ic""",
         "ece10": """
 WITH scored AS (
   SELECT CAST((event_id * 131) % 1000001 AS BIGINT) AS score_e6,

@@ -141,6 +141,7 @@ from halvesting_geometric_spark.operators.sampling import (
 )
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
 from halvesting_geometric_spark.operators.events import burst_windows
+from halvesting_geometric_spark.operators.relational import grouped_linregress
 from halvesting_geometric_spark.operators.temporal import (
     snapshot_diff,
     temporal_triangles,
@@ -208,6 +209,7 @@ __all__ = [
     "betweenness_sampled",
     "calibration_error",
     "cusum_changepoints",
+    "grouped_linregress",
     "landmark_bfs",
     "landmark_distance_estimates",
     "ranking_metrics",

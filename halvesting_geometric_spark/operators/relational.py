@@ -145,3 +145,79 @@ def range_join_pair_counts(
         .distinct()
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+def grouped_linregress(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS regression of y on x from exact integer sufficient
+    statistics — one aggregation pass, engine-exact results.
+
+    Engine-new analytic (the reference computes no regressions). Inputs
+    must be integer-valued columns (cast upstream; e.g. turn index vs
+    text length — "is this conversation's turn length trending up?").
+    The five sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are long sums —
+    order-free — and every output is either an integer division of longs
+    or a single-expression IEEE ratio of exact integers, so Spark and a
+    SQL oracle agree bit-for-bit:
+
+    - ``slope_e6  = (num * 1e6) div denx`` where ``num = nΣxy − ΣxΣy``,
+      ``denx = nΣx² − (Σx)²``; null when x is constant (denx == 0).
+    - ``intercept_e6 ≡ (Σy·1e6 − slope_e6·Σx) div n`` — defined via the
+      already-quantized slope so the arithmetic stays in long range.
+    - ``r2_e6 = floor(double(num)²/(double(denx)·double(deny))·1e6+0.5)``;
+      null when x or y is constant.
+
+    Scale: a single groupBy shuffle with constant per-group state (six
+    longs) — the same map-side-combine shape as any counting rollup.
+    Overflow bound: |num| ≤ n·max|x|·max|y| must stay under 2^63/1e6 ≈
+    9.2e12 — comfortably true for per-conversation or per-session series.
+    """
+    g = F.col(group_col)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    sums = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        .withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("denx", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumn("deny", F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    slope = F.when(
+        F.col("denx") > 0, F.expr("(num * 1000000) div denx")
+    ).cast("long")
+    return (
+        sums.withColumn("slope_e6", slope)
+        .withColumn(
+            "intercept_e6",
+            F.expr("(sy * 1000000 - slope_e6 * sx) div n").cast("long"),
+        )
+        .withColumn(
+            "r2_e6",
+            F.when(
+                (F.col("denx") > 0) & (F.col("deny") > 0),
+                F.floor(
+                    F.col("num").cast("double")
+                    * F.col("num").cast("double")
+                    / (
+                        F.col("denx").cast("double")
+                        * F.col("deny").cast("double")
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                ),
+            ).cast("long"),
+        )
+        .select(group_col, "n", "slope_e6", "intercept_e6", "r2_e6")
+    )
