@@ -1372,6 +1372,56 @@ def _q_cms_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key", F.col("est").cast("long").alias("est"))
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """DuckDB twin of _q_kcenter8: the k greedy rounds unrolled as CTEs,
+    each round one LEAST() min-distance update + one ORDER BY/LIMIT 1
+    argmax over the e4-quantized distances (== Spark's max(struct))."""
+
+    def de4(a: str, b: str) -> str:
+        return (
+            f"10000 - CAST(floor(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0"
+            f" OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+            f" * 10000 + 0.5) AS BIGINT)"
+        )
+
+    parts = [
+        "d AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "c0 AS (SELECT MIN(id) AS id FROM d)",
+        f"""m0 AS MATERIALIZED (
+  SELECT x.id, {de4('x.e', 'ce.e')} AS md
+  FROM d x JOIN d ce ON ce.id = (SELECT id FROM c0))""",
+    ]
+    sel = ["SELECT 0 AS sel_order, id FROM c0"]
+    for i in range(1, k):
+        chosen = " UNION ALL ".join(
+            ["SELECT id FROM c0"]
+            + [f"SELECT id FROM s{j}" for j in range(1, i)]
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT id FROM m{i - 1} WHERE id NOT IN ({chosen})
+  ORDER BY md DESC, id ASC LIMIT 1)"""
+        )
+        sel.append(f"SELECT {i} AS sel_order, id FROM s{i}")
+        if i < k - 1:
+            parts.append(
+                f"""m{i} AS MATERIALIZED (
+  SELECT p.id, LEAST(p.md, {de4('x.e', 'ce.e')}) AS md
+  FROM m{i - 1} p JOIN d x ON x.id = p.id
+  JOIN d ce ON ce.id = (SELECT id FROM s{i}))"""
+            )
+    body = ",\n".join(parts)
+    union = " UNION ALL ".join(sel)
+    return (
+        f"WITH {body}\n"
+        "SELECT CAST(sel_order AS BIGINT) AS sel_order, "
+        f"CAST(id AS BIGINT) AS id FROM ({union})"
+    )
+
+
 def _landmark_sql(depth: int = 6, lm_mod: int = 37, pair_mod: int = 25) -> str:
     """DuckDB twin of _q_landmark_est6: per-landmark BFS levels unrolled
     over the symmetric edge set (the _betweenness_sql forward pattern),
@@ -2424,6 +2474,18 @@ def _q_landmark_est6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_distance_estimates(dists, pairs)
 
 
+def _q_kcenter8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 2-approx k-center coreset over the embedding corpus
+    (operators/similarity.py kcenter_select, Gonzalez 1985): 8 diversity
+    picks under e4-quantized cosine distance, ties to the smallest id.
+    Each round is one broadcast + one least() scan + one max(struct)
+    all-reduce; the oracle unrolls the identical rounds."""
+    from halvesting_geometric_spark.operators.similarity import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=8, dim=64)
+
+
 def _q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-length trend (operators/relational.py
     grouped_linregress): OLS slope/intercept/R2 of length(text) on
@@ -2616,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece10": _q_ece10,
         "landmark_est6": _q_landmark_est6,
         "conv_trend": _q_conv_trend,
+        "kcenter8": _q_kcenter8,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5848,6 +5911,7 @@ SELECT event_id, event_type, rz_e6,
 FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
+        "kcenter8": _kcenter_sql(8),
         "conv_trend": """
 WITH tt AS (
   SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,

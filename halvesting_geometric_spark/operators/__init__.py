@@ -166,6 +166,7 @@ from halvesting_geometric_spark.operators.neighbors import (
     gated_aggregate,
 )
 from halvesting_geometric_spark.operators.graphlets import graphlet_census
+from halvesting_geometric_spark.operators.similarity import kcenter_select
 from halvesting_geometric_spark.operators.simrank import simrank
 from halvesting_geometric_spark.operators.setjoin import (
     prefix_filter_pairs,
@@ -210,6 +211,7 @@ __all__ = [
     "calibration_error",
     "cusum_changepoints",
     "grouped_linregress",
+    "kcenter_select",
     "landmark_bfs",
     "landmark_distance_estimates",
     "ranking_metrics",

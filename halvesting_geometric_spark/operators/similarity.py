@@ -13,6 +13,7 @@ Reference analog: the dot-product link scorer
 from __future__ import annotations
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -299,4 +300,71 @@ def embedding_near_dups(
         .select("a", "b", cosine_similarity("va", "vb", dim=dim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .distinct()
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Greedy 2-approximation k-center coreset (Gonzalez 1985) — the
+    standard diversity-selection primitive for data curation: pick the
+    smallest-id point, then repeatedly add the point FARTHEST from the
+    selected set under e4-quantized cosine distance (ties → smallest id).
+
+    Returns k rows (sel_order long, id long) in selection order.
+
+    Scale shape: k − 1 rounds; each round is (a) one broadcast of the new
+    center's single vector row, (b) one scan updating the running
+    min-distance column ``least(md, dist_to_new_center)``, (c) one
+    all-reduce ``max(struct(md, -id))`` to pick the farthest point — no
+    global sort, no growing driver state beyond the k selected ids.
+    Distances are quantized to e4 integers BEFORE any comparison, so the
+    argmax is engine-portable (the DuckDB twin unrolls the same rounds).
+    Lineage truncates per round via eager localCheckpoint on the k-row
+    min-distance state join key only — the vectors stay in the cached
+    input, never in the iterated state.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = base.count()
+    if k > n:
+        raise ValueError(f"k={k} exceeds corpus size {n}")
+
+    first = base.agg(F.min("id")).first()[0]
+    selected = [int(first)]
+    # md: e4 cosine DISTANCE (10000 - sim_e4) to the nearest selected center
+    dist_e4 = (
+        F.lit(10_000)
+        - F.floor(cosine_similarity("v", "cv", dim=dim) * 10_000 + F.lit(0.5))
+    ).cast("long")
+    cvec = base.filter(F.col("id") == first).select(F.col("v").alias("cv"))
+    mind = (
+        base.crossJoin(F.broadcast(cvec))
+        .select("id", dist_e4.alias("md"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(1, k):
+        nxt = mind.filter(~F.col("id").isin(selected)).agg(
+            F.max(F.struct(F.col("md"), (-F.col("id")).alias("nid")))
+        ).first()[0]
+        cid = -nxt["nid"]
+        selected.append(int(cid))
+        cvec = base.filter(F.col("id") == cid).select(F.col("v").alias("cv"))
+        mind = (
+            mind.join(base, "id")
+            .crossJoin(F.broadcast(cvec))
+            .select("id", F.least("md", dist_e4).alias("md"))
+            .localCheckpoint(eager=True)
+        )
+    base.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(selected)], "sel_order long, id long"
     )
