@@ -2486,6 +2486,16 @@ def _q_kcenter8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, k=8, dim=64)
 
 
+def _q_topic_shift3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic-shift scores (operators/dialogue.py
+    topic_boundaries, Hearst CL'97): exact windowed token-set Jaccard at
+    every interior turn boundary, w=3. Tokens fan out to <= 2w boundary
+    keys — no per-conversation buffers; integers end to end."""
+    from halvesting_geometric_spark.operators.dialogue import topic_boundaries
+
+    return topic_boundaries(derived_transcripts(spark, sf_dir), w=3)
+
+
 def _q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-length trend (operators/relational.py
     grouped_linregress): OLS slope/intercept/R2 of length(text) on
@@ -2679,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_est6": _q_landmark_est6,
         "conv_trend": _q_conv_trend,
         "kcenter8": _q_kcenter8,
+        "topic_shift3": _q_topic_shift3,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5912,6 +5923,44 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "topic_shift3": """
+WITH tt AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,
+         'turn of c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') ||
+           ' see [[ref:c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') ||
+           ']] end' AS text,
+         ts, event_id
+  FROM events),
+idx AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT)
+           AS turn_idx,
+         text
+  FROM tt),
+tok AS (
+  SELECT DISTINCT conv_id, turn_idx, u.x AS tok
+  FROM idx, unnest(string_split(text, ' ')) AS u(x)
+  WHERE u.x <> ''),
+sides AS (
+  SELECT conv_id, CAST(u.b AS BIGINT) AS b, tok, 1 AS l, 0 AS r
+  FROM tok, unnest(range(turn_idx, turn_idx + 3)) AS u(b)
+  UNION ALL
+  SELECT conv_id, CAST(u.b AS BIGINT) AS b, tok, 0 AS l, 1 AS r
+  FROM tok, unnest(range(turn_idx - 3, turn_idx)) AS u(b)),
+pres AS (
+  SELECT conv_id, b, tok, MAX(l) AS l, MAX(r) AS r
+  FROM sides GROUP BY 1, 2, 3),
+agg AS (
+  SELECT conv_id, b,
+         CAST(SUM(l * r) AS BIGINT) AS inter,
+         CAST(COUNT(*) AS BIGINT) AS union_sz
+  FROM pres GROUP BY 1, 2),
+nmax AS (SELECT conv_id, MAX(turn_idx) AS mx FROM idx GROUP BY 1)
+SELECT a.conv_id, a.b AS boundary, a.inter, a.union_sz,
+       CAST((a.inter * 1000000) // a.union_sz AS BIGINT) AS jaccard_e6
+FROM agg a JOIN nmax n ON n.conv_id = a.conv_id
+WHERE a.b >= 0 AND a.b < n.mx""",
         "conv_trend": """
 WITH tt AS (
   SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,

@@ -37,6 +37,7 @@ from halvesting_geometric_spark.operators.dialogue import (
     role_transitions,
     tool_runs,
     tool_sequences,
+    topic_boundaries,
     turn_gaps,
 )
 from halvesting_geometric_spark.operators.dag import (
@@ -230,6 +231,7 @@ __all__ = [
     "session_paths",
     "snapshot_diff",
     "temporal_triangles",
+    "topic_boundaries",
     "stratified_sample",
     "build_graph",
     "build_vertices",

@@ -184,3 +184,80 @@ def tool_runs(
         .filter(F.col("run_len") >= min_len)
         .select("conv_id", "tool", "start_idx", "run_len")
     )
+
+
+def topic_boundaries(transcripts: DataFrame, w: int = 3) -> DataFrame:
+    """TextTiling-style topic-shift scores at every turn boundary.
+
+    For the boundary between turn ``b`` and ``b+1`` of each conversation,
+    compare the DISTINCT token sets of the ``w`` turns ending at ``b``
+    (left window) and the ``w`` turns starting at ``b+1`` (right window):
+    low Jaccard overlap marks a topic shift (Hearst, "TextTiling",
+    Computational Linguistics 1997 — the lexical-cohesion signal, computed
+    set-exactly instead of via smoothed cosine). Windows truncate at
+    conversation edges. Returns one row per interior boundary:
+    (conv_id, boundary, inter, union_sz, jaccard_e6) with
+    ``jaccard_e6 = (inter * 1e6) div union_sz`` — exact integers.
+
+    Scale shape — NO per-conversation buffers anywhere: tokens explode to
+    (conv, turn, token) distinct rows; each token row fans out to at most
+    ``2w`` boundary keys (``sequence`` + explode, a constant); presence
+    and overlap are two map-side-combined groupBys on (conv, boundary[,
+    token]). The only join is the per-conversation max-turn table for
+    edge trimming. Work is O(tokens · w), independent of conversation
+    count or length skew.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    toks = (
+        transcripts.select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    lhs = toks.select(
+        "conv_id",
+        F.explode(
+            F.sequence(F.col("turn_idx"), F.col("turn_idx") + (w - 1))
+        ).alias("b"),
+        "tok",
+        F.lit(1).alias("l"),
+        F.lit(0).alias("r"),
+    )
+    rhs = toks.select(
+        "conv_id",
+        F.explode(
+            F.sequence(F.col("turn_idx") - w, F.col("turn_idx") - 1)
+        ).alias("b"),
+        "tok",
+        F.lit(0).alias("l"),
+        F.lit(1).alias("r"),
+    )
+    pres = (
+        lhs.unionByName(rhs)
+        .groupBy("conv_id", "b", "tok")
+        .agg(F.max("l").alias("l"), F.max("r").alias("r"))
+    )
+    agg = pres.groupBy("conv_id", "b").agg(
+        F.sum((F.col("l") * F.col("r"))).cast("long").alias("inter"),
+        F.count("*").cast("long").alias("union_sz"),
+    )
+    nmax = transcripts.groupBy("conv_id").agg(
+        F.max(F.col("turn_idx").cast("long")).alias("_mx")
+    )
+    return (
+        agg.join(nmax, "conv_id")
+        .filter((F.col("b") >= 0) & (F.col("b") < F.col("_mx")))
+        .select(
+            "conv_id",
+            F.col("b").cast("long").alias("boundary"),
+            "inter",
+            "union_sz",
+            F.expr("(inter * 1000000) div union_sz").cast("long").alias(
+                "jaccard_e6"
+            ),
+        )
+    )
