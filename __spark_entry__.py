@@ -2486,6 +2486,17 @@ def _q_kcenter8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, k=8, dim=64)
 
 
+def _q_sft_windows4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT context-window construction (operators/dialogue.py
+    context_windows): every turn paired with its previous 4 turns'
+    sep-joined texts — a k-row ordered window frame, state bounded by k
+    regardless of conversation length. Oracle: DuckDB windowed list()
+    with the same frame (COALESCE'd: empty frame is NULL there, [] here)."""
+    from halvesting_geometric_spark.operators.dialogue import context_windows
+
+    return context_windows(derived_transcripts(spark, sf_dir), k=4)
+
+
 def _q_topic_shift3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling-style topic-shift scores (operators/dialogue.py
     topic_boundaries, Hearst CL'97): exact windowed token-set Jaccard at
@@ -2690,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_trend": _q_conv_trend,
         "kcenter8": _q_kcenter8,
         "topic_shift3": _q_topic_shift3,
+        "sft_windows4": _q_sft_windows4,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5923,6 +5935,30 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "sft_windows4": """
+WITH tt AS (
+  SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,
+         event_type AS role,
+         'turn of c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') ||
+           ' see [[ref:c' || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0') ||
+           ']] end' AS text,
+         ts, event_id
+  FROM events),
+idx AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT)
+           AS turn_idx,
+         role, text
+  FROM tt)
+SELECT conv_id, turn_idx, role, text,
+       COALESCE(
+         array_to_string(
+           list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+           chr(31)),
+         '') AS context
+FROM idx""",
         "topic_shift3": """
 WITH tt AS (
   SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,

@@ -34,6 +34,7 @@ from halvesting_geometric_spark.operators.cooccur import (
     cooccurrence_pmi,
 )
 from halvesting_geometric_spark.operators.dialogue import (
+    context_windows,
     role_transitions,
     tool_runs,
     tool_sequences,
@@ -210,6 +211,7 @@ __all__ = [
     "aggregate_neighbors_positional",
     "betweenness_sampled",
     "calibration_error",
+    "context_windows",
     "cusum_changepoints",
     "grouped_linregress",
     "kcenter_select",

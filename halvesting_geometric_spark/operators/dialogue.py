@@ -261,3 +261,34 @@ def topic_boundaries(transcripts: DataFrame, w: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def context_windows(
+    transcripts: DataFrame, k: int = 4, sep: str = "\x1f"
+) -> DataFrame:
+    """SFT training-pair construction: each turn paired with the
+    concatenation of its previous ``k`` turns (in order, ``sep``-joined).
+
+    The conversation → (context, target) flattening every supervised
+    fine-tuning pipeline needs. One ordered window per conversation with a
+    ``k``-row frame — per-row state is bounded by k texts, NOT by
+    conversation length, so a 10^12-turn corpus with million-turn
+    conversations still plans as a single sort-based window (spillable)
+    with no unbounded collect buffers. First turns get an empty context.
+
+    Returns (conv_id, turn_idx, role, text, context).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, -1)
+    )
+    return transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        F.array_join(F.collect_list("text").over(w), sep).alias("context"),
+    )

@@ -68,3 +68,30 @@ def test_topic_boundaries_validation(spark):
     # a single-turn conversation has no interior boundary
     out = topic_boundaries(_df(spark, {"solo": ["only turn"]}), w=2)
     assert out.count() == 0
+
+
+def test_context_windows_matches_python_twin(spark):
+    from halvesting_geometric_spark.operators.dialogue import context_windows
+
+    convs = {
+        "a": ["t0", "t1", "t2", "t3", "t4", "t5"],
+        "b": ["solo"],
+    }
+    out = {
+        (r.conv_id, r.turn_idx): r.context
+        for r in context_windows(_df(spark, convs), k=3, sep="|").collect()
+    }
+    for cid, texts in convs.items():
+        for i in range(len(texts)):
+            want = "|".join(texts[max(0, i - 3) : i])
+            assert out[(cid, i)] == want, (cid, i)
+    assert out[("b", 0)] == ""  # first turn: empty context, not null
+
+
+def test_context_windows_validation(spark):
+    import pytest as _pytest
+
+    from halvesting_geometric_spark.operators.dialogue import context_windows
+
+    with _pytest.raises(ValueError):
+        context_windows(_df(spark, {"a": ["x"]}), k=0)
