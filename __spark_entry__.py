@@ -2497,6 +2497,20 @@ def _q_sft_windows4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(derived_transcripts(spark, sf_dir), k=4)
 
 
+def _q_motif_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle motif significance vs the configuration-model null
+    (operators/metrics.py triangle_significance, Milo et al. Science'02):
+    E[T] = s2^3/(6*s1^3) from two degree moments; ratio_e6 = observed/E
+    as one IEEE expression over exact longs (same parenthesization in the
+    oracle)."""
+    from halvesting_geometric_spark.operators.metrics import (
+        triangle_significance,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return triangle_significance(edges)
+
+
 def _q_topic_shift3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling-style topic-shift scores (operators/dialogue.py
     topic_boundaries, Hearst CL'97): exact windowed token-set Jaccard at
@@ -2702,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter8": _q_kcenter8,
         "topic_shift3": _q_topic_shift3,
         "sft_windows4": _q_sft_windows4,
+        "motif_sig": _q_motif_sig,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5935,6 +5950,29 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "motif_sig": _TRI_BASE
+        + """, tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS tri FROM tri),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM canon UNION ALL SELECT b FROM canon) GROUP BY v),
+mom AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS s1,
+         CAST(SUM(d * (d - 1)) AS BIGINT) AS s2
+  FROM deg)
+SELECT tc.tri AS triangles, m.s1, m.s2,
+       CASE WHEN m.s1 > 0 THEN CAST(floor(
+         CAST(m.s2 AS DOUBLE) * CAST(m.s2 AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+         / (6.0 * CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+            * CAST(m.s1 AS DOUBLE))
+         * 1000000 + 0.5) AS BIGINT) END AS expected_e6,
+       CASE WHEN m.s1 > 0 AND m.s2 > 0 THEN CAST(floor(
+         CAST(tc.tri AS DOUBLE)
+         / (CAST(m.s2 AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+            * CAST(m.s2 AS DOUBLE)
+            / (6.0 * CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+               * CAST(m.s1 AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) END AS ratio_e6
+FROM tcount tc, mom m""",
         "sft_windows4": """
 WITH tt AS (
   SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0') AS conv_id,

@@ -161,7 +161,11 @@ from halvesting_geometric_spark.operators.centrality import (
     salsa,
 )
 from halvesting_geometric_spark.operators.influence import linear_threshold
-from halvesting_geometric_spark.operators.metrics import reciprocity, rich_club
+from halvesting_geometric_spark.operators.metrics import (
+    reciprocity,
+    rich_club,
+    triangle_significance,
+)
 from halvesting_geometric_spark.operators.mixing import budget_mix, chunk_tokens
 from halvesting_geometric_spark.operators.neighbors import (
     attention_aggregate,
@@ -234,6 +238,7 @@ __all__ = [
     "snapshot_diff",
     "temporal_triangles",
     "topic_boundaries",
+    "triangle_significance",
     "stratified_sample",
     "build_graph",
     "build_vertices",

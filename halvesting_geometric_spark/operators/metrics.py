@@ -210,3 +210,60 @@ def auroc(
         "n_pos",
         "n_neg",
     )
+
+
+def triangle_significance(edges: DataFrame) -> DataFrame:
+    """Observed triangle count vs the configuration-model null expectation
+    — the motif-significance ratio of Milo et al. (Science 2002), with the
+    null's closed form instead of graph randomization.
+
+    For a degree sequence with ``s1 = Σd`` and ``s2 = Σd(d−1)`` over the
+    simple undirected graph, the expected triangle count of the
+    configuration model is ``E[T] = s2³ / (6·s1³)`` (clustering
+    ``s2²/s1³`` times ``s2/6`` wedges / 3). A ratio ≫ 1e6 (e6 fixed
+    point) says the corpus graph is far more clustered than its degree
+    sequence explains — the standard "is this structure real?" check
+    before trusting community or triangle analytics.
+
+    One degree aggregation (two long moments) + the engine's exact
+    triangle count; the final ratio is a single IEEE expression over
+    exact longs, so the DuckDB twin matches bit-for-bit. Returns 1 row:
+    (triangles, s1, s2, expected_e6, ratio_e6); ratio is null for a
+    degenerate graph (s1 == 0 or E[T] == 0).
+    """
+    from halvesting_geometric_spark.operators.graph import canonical_edges
+    from halvesting_geometric_spark.operators.triangles import triangle_count
+
+    canon = canonical_edges(edges)
+    sym = canon.select("src", "dst").unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    mom = deg.agg(
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("s2"),
+    )
+    tri = triangle_count(edges).total
+    exp_d = (
+        F.col("s2").cast("double")
+        * F.col("s2").cast("double")
+        * F.col("s2").cast("double")
+        / (
+            F.lit(6.0)
+            * F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+        )
+    )
+    return mom.select(
+        F.lit(int(tri)).cast("long").alias("triangles"),
+        "s1",
+        "s2",
+        F.when(
+            F.col("s1") > 0, F.floor(exp_d * 1_000_000 + F.lit(0.5))
+        ).cast("long").alias("expected_e6"),
+        F.when(
+            (F.col("s1") > 0) & (F.col("s2") > 0),
+            F.floor(F.lit(float(int(tri))) / exp_d * 1_000_000 + F.lit(0.5)),
+        ).cast("long").alias("ratio_e6"),
+    )
