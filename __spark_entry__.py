@@ -2497,6 +2497,28 @@ def _q_sft_windows4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(derived_transcripts(spark, sf_dir), k=4)
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON property-bag extraction (functions.json_long_field:
+    native from_json, null on malformed) rolled up per event type —
+    exact integer aggregates of the extracted field."""
+    from halvesting_geometric_spark.functions import json_long_field
+
+    ev = load_table(spark, sf_dir, "events")
+    k = json_long_field("props", "k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count_distinct("k").cast("long").alias("k_distinct"),
+        )
+    )
+
+
 def _q_motif_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle motif significance vs the configuration-model null
     (operators/metrics.py triangle_significance, Milo et al. Science'02):
@@ -2717,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_shift3": _q_topic_shift3,
         "sft_windows4": _q_sft_windows4,
         "motif_sig": _q_motif_sig,
+        "json_props": _q_json_props,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5950,6 +5973,20 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "json_props": """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct
+FROM p GROUP BY 1""",
         "motif_sig": _TRI_BASE
         + """, tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS tri FROM tri),
 deg AS (

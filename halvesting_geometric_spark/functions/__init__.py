@@ -147,3 +147,16 @@ def cosine_similarity(
         )
         na, nb = norm(a), norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def json_long_field(col: Column | str, field: str) -> Column:
+    """Extract one integer field from a JSON-string column, JVM-native.
+
+    ``from_json`` with a single-field schema — parsed in the JVM (no UDF),
+    prunable by Catalyst, and null-safe: malformed JSON yields null rather
+    than failing the job (the right posture for web-scale property bags;
+    cross-engine oracles must guard with ``json_valid`` since DuckDB's
+    extractor throws on malformed input instead).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, f"{field} long").getField(field)

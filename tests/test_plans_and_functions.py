@@ -134,3 +134,14 @@ def test_small_state_aqe_bypass_toggles_and_restores(spark):
         assert spark.conf.get(key) == "false"
     finally:
         spark.conf.set(key, "true")
+
+
+def test_json_long_field_null_on_malformed(spark):
+    from halvesting_geometric_spark.functions import json_long_field
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ("not json",), (None,), ('{"k": null}',), ('{"j": 1}',)],
+        "props string",
+    )
+    out = [r.k for r in df.select(json_long_field("props", "k").alias("k")).collect()]
+    assert out == [7, None, None, None, None]
