@@ -2497,6 +2497,30 @@ def _q_sft_windows4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(derived_transcripts(spark, sf_dir), k=4)
 
 
+def _q_hll_sliding7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user sketches (operators/sketch.py
+    hll_sliding_merge): per-day HLL registers (lgk=8, portable hash)
+    exploded to the 7 windows each participates in, merged by register
+    MAX — no raw-event rescan per window; bit-exact integer state."""
+    from halvesting_geometric_spark.operators.sketch import (
+        hll_sketch,
+        hll_sliding_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = hll_sketch(
+        ev, "user_id", group_cols=("day",), lgk=8, hash_method="portable"
+    )
+    out = hll_sliding_merge(daily, "day", window=7, step="1 day")
+    return out.select(
+        "window_end",
+        F.col("reg").cast("long").alias("reg"),
+        F.col("rho").cast("long").alias("rho"),
+    )
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON property-bag extraction (functions.json_long_field:
     native from_json, null on malformed) rolled up per event type —
@@ -2740,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_windows4": _q_sft_windows4,
         "motif_sig": _q_motif_sig,
         "json_props": _q_json_props,
+        "hll_sliding7": _q_hll_sliding7,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5973,6 +5998,26 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "hll_sliding7": f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+         {portable_hash64_sql("user_id", seed=0)} AS h
+  FROM events),
+daily AS (
+  SELECT day, h % 256 AS reg,
+         MAX(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS rho
+  FROM h GROUP BY 1, 2),
+wnd AS (
+  SELECT u.we AS window_end, reg, rho
+  FROM daily,
+       unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+         AS u(we)),
+obs AS (SELECT DISTINCT day FROM daily)
+SELECT w.window_end, CAST(w.reg AS BIGINT) AS reg,
+       CAST(MAX(w.rho) AS BIGINT) AS rho
+FROM wnd w JOIN obs o ON o.day = w.window_end
+GROUP BY 1, 2""",
         "json_props": """
 WITH p AS (
   SELECT event_type,

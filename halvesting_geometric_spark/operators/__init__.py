@@ -93,6 +93,7 @@ from halvesting_geometric_spark.operators.sketch import (
     hll_estimate,
     hll_merge,
     hll_sketch,
+    hll_sliding_merge,
 )
 from halvesting_geometric_spark.operators.scc import (
     condensation,
@@ -344,6 +345,7 @@ __all__ = [
     "hll_estimate",
     "hll_merge",
     "hll_sketch",
+    "hll_sliding_merge",
     "salsa",
     "reciprocity",
     "rich_club",

@@ -464,3 +464,46 @@ def bloom_probe_packed(
         )
         .drop("_bk")
     )
+
+
+def hll_sliding_merge(
+    daily: DataFrame,
+    bucket_col: str,
+    window: int = 7,
+    step: str = "1 day",
+) -> DataFrame:
+    """Rolling-window HLL rollup: for every bucket, the merged sketch of
+    the trailing ``window`` buckets (itself + ``window − 1`` predecessors).
+
+    The production "distinct users in the last 7 days, per day" shape —
+    computed WITHOUT rescanning raw events per window: each per-bucket
+    sketch row (bucket, reg, rho) is exploded to the ``window`` windows it
+    participates in (a ``sequence`` of bucket timestamps, constant
+    fan-out), then one groupBy takes the elementwise register MAX — the
+    same associative/idempotent merge as :func:`hll_merge`, so overlap
+    between windows is free. Windows are emitted only for buckets that
+    exist in the input (left-semi against the observed bucket set), so
+    leading/trailing phantom windows never appear. State per (window,
+    register) is one int — exact integers end to end, giving the
+    cross-engine gate a bit-for-bit oracle.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    span = f"interval {window - 1} {step.split(' ', 1)[1] if ' ' in step else step}"
+    exploded = daily.select(
+        F.explode(
+            F.expr(
+                f"sequence({bucket_col}, {bucket_col} + {span}, interval {step})"
+            )
+        ).alias("window_end"),
+        "reg",
+        "rho",
+    )
+    observed = daily.select(
+        F.col(bucket_col).alias("window_end")
+    ).distinct()
+    return (
+        exploded.join(observed, "window_end", "left_semi")
+        .groupBy("window_end", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
