@@ -2497,6 +2497,17 @@ def _q_sft_windows4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(derived_transcripts(spark, sf_dir), k=4)
 
 
+def _q_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-inequality Gini per event type (operators/behavior.py
+    engagement_gini): rank form G = sum((2i-n-1)x)/(n*sum(x)) over
+    per-user activity counts — exact longs end to end, deterministic
+    tie-break by user id."""
+    from halvesting_geometric_spark.operators.behavior import engagement_gini
+
+    ev = load_table(spark, sf_dir, "events")
+    return engagement_gini(ev, "event_type", "user_id")
+
+
 def _q_hll_sliding7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct-user sketches (operators/sketch.py
     hll_sliding_merge): per-day HLL registers (lgk=8, portable hash)
@@ -2765,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_sig": _q_motif_sig,
         "json_props": _q_json_props,
         "hll_sliding7": _q_hll_sliding7,
+        "gini_users": _q_gini_users,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -5998,6 +6010,24 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "gini_users": """
+WITH cnt AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY x, user_id) AS BIGINT) AS i
+  FROM cnt),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_actors,
+         CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(2 * i * x) AS BIGINT) AS s2ix
+  FROM rk GROUP BY 1)
+SELECT event_type, n_actors, total,
+       CAST(((s2ix - (n_actors + 1) * total) * 1000000)
+            // (n_actors * total) AS BIGINT) AS gini_e6
+FROM agg""",
         "hll_sliding7": f"""
 WITH h AS (
   SELECT date_trunc('day', ts) AS day,

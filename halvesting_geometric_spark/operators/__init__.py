@@ -151,6 +151,7 @@ from halvesting_geometric_spark.operators.temporal import (
 )
 from halvesting_geometric_spark.operators.behavior import (
     cohort_retention,
+    engagement_gini,
     funnel_steps,
     session_paths,
 )
@@ -228,6 +229,7 @@ __all__ = [
     "bipartite_project",
     "burst_windows",
     "cohort_retention",
+    "engagement_gini",
     "ego_subgraph",
     "four_clique_total",
     "graphlet_census",

@@ -148,3 +148,52 @@ def session_paths(
         .agg(F.count("*").cast("long").alias("n_sessions"))
         .filter(F.col("n_sessions") >= min_count)
     )
+
+
+def engagement_gini(
+    events: DataFrame,
+    group_col: str = "event_type",
+    actor_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of engagement inequality per group, exact integers.
+
+    How concentrated is activity among actors — the skew probe that says
+    whether per-actor partitioning will hot-spot. Per (group, actor)
+    activity counts are ranked ascending (ties broken by actor id, so the
+    rank assignment is deterministic and cross-engine identical; the Gini
+    value itself is tie-order invariant since tied x contribute the same
+    total either way), then the classic rank form
+    ``G = Σ(2i − n − 1)·x_i / (n·Σx)`` — numerator and denominator are
+    exact longs, emitted as ``gini_e6 = (num·1e6) div den``.
+
+    Two map-side-combined groupBys + one per-group rank window (state
+    bounded by actors-per-group); no floats anywhere.
+    """
+    cnt = (
+        events.groupBy(group_col, actor_col)
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = Window.partitionBy(group_col).orderBy("x", actor_col)
+    ranked = cnt.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_actors"),
+            F.sum("x").cast("long").alias("total"),
+            F.sum((F.lit(2) * F.col("i")) * F.col("x"))
+            .cast("long")
+            .alias("s2ix"),
+        )
+        .withColumn(
+            "num",
+            F.col("s2ix") - (F.col("n_actors") + 1) * F.col("total"),
+        )
+        .select(
+            group_col,
+            "n_actors",
+            "total",
+            F.expr("(num * 1000000) div (n_actors * total)")
+            .cast("long")
+            .alias("gini_e6"),
+        )
+    )

@@ -179,3 +179,37 @@ def test_hitting_probability_line(spark):
     got = {r["vertex_id"]: r["hit_prob"]
            for r in hitting_probability(e, v, [0], steps=2).collect()}
     assert got == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_engagement_gini_matches_numpy_twin(spark):
+    import numpy as np
+
+    from halvesting_geometric_spark.operators.behavior import engagement_gini
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # group "even": perfectly equal; group "skew": one dominant actor
+    for u in range(10):
+        rows += [("even", u)] * 5
+    rows += [("skew", 0)] * 91
+    for u in range(1, 10):
+        rows += [("skew", u)]
+    for _ in range(200):
+        rows.append(("rand", int(rng.zipf(1.7) % 20)))
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {r.event_type: r for r in engagement_gini(df).collect()}
+
+    def twin(xs):
+        xs = np.sort(np.asarray(xs, dtype=np.int64))
+        n, tot = len(xs), xs.sum()
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * xs).sum())
+        return num * 1_000_000 // int(n * tot)
+
+    from collections import Counter
+
+    for g in ("even", "skew", "rand"):
+        counts = Counter(u for gg, u in rows if gg == g)
+        assert got[g].gini_e6 == twin(list(counts.values())), g
+    assert got["even"].gini_e6 == 0
+    assert got["skew"].gini_e6 > 700_000  # heavy concentration
