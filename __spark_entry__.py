@@ -2497,6 +2497,17 @@ def _q_sft_windows4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(derived_transcripts(spark, sf_dir), k=4)
 
 
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) of inter-event
+    gaps per event type (operators/events.py burstiness): exact integer
+    ms gaps and long sums; the only float arithmetic is the final single
+    expression, evaluated identically by the oracle."""
+    from halvesting_geometric_spark.operators.events import burstiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return burstiness(ev, "event_type")
+
+
 def _q_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement-inequality Gini per event type (operators/behavior.py
     engagement_gini): rank form G = sum((2i-n-1)x)/(n*sum(x)) over
@@ -2777,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "hll_sliding7": _q_hll_sliding7,
         "gini_users": _q_gini_users,
+        "burstiness": _q_burstiness,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -6010,6 +6022,39 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "burstiness": """
+WITH t0 AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS t, event_id
+  FROM events),
+g AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM t0),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         CAST(SUM(gap * gap) AS BIGINT) AS sg2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_ms,
+       CASE WHEN n_gaps >= 2 AND
+                 sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                               - (CAST(sg AS DOUBLE) / n_gaps)
+                                 * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+                 + CAST(sg AS DOUBLE) / n_gaps > 0
+            THEN CAST(floor(
+              (sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                             - (CAST(sg AS DOUBLE) / n_gaps)
+                               * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+               - CAST(sg AS DOUBLE) / n_gaps)
+              / (sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                               - (CAST(sg AS DOUBLE) / n_gaps)
+                                 * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+                 + CAST(sg AS DOUBLE) / n_gaps)
+              * 1000000 + 0.5) AS BIGINT) END AS b_e6
+FROM s""",
         "gini_users": """
 WITH cnt AS (
   SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x

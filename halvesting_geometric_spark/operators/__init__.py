@@ -143,7 +143,7 @@ from halvesting_geometric_spark.operators.sampling import (
     weighted_sample,
 )
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
-from halvesting_geometric_spark.operators.events import burst_windows
+from halvesting_geometric_spark.operators.events import burst_windows, burstiness
 from halvesting_geometric_spark.operators.relational import grouped_linregress
 from halvesting_geometric_spark.operators.temporal import (
     snapshot_diff,
@@ -228,6 +228,7 @@ __all__ = [
     "bfs_levels",
     "bipartite_project",
     "burst_windows",
+    "burstiness",
     "cohort_retention",
     "engagement_gini",
     "ego_subgraph",

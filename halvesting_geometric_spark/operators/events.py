@@ -103,3 +103,55 @@ def burst_windows(
         std_prev.alias("std_prev"),
         z.alias("z"),
     )
+
+
+def burstiness(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Goh–Barabási burstiness coefficient per group: B = (σ−μ)/(σ+μ)
+    over inter-event gaps ("Burstiness and memory in complex systems",
+    EPL 2008). B → −1 for periodic streams, 0 for Poisson, → +1 for
+    extreme bursts — the signal that says whether a group's event stream
+    needs burst-aware rate limits or watermarks.
+
+    Gaps are exact integer milliseconds from one ordered window lag per
+    group; μ and σ derive from three long sums (n, Σg, Σg²), so the only
+    float arithmetic is the final single expression both engines evaluate
+    identically (sqrt precedent: the bursts gate's stddev). Overflow
+    bound: Σ(gap_ms²) must stay below 2^63 — gaps beyond ~30 days or
+    billions of same-group events need coarser units.
+
+    Returns (group, n_gaps, mean_ms, b_e6); b_e6 null when fewer than 2
+    gaps or σ + μ == 0.
+    """
+    t_ms = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / 1000
+    ).cast("long")
+    g = (
+        events.select(group_col, t_ms.alias("t"), order_tiebreak)
+        .withColumn("gap", F.col("t") - F.lag("t").over(
+            Window.partitionBy(group_col).orderBy("t", order_tiebreak)
+        ))
+        .filter(F.col("gap").isNotNull())
+    )
+    sums = g.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sg2"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n_gaps")
+    var = F.col("sg2").cast("double") / F.col("n_gaps") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = (sigma - mu) / (sigma + mu)
+    return sums.select(
+        group_col,
+        "n_gaps",
+        F.expr("sg div n_gaps").cast("long").alias("mean_ms"),
+        F.when(
+            (F.col("n_gaps") >= 2) & (sigma + mu > 0),
+            F.floor(b * 1_000_000 + F.lit(0.5)),
+        ).cast("long").alias("b_e6"),
+    )

@@ -538,3 +538,42 @@ def test_parse_video_header_inverts_mp4_containers(spark):
     )
     assert (got["format"] == "mp4").all()
     assert (got["duration_ms"] == exp["duration_ms"]).all()
+
+
+def test_burstiness_matches_numpy_twin(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from halvesting_geometric_spark.operators.events import burstiness
+
+    base = dt.datetime(2026, 4, 1)
+    rows = []
+    # periodic: constant 60s gaps -> B == -1; bursty: heavy-tailed gaps
+    t = 0
+    for i in range(50):
+        rows.append(("periodic", base + dt.timedelta(seconds=60 * i), i))
+    gaps = [1, 1, 1, 1, 3600] * 10
+    for i, g in enumerate(gaps):
+        t += g
+        rows.append(("bursty", base + dt.timedelta(seconds=t), 100 + i))
+    rows.append(("single", base, 999))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long")
+    got = {r.event_type: r for r in burstiness(df, "event_type").collect()}
+
+    def twin(gms):
+        gms = np.asarray(gms, dtype=np.int64)
+        n, sg, sg2 = len(gms), int(gms.sum()), int((gms * gms).sum())
+        mu = sg / n
+        sigma = np.sqrt(max(sg2 / n - mu * mu, 0.0))
+        return int(np.floor((sigma - mu) / (sigma + mu) * 1e6 + 0.5))
+
+    assert got["periodic"].b_e6 == -1_000_000  # sigma == 0 -> B = -1
+    # exact twin over the actual gap sequence of the constructed series
+    series = sorted(r[1] for r in rows if r[0] == "bursty")
+    actual = [
+        int((b - a).total_seconds() * 1000) for a, b in zip(series, series[1:])
+    ]
+    assert got["bursty"].b_e6 == twin(actual)
+    assert got["bursty"].b_e6 > 0  # bursty stream scores positive
+    assert "single" not in got  # no gaps -> no row
