@@ -2508,6 +2508,16 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(ev, "event_type")
 
 
+def _q_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi memory coefficient per event type (operators/events.py
+    gap_memory): Pearson correlation of consecutive inter-event gaps from
+    six exact long sums; one shared IEEE expression in both engines."""
+    from halvesting_geometric_spark.operators.events import gap_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_memory(ev, "event_type")
+
+
 def _q_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement-inequality Gini per event type (operators/behavior.py
     engagement_gini): rank form G = sum((2i-n-1)x)/(n*sum(x)) over
@@ -2789,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding7": _q_hll_sliding7,
         "gini_users": _q_gini_users,
         "burstiness": _q_burstiness,
+        "gap_memory": _q_gap_memory,
         "kahn_levels": _q_kahn_levels,
         "critical_path6": _q_critical_path6,
         "coengagement": _q_coengagement,
@@ -6022,6 +6033,34 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
+        "gap_memory": """
+WITH t0 AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS t, event_id
+  FROM events),
+g AS (
+  SELECT event_type, t, event_id,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM t0),
+pr AS (
+  SELECT event_type, gap AS a,
+         lead(gap) OVER (PARTITION BY event_type
+                         ORDER BY t, event_id) AS b
+  FROM g WHERE gap IS NOT NULL),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM pr WHERE b IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n >= 2 AND CAST(n * saa - sa * sa AS DOUBLE) > 0
+                 AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+            THEN CAST(floor(
+              CAST(n * sab - sa * sb AS DOUBLE)
+              / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                 * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+              * 1000000 + 0.5) AS BIGINT) END AS m_e6
+FROM s""",
         "burstiness": """
 WITH t0 AS (
   SELECT event_type,

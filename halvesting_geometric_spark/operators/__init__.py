@@ -143,7 +143,11 @@ from halvesting_geometric_spark.operators.sampling import (
     weighted_sample,
 )
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
-from halvesting_geometric_spark.operators.events import burst_windows, burstiness
+from halvesting_geometric_spark.operators.events import (
+    burst_windows,
+    burstiness,
+    gap_memory,
+)
 from halvesting_geometric_spark.operators.relational import grouped_linregress
 from halvesting_geometric_spark.operators.temporal import (
     snapshot_diff,
@@ -229,6 +233,7 @@ __all__ = [
     "bipartite_project",
     "burst_windows",
     "burstiness",
+    "gap_memory",
     "cohort_retention",
     "engagement_gini",
     "ego_subgraph",

@@ -155,3 +155,66 @@ def burstiness(
             F.floor(b * 1_000_000 + F.lit(0.5)),
         ).cast("long").alias("b_e6"),
     )
+
+
+def gap_memory(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Goh–Barabási memory coefficient per group: the Pearson correlation
+    of consecutive inter-event gaps (g_i, g_{i+1}) — burstiness' companion
+    statistic. M > 0 means long gaps follow long gaps (sessions, outages);
+    M < 0 means alternation (retry storms); 0 is memoryless.
+
+    Same exactness scheme as :func:`burstiness` and
+    ``relational.grouped_linregress``, but over integer-SECOND gaps: the
+    six moment products here carry an extra factor of n versus
+    burstiness' sums, so ms granularity overflows long at realistic
+    spans, while seconds keep ``n·Σab`` far inside range — and Pearson is
+    unit-free, so the coarser unit only quantizes, never rescales.
+    Returns (group, n_pairs, m_e6); null with fewer than 2 gap pairs or a
+    constant gap sequence.
+    """
+    t_s = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy("t", order_tiebreak)
+    g = (
+        events.select(group_col, t_s.alias("t"), order_tiebreak)
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    w2 = Window.partitionBy(group_col).orderBy("t", order_tiebreak)
+    pairs = (
+        g.withColumn("nxt", F.lead("gap").over(w2))
+        .filter(F.col("nxt").isNotNull())
+        .select(group_col, F.col("gap").alias("a"), F.col("nxt").alias("b"))
+    )
+    sums = pairs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    )
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    )
+    m = num / (F.sqrt(da) * F.sqrt(db))
+    return sums.select(
+        group_col,
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (F.col("n") >= 2) & (da > 0) & (db > 0),
+            F.floor(m * 1_000_000 + F.lit(0.5)),
+        ).cast("long").alias("m_e6"),
+    )

@@ -577,3 +577,40 @@ def test_burstiness_matches_numpy_twin(spark):
     assert got["bursty"].b_e6 == twin(actual)
     assert got["bursty"].b_e6 > 0  # bursty stream scores positive
     assert "single" not in got  # no gaps -> no row
+
+
+def test_gap_memory_matches_numpy_twin(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from halvesting_geometric_spark.operators.events import gap_memory
+
+    base = dt.datetime(2026, 5, 1)
+    # alternating short/long gaps -> strong negative memory;
+    # monotone-growing gaps -> positive memory
+    alt_gaps = [10, 900] * 20
+    mono_gaps = list(range(10, 300, 7))
+    rows, eid = [], 0
+    for name, gaps in (("alt", alt_gaps), ("mono", mono_gaps)):
+        t = 0
+        rows.append((name, base, eid)); eid += 1
+        for g in gaps:
+            t += g
+            rows.append((name, base + dt.timedelta(seconds=t), eid)); eid += 1
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long")
+    got = {r.event_type: r for r in gap_memory(df, "event_type").collect()}
+
+    def twin(gaps):
+        a = np.asarray(gaps[:-1], dtype=np.int64)
+        b = np.asarray(gaps[1:], dtype=np.int64)
+        n = len(a)
+        num = float(n * (a * b).sum() - a.sum() * b.sum())
+        da = float(n * (a * a).sum() - a.sum() ** 2)
+        db = float(n * (b * b).sum() - b.sum() ** 2)
+        return int(np.floor(num / (np.sqrt(da) * np.sqrt(db)) * 1e6 + 0.5))
+
+    assert got["alt"].m_e6 == twin(alt_gaps)
+    assert got["alt"].m_e6 < -900_000  # near-perfect alternation
+    assert got["mono"].m_e6 == twin(mono_gaps)
+    assert got["mono"].m_e6 > 900_000  # monotone growth
