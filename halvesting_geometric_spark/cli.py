@@ -38,7 +38,7 @@ ALGORITHMS = (
     "salsa", "influence", "diameter", "reciprocity", "richclub",
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
     "distinct", "zorder", "auroc", "simrank", "graphlets",
-    "anomaly", "cusum", "tmotif",
+    "anomaly", "cusum", "tmotif", "burst", "gapmem",
 )
 
 
@@ -515,6 +515,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         cp.write.mode("overwrite").parquet(args.output)
         summary["alarms"] = cp.filter("alarm").count()
+    elif args.algorithm == "burst":
+        from halvesting_geometric_spark.operators.events import burstiness
+
+        b = burstiness(transcripts, group_col="role", order_tiebreak="turn_idx")
+        b.write.mode("overwrite").parquet(args.output)
+        summary["groups"] = b.count()
+    elif args.algorithm == "gapmem":
+        from halvesting_geometric_spark.operators.events import gap_memory
+
+        m = gap_memory(transcripts, group_col="role", order_tiebreak="turn_idx")
+        m.write.mode("overwrite").parquet(args.output)
+        summary["groups"] = m.count()
     elif args.algorithm == "tmotif":
         from halvesting_geometric_spark.operators.temporal import (
             edge_events,

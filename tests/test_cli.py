@@ -183,3 +183,15 @@ def test_cli_anomaly_cusum_tmotif(spark, tmp_path, capsys):
         assert summary["algorithm"] == algo
         assert summary[key] is not None
         assert spark.read.parquet(out).count() >= 0
+
+
+def test_cli_burst_gapmem(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_burst")
+    generate_transcripts(spark, 40, seed=13).write.parquet(tr_dir)
+    for algo in ("burst", "gapmem"):
+        out = str(tmp_path / f"out_{algo}")
+        rc = cli.main([algo, "--transcripts", tr_dir, "--output", out])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert summary["groups"] >= 1
