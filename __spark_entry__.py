@@ -1461,6 +1461,51 @@ JOIN lst{depth} db ON db.lm = da.lm AND db.v = p.b
 GROUP BY 1, 2"""
 
 
+def _landmark_w_sql(depth: int = 6, lm_mod: int = 37, pair_mod: int = 25) -> str:
+    """DuckDB twin of _q_landmark_w6: per-landmark Bellman-Ford
+    relaxations unrolled (weighted _landmark_sql), deterministic weight
+    (src+dst)%5+1; distances stay integral doubles so the final pairwise
+    minimum casts exactly to long."""
+    parts = [
+        _BASE,
+        """symw AS (
+  SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM edges
+  UNION ALL
+  SELECT dst, src, CAST((src + dst) % 5 + 1 AS DOUBLE) FROM edges)""",
+        f"wsrc AS (SELECT vertex_id AS lm FROM verts WHERE vertex_id % {lm_mod} = 0)",
+        "wst0 AS MATERIALIZED (SELECT lm, CAST(lm AS BIGINT) AS v, "
+        "CAST(0.0 AS DOUBLE) AS dist FROM wsrc)",
+    ]
+    for lvl in range(1, depth + 1):
+        p = lvl - 1
+        parts.append(
+            f"""wgr{lvl} AS (
+  SELECT st.lm, e.dst AS v, MIN(st.dist + e.w) AS cand
+  FROM wst{p} st JOIN symw e ON e.src = st.v GROUP BY 1, 2),
+wst{lvl} AS MATERIALIZED (
+  SELECT COALESCE(a.lm, b.lm) AS lm, COALESCE(a.v, b.v) AS v,
+         CASE WHEN a.dist IS NULL THEN b.cand
+              WHEN b.cand IS NULL THEN a.dist
+              WHEN b.cand < a.dist THEN b.cand ELSE a.dist END AS dist
+  FROM wst{p} a FULL OUTER JOIN wgr{lvl} b
+    ON a.lm = b.lm AND a.v = b.v)"""
+        )
+    parts.append(
+        f"""wpairs AS (
+  SELECT a.vertex_id AS a, b.vertex_id AS b
+  FROM verts a JOIN verts b ON a.vertex_id < b.vertex_id
+  WHERE a.vertex_id % {pair_mod} = 0 AND b.vertex_id % {pair_mod} = 0)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT p.a, p.b,
+       CAST(MIN(da.dist + db.dist) AS BIGINT) AS est_dist
+FROM wpairs p
+JOIN wst{depth} da ON da.v = p.a
+JOIN wst{depth} db ON db.lm = da.lm AND db.v = p.b
+GROUP BY 1, 2"""
+
+
 def _rank_eval_sql(k: int = 10) -> str:
     """DuckDB twin of _q_rank_eval10: the e9 integer discounts are inlined
     from evalmetrics.dcg_discounts, so both engines sum identical longs."""
@@ -2599,6 +2644,37 @@ def _q_topic_shift3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_boundaries(derived_transcripts(spark, sf_dir), w=3)
 
 
+def _q_landmark_w6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED landmark distance oracle (operators/traversal.py
+    landmark_sssp): joint (vertex, landmark)-keyed Bellman-Ford, 6
+    relaxations, deterministic weight (src+dst)%5+1, same 6 landmarks /
+    36 probe pairs as landmark_est6 — integral doubles throughout, so
+    est_dist casts exactly to long."""
+    from halvesting_geometric_spark.operators.traversal import (
+        landmark_distance_estimates,
+        landmark_sssp,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    we = edges.withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    lms = verts.filter(F.col("vertex_id") % 37 == 0).select("vertex_id")
+    dists = landmark_sssp(
+        we, verts, lms, weight_col="w", fixed_iters=6, directed=False
+    )
+    probe = verts.filter(F.col("vertex_id") % 25 == 0).select(
+        F.col("vertex_id").alias("a")
+    )
+    pairs = probe.join(
+        probe.select(F.col("a").alias("b")), F.col("a") < F.col("b")
+    )
+    est = landmark_distance_estimates(dists, pairs)
+    return est.select(
+        "a", "b", F.col("est_dist").cast("long").alias("est_dist")
+    )
+
+
 def _q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-length trend (operators/relational.py
     grouped_linregress): OLS slope/intercept/R2 of length(text) on
@@ -2790,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval10": _q_rank_eval10,
         "ece10": _q_ece10,
         "landmark_est6": _q_landmark_est6,
+        "landmark_w6": _q_landmark_w6,
         "conv_trend": _q_conv_trend,
         "kcenter8": _q_kcenter8,
         "topic_shift3": _q_topic_shift3,
@@ -6032,6 +6109,7 @@ SELECT event_id, event_type, rz_e6,
 FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
+        "landmark_w6": _landmark_w_sql(6, 37, 25),
         "kcenter8": _kcenter_sql(8),
         "gap_memory": """
 WITH t0 AS (

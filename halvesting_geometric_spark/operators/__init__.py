@@ -198,6 +198,7 @@ from halvesting_geometric_spark.operators.traversal import (
     hitting_probability,
     landmark_bfs,
     landmark_distance_estimates,
+    landmark_sssp,
     sssp,
 )
 from halvesting_geometric_spark.operators.triangles import (
@@ -227,6 +228,7 @@ __all__ = [
     "kcenter_select",
     "landmark_bfs",
     "landmark_distance_estimates",
+    "landmark_sssp",
     "ranking_metrics",
     "robust_anomalies",
     "bfs_levels",

@@ -164,6 +164,109 @@ def landmark_bfs(
     return out
 
 
+def landmark_sssp(
+    edges: DataFrame,
+    vertices: DataFrame,
+    landmarks: DataFrame | list[int],
+    weight_col: str | None = None,
+    fixed_iters: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted landmark distances: Bellman-Ford relaxations over
+    (vertex, landmark)-keyed state — the weighted upgrade of
+    :func:`landmark_bfs`, completing the distance oracle for weighted
+    graphs (travel-time / cost metrics, not just hops).
+
+    All k landmarks relax together: one gather join + min-aggregate +
+    full-outer merge per superstep regardless of k (``fixed_iters``
+    supersteps total — after them every distance using ≤ that many hops
+    is exact, the same externally-verifiable contract as :func:`sssp`).
+    State is at most V×k rows; per-round lineage truncates via lazy
+    localCheckpoint. Weights must be non-negative; ``None`` = unit
+    weights (then distances equal :func:`landmark_bfs` hop counts).
+    Returns (vertex_id, lm, dist double) for reached pairs.
+    """
+    if fixed_iters < 0:
+        raise ValueError(f"fixed_iters must be >= 0, got {fixed_iters}")
+    spark = edges.sparkSession
+    if isinstance(landmarks, (list, tuple)):
+        landmarks = spark.createDataFrame(
+            [(int(s),) for s in landmarks], "vertex_id long"
+        )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    topo = edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        topo = topo.unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                w.alias("w"),
+            )
+        )
+    topo = topo.repartition(n_shuffle, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    neg = topo.agg(F.min("w").alias("m")).first()["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(f"negative edge weight {neg}; requires w >= 0")
+
+    dist = (
+        landmarks.select("vertex_id")
+        .distinct()
+        .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
+        .select(
+            "vertex_id", F.col("vertex_id").alias("lm"),
+            F.lit(0.0).alias("dist"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev = dist
+    for _ in range(fixed_iters):
+        cand = (
+            topo.join(
+                dist.select(F.col("vertex_id").alias("src"), "lm", "dist"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vertex_id"), "lm")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = (
+            dist.join(cand, ["vertex_id", "lm"], "full_outer")
+            .select(
+                "vertex_id",
+                "lm",
+                F.when(
+                    F.col("dist").isNull(), F.col("cand")
+                )
+                .when(F.col("cand").isNull(), F.col("dist"))
+                .otherwise(F.least("dist", "cand"))
+                .alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist")))
+                ).cast("long").alias("_imp"),
+            )
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        improved = merged.agg(F.sum("_imp")).first()[0] or 0
+        nxt = merged.drop("_imp")
+        prev.unpersist()
+        prev = merged
+        dist = nxt
+        if improved == 0:
+            break
+    out = dist.localCheckpoint(eager=True)
+    prev.unpersist()
+    topo.unpersist()
+    return out
+
+
 def landmark_distance_estimates(
     dists: DataFrame, pairs: DataFrame
 ) -> DataFrame:

@@ -83,3 +83,49 @@ def test_landmark_estimates_are_valid_upper_bounds(spark):
         if (0, b) in est or (b, 0) in est:
             key = (0, b) if (0, b) in est else (b, 0)
             assert est[key] == d0[b]
+
+
+def test_landmark_sssp_unit_weights_equal_bfs(spark):
+    e, v, _ = _graph(spark, seed=21)
+    from halvesting_geometric_spark.operators.traversal import landmark_sssp
+
+    lms = [0, 9, 27]
+    bfs = {
+        (r.lm, r.vertex_id): r.dist
+        for r in landmark_bfs(e, v, lms, max_depth=5, directed=False).collect()
+    }
+    wsp = {
+        (r.lm, r.vertex_id): r.dist
+        for r in landmark_sssp(
+            e, v, lms, weight_col=None, fixed_iters=5, directed=False
+        ).collect()
+    }
+    assert wsp == {k: float(d) for k, d in bfs.items()}
+
+
+def test_landmark_sssp_matches_per_landmark_sssp(spark):
+    from pyspark.sql import functions as F
+
+    from halvesting_geometric_spark.operators.traversal import (
+        landmark_sssp,
+        sssp,
+    )
+
+    e, v, _ = _graph(spark, seed=8)
+    we = e.withColumn("w", ((F.col("src") + F.col("dst")) % 4 + 1).cast("double"))
+    lms = [1, 6]
+    joint = {
+        (r.lm, r.vertex_id): r.dist
+        for r in landmark_sssp(
+            we, v, lms, weight_col="w", fixed_iters=6, directed=False
+        ).collect()
+    }
+    for lm in lms:
+        single = {
+            r.vertex_id: r.dist
+            for r in sssp(
+                we, v, [lm], weight_col="w", fixed_iters=6, directed=False
+            ).collect()
+        }
+        mine = {vid: d for (l, vid), d in joint.items() if l == lm}
+        assert mine == single, lm
