@@ -2675,6 +2675,23 @@ def _q_landmark_w6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reach_regs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-HyperBall reachability sketches on the DAG orientation
+    (operators/neighborhood.py reach_sketch): 3 register-MAX propagation
+    rounds along out-edges, lgk=6, portable hash — the gate pins the
+    registers bit-for-bit (estimator floats stay out of the hash)."""
+    from halvesting_geometric_spark.operators.neighborhood import reach_sketch
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    dag = edges.filter(F.col("src") < F.col("dst"))
+    s = reach_sketch(dag, verts, rounds=3, lgk=6, hash_method="portable")
+    return s.select(
+        "vertex_id",
+        F.col("reg").cast("long").alias("reg"),
+        F.col("rho").cast("long").alias("rho"),
+    )
+
+
 def _q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-length trend (operators/relational.py
     grouped_linregress): OLS slope/intercept/R2 of length(text) on
@@ -2867,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece10": _q_ece10,
         "landmark_est6": _q_landmark_est6,
         "landmark_w6": _q_landmark_w6,
+        "reach_regs3": _q_reach_regs3,
         "conv_trend": _q_conv_trend,
         "kcenter8": _q_kcenter8,
         "topic_shift3": _q_topic_shift3,
@@ -6110,6 +6128,37 @@ FROM scored""",
         "rank_eval10": _rank_eval_sql(10),
         "landmark_est6": _landmark_sql(6, 37, 25),
         "landmark_w6": _landmark_w_sql(6, 37, 25),
+        "reach_regs3": f"""WITH {_BASE},
+rde AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+rh AS (
+  SELECT vertex_id,
+         {portable_hash64_sql("vertex_id", seed=0)} AS h
+  FROM verts),
+rr0 AS MATERIALIZED (
+  SELECT vertex_id AS v, h % 64 AS reg,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM rh),
+rr1 AS MATERIALIZED (
+  SELECT v, reg, MAX(rho) AS rho FROM (
+    SELECT v, reg, rho FROM rr0
+    UNION ALL
+    SELECT e.src AS v, s.reg, s.rho FROM rde e JOIN rr0 s ON s.v = e.dst
+  ) GROUP BY 1, 2),
+rr2 AS MATERIALIZED (
+  SELECT v, reg, MAX(rho) AS rho FROM (
+    SELECT v, reg, rho FROM rr1
+    UNION ALL
+    SELECT e.src AS v, s.reg, s.rho FROM rde e JOIN rr1 s ON s.v = e.dst
+  ) GROUP BY 1, 2),
+rr3 AS MATERIALIZED (
+  SELECT v, reg, MAX(rho) AS rho FROM (
+    SELECT v, reg, rho FROM rr2
+    UNION ALL
+    SELECT e.src AS v, s.reg, s.rho FROM rde e JOIN rr2 s ON s.v = e.dst
+  ) GROUP BY 1, 2)
+SELECT v AS vertex_id, CAST(reg AS BIGINT) AS reg, CAST(rho AS BIGINT) AS rho
+FROM rr3""",
         "kcenter8": _kcenter_sql(8),
         "gap_memory": """
 WITH t0 AS (

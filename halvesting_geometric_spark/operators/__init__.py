@@ -128,6 +128,7 @@ from halvesting_geometric_spark.operators.neighborhood import (
     harmonic_centrality_hll,
     neighborhood_function_exact,
     neighborhood_function_hll,
+    reach_sketch,
 )
 from halvesting_geometric_spark.operators.neighbors import (
     aggregate_neighbors,
@@ -293,6 +294,7 @@ __all__ = [
     "modularity",
     "neighborhood_function_exact",
     "neighborhood_function_hll",
+    "reach_sketch",
     "negative_edges",
     "neighborhood_scores",
     "ordered_turns",

@@ -350,3 +350,62 @@ def neighborhood_function_hll(
         p.unpersist()
     topo.unpersist()
     return spark.createDataFrame(counts, "t long, n_pairs_est double")
+
+
+def reach_sketch(
+    edges: DataFrame,
+    vertices: DataFrame,
+    rounds: int,
+    lgk: int = 8,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Per-vertex DOWNSTREAM-reachability cardinality sketches — directed
+    HyperBall (Boldi & Vigna's HLL propagation run along out-edges):
+    after k rounds each vertex's sketch covers every vertex reachable in
+    ≤ k hops, so on a DAG of depth ≤ k it is the full descendant set.
+    "How many documents does this conversation transitively influence?"
+    at 10^12 scale with 2^lgk bounded state per vertex.
+
+    State is the sparse (vertex_id, reg, rho) register table from
+    ``sketch.hll_sketch``; one round = gather successors' registers
+    across out-edges + register-MAX merge (map-side combined groupBy) —
+    the same associative/idempotent fold as every HLL op here, so the
+    fixpoint is order-insensitive and restart-safe. Estimate per vertex
+    with ``sketch.hll_estimate`` grouped by vertex_id; the gate pins the
+    REGISTERS bit-for-bit (estimator floats stay out of the hash).
+    """
+    from halvesting_geometric_spark.operators.sketch import hll_sketch
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    state = hll_sketch(
+        vertices.select("vertex_id"),
+        "vertex_id",
+        group_cols=("vertex_id",),
+        lgk=lgk,
+        hash_method=hash_method,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    topo = edges.select("src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    topo.count()
+    for _ in range(rounds):
+        gathered = (
+            topo.join(
+                state.select(F.col("vertex_id").alias("dst"), "reg", "rho"),
+                "dst",
+            )
+            .select(F.col("src").alias("vertex_id"), "reg", "rho")
+        )
+        nxt = (
+            state.unionByName(gathered)
+            .groupBy("vertex_id", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nxt.count()
+        state.unpersist()
+        state = nxt
+    topo.unpersist()
+    return state

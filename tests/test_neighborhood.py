@@ -175,3 +175,42 @@ def test_harmonic_hll_tracks_exact(spark):
     big = exact[exact > 1.0]
     for v in big.index:
         assert est[v] == pytest.approx(exact[v], rel=0.25), v
+
+
+def test_reach_sketch_equals_sketch_of_true_reach_sets(spark):
+    from pyspark.sql import functions as F
+
+    from halvesting_geometric_spark.operators.neighborhood import reach_sketch
+    from halvesting_geometric_spark.operators.sketch import hll_sketch
+
+    # layered DAG: 0..3 -> 4..7 -> 8..11, plus a long chain 12->13->14->15
+    edges = [(a, 4 + (a + i) % 4) for a in range(4) for i in range(2)]
+    edges += [(4 + a, 8 + (a + i) % 4) for a in range(4) for i in range(2)]
+    edges += [(12, 13), (13, 14), (14, 15)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(16)], "vertex_id long")
+
+    k = 3
+    got = {
+        (r.vertex_id, r.reg): r.rho
+        for r in reach_sketch(e, v, rounds=k, lgk=6,
+                              hash_method="portable").collect()
+    }
+    # true <=k-hop descendant sets (python closure)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    member = []
+    for root in range(16):
+        frontier, seen = {root}, {root}
+        for _ in range(k):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - seen
+            seen |= frontier
+        member += [(root, m) for m in sorted(seen)]
+    mdf = spark.createDataFrame(member, "root long, vertex_id long")
+    want = {
+        (r.root, r.reg): r.rho
+        for r in hll_sketch(mdf, "vertex_id", group_cols=("root",), lgk=6,
+                            hash_method="portable").collect()
+    }
+    assert got == {(root, reg): rho for (root, reg), rho in want.items()}
