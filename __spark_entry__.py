@@ -2692,6 +2692,19 @@ def _q_reach_regs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rank normalization of event values (operators/relational.py
+    rank_normalize): pct_e6 = (RANK-1)*1e6 div (n-1), min-rank ties —
+    exact integers, engine-identical."""
+    from halvesting_geometric_spark.operators.relational import rank_normalize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rank_normalize(
+        ev.select("event_id", "event_type", "value"), "event_type", "value"
+    )
+    return out.select("event_id", "event_type", "pct_e6")
+
+
 def _q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-length trend (operators/relational.py
     grouped_linregress): OLS slope/intercept/R2 of length(text) on
@@ -2885,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_est6": _q_landmark_est6,
         "landmark_w6": _q_landmark_w6,
         "reach_regs3": _q_reach_regs3,
+        "rank_norm": _q_rank_norm,
         "conv_trend": _q_conv_trend,
         "kcenter8": _q_kcenter8,
         "topic_shift3": _q_topic_shift3,
@@ -6221,6 +6235,19 @@ SELECT event_type, n_gaps,
                  + CAST(sg AS DOUBLE) / n_gaps)
               * 1000000 + 0.5) AS BIGINT) END AS b_e6
 FROM s""",
+        "rank_norm": """
+WITH rows_ AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+rk AS (
+  SELECT event_id, event_type,
+         CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM rows_)
+SELECT event_id, event_type,
+       CAST(CASE WHEN n > 1 THEN ((r - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_e6
+FROM rk""",
         "gini_users": """
 WITH cnt AS (
   SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x

@@ -149,7 +149,10 @@ from halvesting_geometric_spark.operators.events import (
     burstiness,
     gap_memory,
 )
-from halvesting_geometric_spark.operators.relational import grouped_linregress
+from halvesting_geometric_spark.operators.relational import (
+    grouped_linregress,
+    rank_normalize,
+)
 from halvesting_geometric_spark.operators.temporal import (
     snapshot_diff,
     temporal_triangles,
@@ -230,6 +233,7 @@ __all__ = [
     "landmark_bfs",
     "landmark_distance_estimates",
     "landmark_sssp",
+    "rank_normalize",
     "ranking_metrics",
     "robust_anomalies",
     "bfs_levels",

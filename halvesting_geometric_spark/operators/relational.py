@@ -221,3 +221,35 @@ def grouped_linregress(
         )
         .select(group_col, "n", "slope_e6", "intercept_e6", "r2_e6")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group rank normalization (quantile transform) to [0, 1] in e6
+    fixed point — the scale-free feature-engineering primitive that makes
+    heterogeneous metrics comparable before mixing or thresholding.
+
+    ``pct_e6 = (rank − 1)·1e6 div (n − 1)`` with ``rank`` = SQL RANK()
+    (ties share the min rank, deterministic in any engine), 0 for
+    single-row groups. One rank window per group + a broadcastable
+    per-group count join; exact integers end to end. Null values are
+    dropped (they have no rank).
+    """
+    rows = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    n = rows.groupBy(group_col).agg(F.count("*").cast("long").alias("_n"))
+    return (
+        rows.withColumn("_rank", F.rank().over(w).cast("long"))
+        .join(F.broadcast(n), group_col)
+        .withColumn(
+            "pct_e6",
+            F.when(F.col("_n") > 1,
+                   F.expr("((_rank - 1) * 1000000) div (_n - 1)"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_rank", "_n")
+    )

@@ -75,3 +75,18 @@ def test_cube_grand_total_row(spark):
     grand = cube[(cube.event_type == "ALL") & (cube.weekday == -1)]
     assert len(grand) == 1
     assert grand.iloc[0]["n_events"] == ev.count()
+
+
+def test_rank_normalize_exact_with_ties(spark):
+    from halvesting_geometric_spark.operators.relational import rank_normalize
+
+    rows = [("g", 0, 10.0), ("g", 1, 20.0), ("g", 2, 20.0), ("g", 3, 40.0),
+            ("g", 4, None), ("solo", 9, 5.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = {r.id: r.pct_e6 for r in rank_normalize(df, "grp", "v").collect()}
+    # ranks: 10->1, 20->2 (both), 40->4; n=4 -> pct = (r-1)*1e6 // 3
+    assert out[0] == 0
+    assert out[1] == out[2] == 1_000_000 // 3
+    assert out[3] == 1_000_000
+    assert 4 not in out  # null dropped
+    assert out[9] == 0  # single-row group
