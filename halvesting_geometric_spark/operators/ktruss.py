@@ -66,6 +66,19 @@ def _support(canon: DataFrame) -> DataFrame:
     return out
 
 
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support (embeddedness) of the simple undirected
+    graph: (src, dst, support) with src < dst, zero-support edges included.
+
+    The k-truss round-0 table exposed as a first-class result — support is
+    the number of common neighbors of the endpoints, and support 0 marks
+    local bridges (edges in no triangle, the classic weak-tie signal).
+    Same degree-oriented wedge-join bound as triangle listing: O(√E) work
+    per edge, no adjacency-list buffering.
+    """
+    return _support(canonical_edges(edges))
+
+
 def ktruss(
     edges: DataFrame, k: int, fixed_rounds: int | None = None, max_rounds: int = 64
 ) -> DataFrame:

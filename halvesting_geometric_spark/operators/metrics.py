@@ -267,3 +267,73 @@ def triangle_significance(edges: DataFrame) -> DataFrame:
             F.floor(F.lit(float(int(tri))) / exp_d * 1_000_000 + F.lit(0.5)),
         ).cast("long").alias("ratio_e6"),
     )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the simple undirected graph.
+
+    ``labels``: (vertex_id, label) — any partition of the vertices (label
+    propagation, Louvain, components). Returns one row per label:
+    (label, members, volume, cut, phi_e6) where, on the canonical edge set,
+    volume = sum of member degrees, cut = edges with exactly one endpoint in
+    the community, and phi = cut / min(volume, 2m − volume) — exported as
+    round-half-up e6 fixed-point, 0 when the denominator is 0 (so the
+    whole-graph community and empty-volume communities report 0, the
+    conventional boundary value).
+
+    Scale shape: two hash joins label the edge endpoints, then everything is
+    map-side-combined groupBy counts keyed on label; the single scalar m
+    rides in on a broadcast cross-join. Exact integer arithmetic end-to-end
+    except the one e6 division, so the DuckDB twin is bit-exact.
+    """
+    canon = canonical_edges(edges)
+    lab = labels.select("vertex_id", "label")
+    te = (
+        canon.join(
+            lab.select(
+                F.col("vertex_id").alias("src"), F.col("label").alias("la")
+            ),
+            "src",
+        )
+        .join(
+            lab.select(
+                F.col("vertex_id").alias("dst"), F.col("label").alias("lb")
+            ),
+            "dst",
+        )
+        .persist()
+    )
+    vol = (
+        te.select(F.col("la").alias("label"))
+        .unionByName(te.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("volume"))
+    )
+    cut_edges = te.filter(F.col("la") != F.col("lb"))
+    cut = (
+        cut_edges.select(F.col("la").alias("label"))
+        .unionByName(cut_edges.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("cut"))
+    )
+    members = lab.groupBy("label").agg(F.count("*").alias("members"))
+    m_df = te.agg(F.count("*").alias("_m"))
+    out = (
+        members.join(vol, "label", "left")
+        .join(cut, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            F.col("members").cast("long").alias("members"),
+            F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            _e6(
+                F.coalesce("cut", F.lit(0)),
+                F.least(
+                    F.coalesce("volume", F.lit(0)),
+                    2 * F.col("_m") - F.coalesce("volume", F.lit(0)),
+                ),
+            ).alias("phi_e6"),
+        )
+    )
+    return out

@@ -92,3 +92,70 @@ def resolve_entities(
     # collisions (null-safe: a null key never matches, as in the reference)
     joined = lk.join(rk, ["_kh", *knames], how)
     return joined.select(*left.columns, out_col)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    normalize: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo SNM): rank all rows by
+    (blocking key, id) and emit every pair of rows within ``window``
+    positions of each other.
+
+    Complements :func:`resolve_entities`'s exact-key blocking: SNM catches
+    near-miss keys that land adjacent in sort order without sharing an exact
+    block. Output: (a, b) id pairs with rank(a) < rank(b), so each pair
+    appears once.
+
+    Scale shape: the global rank uses the same two-phase per-partition
+    counting path as ``dense_ids_scalable`` (no single-task global window),
+    over a composite ``key|zero-padded-id`` string whose lexicographic order
+    equals the (key, id) order. The within-window self-join is banded on
+    ``rank DIV window`` — every row joins at most two bands, so the pair
+    join shuffles O(n) rows regardless of n and never goes quadratic.
+    """
+    from halvesting_geometric_spark.operators.ids import dense_ids_scalable
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    key = normalize_key(key_col) if normalize else F.col(key_col).cast("string")
+    composite = F.concat_ws(
+        "|", key, F.lpad(F.col(id_col).cast("string"), 12, "0")
+    )
+    keyed = df.select(
+        composite.alias("_sk"), F.col(id_col).alias("_id")
+    ).dropDuplicates(["_sk"])
+    ranked = (
+        dense_ids_scalable(
+            keyed, "_sk", id_col="_rank", num_partitions=num_partitions
+        )
+        .join(keyed, "_sk")
+        .select("_id", "_rank")
+    )
+    lo = ranked.select(
+        F.col("_id").alias("a"),
+        F.col("_rank").alias("_ra"),
+        (F.col("_rank") / window).cast("long").alias("_band"),
+    )
+    hi = ranked.select(
+        F.col("_id").alias("b"),
+        F.col("_rank").alias("_rb"),
+        (F.col("_rank") / window).cast("long").alias("_hband"),
+    )
+    # each left row probes its own band and the next one; rank distance
+    # (0, window] is fully contained in those two bands
+    probes = lo.withColumn(
+        "_probe", F.explode(F.array(F.col("_band"), F.col("_band") + 1))
+    )
+    return (
+        probes.join(hi, probes["_probe"] == hi["_hband"])
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") <= window)
+        )
+        .select("a", "b")
+    )
