@@ -39,6 +39,7 @@ ALGORITHMS = (
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
     "distinct", "zorder", "auroc", "simrank", "graphlets",
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
+    "support", "conductance",
 )
 
 
@@ -527,6 +528,26 @@ def main(argv: list[str] | None = None) -> int:
         m = gap_memory(transcripts, group_col="role", order_tiebreak="turn_idx")
         m.write.mode("overwrite").parquet(args.output)
         summary["groups"] = m.count()
+    elif args.algorithm == "support":
+        from halvesting_geometric_spark.operators.ktruss import edge_support
+
+        sup = edge_support(g.edges)
+        sup.write.mode("overwrite").parquet(args.output)
+        summary["edges"] = sup.count()
+    elif args.algorithm == "conductance":
+        from halvesting_geometric_spark.operators.labelprop import (
+            label_propagation,
+        )
+        from halvesting_geometric_spark.operators.metrics import (
+            community_conductance,
+        )
+
+        lp = label_propagation(g.edges, g.vertices, fixed_iters=args.iters)
+        cond = community_conductance(
+            g.edges, lp.labels.select("vertex_id", "label")
+        )
+        cond.write.mode("overwrite").parquet(args.output)
+        summary["communities"] = cond.count()
     elif args.algorithm == "tmotif":
         from halvesting_geometric_spark.operators.temporal import (
             edge_events,

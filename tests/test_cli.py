@@ -195,3 +195,17 @@ def test_cli_burst_gapmem(spark, tmp_path, capsys):
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["algorithm"] == algo
         assert summary["groups"] >= 1
+
+
+def test_cli_support_conductance(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_sc")
+    generate_transcripts(spark, 40, seed=17).write.parquet(tr_dir)
+    for algo, key in (("support", "edges"), ("conductance", "communities")):
+        out = str(tmp_path / f"out_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out, "--iters", "2"]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert summary[key] >= 1
