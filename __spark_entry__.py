@@ -3031,6 +3031,28 @@ def _q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cocite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pair counts (shared in-neighbors) on the citation graph —
+    linkpred.citation_pair_counts, capped wedge join."""
+    from halvesting_geometric_spark.operators.linkpred import (
+        citation_pair_counts,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return citation_pair_counts(edges, mode="cocitation", min_count=2)
+
+
+def _q_bibcouple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-coupling pair counts (shared out-neighbors) — the dual
+    wedge orientation of cocite."""
+    from halvesting_geometric_spark.operators.linkpred import (
+        citation_pair_counts,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return citation_pair_counts(edges, mode="coupling", min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -3041,6 +3063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- queries new this session: front of the capture window --
         "skyline2": _q_skyline2,
+        "cocite": _q_cocite,
+        "bibcouple": _q_bibcouple,
         "tpch_q5": _q_tpch_q5,
         "sage2": _q_sage2,
         "edge_support": _q_edge_support,
@@ -5328,6 +5352,23 @@ SELECT a.id AS a, b.id AS b
 FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3"""
 
 
+def _citation_pairs_sql(center: str, leaf: str, min_count: int) -> str:
+    """Wedge pair-count twin (cocitation: center=src; coupling: center=dst),
+    mirroring the engine's 1024 center-degree cap."""
+    return f"""WITH {_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+capped AS (
+  SELECT de.{center} AS c, de.{leaf} AS x
+  FROM de JOIN (
+    SELECT {center} AS c, COUNT(*) AS cd FROM de GROUP BY {center}) d
+    ON de.{center} = d.c
+  WHERE d.cd <= 1024)
+SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS n
+FROM capped l JOIN capped r ON l.c = r.c AND l.x < r.x
+GROUP BY l.x, r.x
+HAVING COUNT(*) >= {min_count}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from halvesting_geometric_spark.functions import portable_hash64_sql
     from halvesting_geometric_spark.operators.layout import zorder_sql
@@ -5336,6 +5377,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "skyline2": _SKYLINE2_SQL,
+        "cocite": _citation_pairs_sql("src", "dst", 2),
+        "bibcouple": _citation_pairs_sql("dst", "src", 2),
         "tpch_q5": _TPCH_Q5_SQL,
         "sage2": _sage2_sql(),
         "edge_support": _EDGE_SUPPORT_SQL,

@@ -135,3 +135,41 @@ def test_skyline_large_int64_values(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     got = sorted((r["x"], r["y"]) for r in skyline2(df, "x", "y", 2).collect())
     assert got == [(1, big), (big, 2), (big + 1, 1)]
+
+
+def test_citation_pair_counts_modes(spark):
+    from halvesting_geometric_spark.operators.linkpred import (
+        citation_pair_counts,
+    )
+
+    # 0→2, 1→2, 0→3, 1→3, 2→4: coupling(0,1)=2 (both cite 2 and 3);
+    # cocitation(2,3)=2 (cited by both 0 and 1)
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (0, 3), (1, 3), (2, 4)], "src long, dst long"
+    )
+    co = {
+        (r["a"], r["b"]): r["n"]
+        for r in citation_pair_counts(edges, "cocitation").collect()
+    }
+    assert co == {(2, 3): 2}
+    cp = {
+        (r["a"], r["b"]): r["n"]
+        for r in citation_pair_counts(edges, "coupling").collect()
+    }
+    assert cp == {(0, 1): 2}
+
+
+def test_citation_pair_counts_degree_cap(spark):
+    from halvesting_geometric_spark.operators.linkpred import (
+        citation_pair_counts,
+    )
+
+    # hub 0 cites 5 targets; cap 4 drops the whole hub's wedges
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(9, 1), (9, 2)],
+        "src long, dst long",
+    )
+    capped = citation_pair_counts(edges, "cocitation", max_degree=4).collect()
+    assert {(r["a"], r["b"]) for r in capped} == {(1, 2)}
+    full = citation_pair_counts(edges, "cocitation", max_degree=None).collect()
+    assert len(full) == 10  # C(5,2) from the hub, with (1,2) counted twice
