@@ -5346,7 +5346,7 @@ _SNM_PAIRS_SQL = r"""WITH r AS (
            concat(
              trim(regexp_replace(regexp_replace(lower(c_name),
                     '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')),
-             '|', lpad(CAST(c_custkey AS VARCHAR), 12, '0'))) - 1 AS rk
+             '|', lpad(CAST(c_custkey AS VARCHAR), 20, '0'))) - 1 AS rk
   FROM customer)
 SELECT a.id AS a, b.id AS b
 FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3"""

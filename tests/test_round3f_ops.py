@@ -73,7 +73,7 @@ def test_snm_pairs_match_bruteforce(spark):
         for r in sorted_neighborhood_pairs(df, "name", "id", window=w, num_partitions=4).collect()
     )
     ordered = [
-        rid for _, rid in sorted((f"{n}|{i:012d}", i) for i, n in rows)
+        rid for _, rid in sorted((f"{n}|{i:020d}", i) for i, n in rows)
     ]
     want = sorted(
         (ordered[i], ordered[j])
