@@ -173,3 +173,31 @@ def test_citation_pair_counts_degree_cap(spark):
     assert {(r["a"], r["b"]) for r in capped} == {(1, 2)}
     full = citation_pair_counts(edges, "cocitation", max_degree=None).collect()
     assert len(full) == 10  # C(5,2) from the hub, with (1,2) counted twice
+
+
+def test_degree_attack_robustness(spark):
+    from halvesting_geometric_spark.operators.robustness import (
+        degree_attack_robustness,
+    )
+
+    # star 0-{1..4} plus path 5-6-7: hub 0 has degree 4, path inner 6 has 2
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(8)], "vertex_id long")
+    got = {
+        r["degree_cap"]: (
+            r["kept_vertices"], r["kept_edges"], r["n_components"],
+            r["giant_size"],
+        )
+        for r in degree_attack_robustness(
+            edges, verts, degree_caps=(1, 2, 4)
+        ).collect()
+    }
+    # cap 4: nothing removed -> components {0..4} and {5,6,7}
+    assert got[4] == (8, 6, 2, 5)
+    # cap 2: hub 0 removed -> 1..4 isolated + path intact
+    assert got[2] == (7, 2, 5, 3)
+    # cap 1: hub and vertex 6 removed -> all 6 survivors isolated
+    assert got[1] == (6, 0, 6, 1)
