@@ -3064,6 +3064,62 @@ def _q_robustness3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_attack_robustness(edges, verts, degree_caps=(32, 64, 128))
 
 
+def _q_bowtie5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (bowtie.py): largest SCC as CORE, then
+    IN/OUT/TENDRIL/DISCONNECTED from three core-seeded BFS fixpoints."""
+    from halvesting_geometric_spark.operators.bowtie import (
+        bowtie_decomposition,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return bowtie_decomposition(edges, verts)
+
+
+def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (behavior.association_rules) over
+    (user, day) event baskets: support / confidence_e6 / lift_e6, all
+    exact integers."""
+    from halvesting_geometric_spark.operators.behavior import (
+        association_rules,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    return association_rules(
+        baskets,
+        basket_cols=("user_id", "day"),
+        item_col="event_type",
+        min_support=50,
+    )
+
+
+def _q_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion metrics + Cohen's kappa
+    (evalmetrics.classification_report) on a deterministic 25%-corrupted
+    prediction column over event types."""
+    from halvesting_geometric_spark.operators.evalmetrics import (
+        classification_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    shifted = (
+        F.when(F.col("event_type") == "click", F.lit("view"))
+        .when(F.col("event_type") == "view", F.lit("click"))
+        .when(F.col("event_type") == "signup", F.lit("error"))
+        .when(F.col("event_type") == "error", F.lit("purchase"))
+        .otherwise(F.lit("signup"))
+    )
+    lab = ev.select(
+        F.col("event_type").alias("actual"),
+        F.when(F.col("event_id") % 4 == 0, shifted)
+        .otherwise(F.col("event_type"))
+        .alias("predicted"),
+    )
+    return classification_report(lab)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     captures the FIRST 50 entries (observed cap, CORRECTNESS_r02.json), so
@@ -3073,6 +3129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tools/check_oracles.py`` (same Spark-vs-DuckDB comparison)."""
     return {
         # -- queries new this session: front of the capture window --
+        "bowtie5": _q_bowtie5,
+        "assoc_rules": _q_assoc_rules,
+        "class_report": _q_class_report,
         "skyline2": _q_skyline2,
         "cocite": _q_cocite,
         "bibcouple": _q_bibcouple,
@@ -5438,6 +5497,127 @@ def oracle_sql() -> dict[str, str]:
     _zorder_sql_expr = zorder_sql("x", "y", bits=10)
 
     return {
+        # Bow-tie: scc2's mutual-reachability closure picks the core
+        # (largest SCC, min-id tie-break), then IN/OUT via the directed
+        # closure and TENDRIL via the undirected one. Per the DuckDB
+        # recursive-UNION quirk, every aggregated CTE here is either
+        # GROUP-BY-unique (sccmap) or rebuilt locally with
+        # DISTINCT-over-UNION-ALL (undx); the recursive CTEs feed only
+        # membership tests.
+        "bowtie5": f"""
+WITH RECURSIVE {_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(v, w) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN de e ON e.src = r.w),
+mutual AS (
+  SELECT a.v, a.w FROM reach a JOIN reach b ON a.v = b.w AND a.w = b.v),
+sccmap AS (
+  SELECT vt.vertex_id AS v,
+         least(vt.vertex_id, COALESCE(MIN(m.w), vt.vertex_id)) AS c
+  FROM verts vt LEFT JOIN mutual m ON m.v = vt.vertex_id
+  GROUP BY vt.vertex_id),
+csize AS (SELECT c, COUNT(*) AS n FROM sccmap GROUP BY c),
+corec AS (SELECT c FROM csize ORDER BY n DESC, c ASC LIMIT 1),
+corev AS (SELECT v FROM sccmap WHERE c = (SELECT c FROM corec)),
+undx AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM de
+    UNION ALL SELECT dst, src FROM de)),
+wr(v) AS (
+  SELECT v FROM corev
+  UNION
+  SELECT u.d FROM wr JOIN undx u ON u.s = wr.v)
+SELECT vt.vertex_id,
+       CASE
+         WHEN vt.vertex_id IN (SELECT v FROM corev) THEN 'CORE'
+         WHEN EXISTS (SELECT 1 FROM reach r JOIN corev c2 ON r.w = c2.v
+                      WHERE r.v = vt.vertex_id) THEN 'IN'
+         WHEN EXISTS (SELECT 1 FROM reach r JOIN corev c2 ON r.v = c2.v
+                      WHERE r.w = vt.vertex_id) THEN 'OUT'
+         WHEN vt.vertex_id IN (SELECT v FROM wr) THEN 'TENDRIL'
+         ELSE 'DISCONNECTED'
+       END AS bowtie_class
+FROM verts vt""",
+        "assoc_rules": """
+WITH bi AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || CAST(CAST(ts AS DATE) AS VARCHAR)
+           AS b,
+         event_type AS item
+  FROM events),
+nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+isup AS (SELECT item, COUNT(*) AS s FROM bi GROUP BY item),
+prules AS (
+  SELECT x.item AS antecedent, y.item AS consequent, COUNT(*) AS support
+  FROM bi x JOIN bi y ON x.b = y.b AND x.item <> y.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 50)
+SELECT antecedent, consequent, CAST(support AS BIGINT) AS support,
+       CAST(floor(support * 1000000.0 / sa.s + 0.5) AS BIGINT)
+         AS confidence_e6,
+       CAST(floor((support * nb.n) * 1000000.0 / (sa.s * sb.s) + 0.5)
+            AS BIGINT) AS lift_e6
+FROM prules
+JOIN isup sa ON sa.item = prules.antecedent
+JOIN isup sb ON sb.item = prules.consequent, nb""",
+        "class_report": """
+WITH lab AS (
+  SELECT event_type AS a,
+         CASE WHEN event_id % 4 = 0 THEN
+           CASE event_type WHEN 'click' THEN 'view'
+                           WHEN 'view' THEN 'click'
+                           WHEN 'signup' THEN 'error'
+                           WHEN 'error' THEN 'purchase'
+                           ELSE 'signup' END
+         ELSE event_type END AS p
+  FROM events),
+conf AS (SELECT a, p, COUNT(*) AS n FROM lab GROUP BY a, p),
+rws AS (SELECT a, SUM(n) AS row_n FROM conf GROUP BY a),
+cws AS (SELECT p, SUM(n) AS col_n FROM conf GROUP BY p),
+cl AS (SELECT DISTINCT cls FROM (
+  SELECT a AS cls FROM conf UNION ALL SELECT p FROM conf)),
+tpx AS (SELECT a AS cls, n AS tp FROM conf WHERE a = p),
+g AS (
+  SELECT SUM(COALESCE(r.row_n, 0)) AS n_total,
+         SUM(COALESCE(r.row_n, 0) * COALESCE(c.col_n, 0)) AS s_rc
+  FROM rws r FULL OUTER JOIN cws c ON r.a = c.p),
+tr AS (SELECT COALESCE(SUM(n), 0) AS trace FROM conf WHERE a = p)
+SELECT cl.cls,
+       CAST(COALESCE(r.row_n, 0) AS BIGINT) AS support,
+       CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+       CAST(COALESCE(c.col_n, 0) - COALESCE(t.tp, 0) AS BIGINT) AS fp,
+       CAST(COALESCE(r.row_n, 0) - COALESCE(t.tp, 0) AS BIGINT) AS fn,
+       CAST(CASE WHEN COALESCE(t.tp, 0) + COALESCE(c.col_n, 0)
+                      - COALESCE(t.tp, 0) > 0
+            THEN floor(COALESCE(t.tp, 0) * 1000000.0
+                       / (COALESCE(t.tp, 0)
+                          + (COALESCE(c.col_n, 0) - COALESCE(t.tp, 0)))
+                       + 0.5)
+            ELSE 0 END AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN COALESCE(r.row_n, 0) > 0
+            THEN floor(COALESCE(t.tp, 0) * 1000000.0 / COALESCE(r.row_n, 0)
+                       + 0.5)
+            ELSE 0 END AS BIGINT) AS recall_e6,
+       CAST(CASE WHEN 2 * COALESCE(t.tp, 0)
+                      + (COALESCE(c.col_n, 0) - COALESCE(t.tp, 0))
+                      + (COALESCE(r.row_n, 0) - COALESCE(t.tp, 0)) > 0
+            THEN floor((2 * COALESCE(t.tp, 0)) * 1000000.0
+                       / (2 * COALESCE(t.tp, 0)
+                          + (COALESCE(c.col_n, 0) - COALESCE(t.tp, 0))
+                          + (COALESCE(r.row_n, 0) - COALESCE(t.tp, 0)))
+                       + 0.5)
+            ELSE 0 END AS BIGINT) AS f1_e6,
+       CAST(floor(g.trace2 * 1000000.0 / g.n_total + 0.5) AS BIGINT)
+         AS accuracy_e6,
+       CAST(CASE WHEN g.n_total * g.n_total - g.s_rc > 0
+            THEN floor((g.n_total * g.trace2 - g.s_rc) * 1000000.0
+                       / (g.n_total * g.n_total - g.s_rc) + 0.5)
+            ELSE 1000000 END AS BIGINT) AS kappa_e6
+FROM cl
+LEFT JOIN rws r ON r.a = cl.cls
+LEFT JOIN cws c ON c.p = cl.cls
+LEFT JOIN tpx t ON t.cls = cl.cls,
+(SELECT g.n_total, g.s_rc, tr.trace AS trace2 FROM g, tr) g""",
         "skyline2": _SKYLINE2_SQL,
         "cocite": _citation_pairs_sql("src", "dst", 2),
         "robustness3": _robustness_sql((32, 64, 128)),

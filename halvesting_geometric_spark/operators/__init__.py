@@ -6,6 +6,7 @@ from halvesting_geometric_spark.operators.anomaly import (
 )
 from halvesting_geometric_spark.operators.evalmetrics import (
     calibration_error,
+    classification_report,
     ranking_metrics,
 )
 from halvesting_geometric_spark.operators.betweenness import betweenness_sampled
@@ -158,11 +159,13 @@ from halvesting_geometric_spark.operators.temporal import (
     temporal_triangles,
 )
 from halvesting_geometric_spark.operators.behavior import (
+    association_rules,
     cohort_retention,
     engagement_gini,
     funnel_steps,
     session_paths,
 )
+from halvesting_geometric_spark.operators.bowtie import bowtie_decomposition
 from halvesting_geometric_spark.operators.fuzzy import fuzzy_pairs
 from halvesting_geometric_spark.operators.centrality import (
     eigenvector_centrality,
@@ -225,7 +228,10 @@ __all__ = [
     "aggregate_neighbors",
     "aggregate_neighbors_positional",
     "betweenness_sampled",
+    "association_rules",
+    "bowtie_decomposition",
     "calibration_error",
+    "classification_report",
     "context_windows",
     "cusum_changepoints",
     "grouped_linregress",

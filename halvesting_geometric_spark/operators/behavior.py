@@ -197,3 +197,102 @@ def engagement_gini(
             .alias("gini_e6"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_cols: Sequence[str] = ("user_id",),
+    item_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Directional pairwise association rules a -> b over item baskets.
+
+    ``baskets`` is any table whose rows are (basket key columns, item); the
+    basket is the DISTINCT item set per key. For every ordered pair of
+    distinct items with joint support >= ``min_support``:
+
+        (antecedent, consequent, support, confidence_e6, lift_e6)
+
+    support       = #baskets containing both items (exact long),
+    confidence_e6 = round-half-up fixed point of support / #baskets(a),
+    lift_e6       = same of support*N / (#baskets(a) * #baskets(b)),
+
+    the classic Agrawal support/confidence/lift triple with no float until
+    the single final division (N*support*1e6 stays inside the double-exact
+    2^53 window up to ~10^7-basket corpora; past that pre-divide the lift
+    by one side's support before scaling).
+
+    Scale shape: one distinct-projection shuffle to the (basket, item) set,
+    one self-join keyed on the basket (each basket contributes
+    |items|*(|items|-1) pairs — bounded by the per-basket distinct-item
+    count, NOT the raw event count), one map-side-combined pair groupBy,
+    and two broadcast joins against the item-support table (|items| rows).
+    The basket count rides along as a broadcast cross join — no collect.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    keys = list(basket_cols)
+    bi = (
+        baskets.select(
+            F.concat_ws(
+                "", *[F.col(k).cast("string") for k in keys]
+            ).alias("_b"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .dropDuplicates(["_b", "item"])
+        .persist()
+    )
+    n_baskets = bi.select("_b").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    isup = bi.groupBy("item").agg(F.count("*").cast("long").alias("s"))
+    pairs = (
+        bi.alias("x")
+        .join(bi.alias("y"), "_b")
+        .filter(F.col("x.item") != F.col("y.item"))
+        .groupBy(
+            F.col("x.item").alias("antecedent"),
+            F.col("y.item").alias("consequent"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                isup.select(
+                    F.col("item").alias("antecedent"), F.col("s").alias("sa")
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                isup.select(
+                    F.col("item").alias("consequent"), F.col("s").alias("sb")
+                )
+            ),
+            "consequent",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.floor(
+                F.col("support") * 1_000_000.0 / F.col("sa") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("confidence_e6"),
+            F.floor(
+                (F.col("support") * F.col("n_baskets")) * 1_000_000.0
+                / (F.col("sa") * F.col("sb"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    bi.unpersist()
+    return out

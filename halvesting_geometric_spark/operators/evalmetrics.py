@@ -156,3 +156,146 @@ def calibration_error(
         F.expr("sum(n * gap_e6) div sum(n)").cast("long").alias("gap_e6"),
     )
     return per_bin.unionByName(total)
+
+
+def classification_report(
+    labeled: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+) -> DataFrame:
+    """Per-class confusion metrics + global accuracy and Cohen's kappa,
+    every value an exact integer.
+
+    One row per class seen in either column: (class, support, tp, fp, fn,
+    precision_e6, recall_e6, f1_e6, accuracy_e6, kappa_e6) — the last two
+    repeat the global values on every row so the table stays one relation.
+
+    All three per-class ratios reduce to single integer divisions of exact
+    longs: precision = tp/(tp+fp), recall = tp/(tp+fn), and F1 folds to
+    2*tp / (2*tp + fp + fn) — no float intermediates. Cohen's kappa uses
+    the identity
+
+        kappa = (N*trace - S) / (N^2 - S),   S = sum_c row_c * col_c,
+
+    so one fixed-point division at the end covers agreement-by-chance
+    correction exactly (operands stay double-exact below ~10^7 rows; past
+    that the e6 scaling of N*trace needs a pre-division).
+
+    Scale shape: one map-side-combined groupBy over (actual, predicted) —
+    state bounded by |classes|^2 — then everything else is arithmetic over
+    that tiny confusion table plus broadcast-sized joins; no windows, no
+    collects, no floats until the final quantized divisions.
+    """
+    conf = (
+        labeled.select(
+            F.col(actual_col).cast("string").alias("a"),
+            F.col(predicted_col).cast("string").alias("p"),
+        )
+        .groupBy("a", "p")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    rows = conf.groupBy("a").agg(F.sum("n").alias("row_n"))
+    cols = conf.groupBy("p").agg(F.sum("n").alias("col_n"))
+    # global scalars as a 1-row broadcast frame: N, trace, S = sum(row*col)
+    glob = (
+        rows.join(
+            cols, rows["a"] == cols["p"], "full_outer"
+        )
+        .select(
+            F.coalesce("row_n", F.lit(0)).alias("row_n"),
+            F.coalesce("col_n", F.lit(0)).alias("col_n"),
+        )
+        .agg(
+            F.sum("row_n").cast("long").alias("n_total"),
+            F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("s_rc"),
+        )
+    )
+    trace = conf.filter(F.col("a") == F.col("p")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("trace")
+    )
+    classes = (
+        conf.select(F.col("a").alias("cls"))
+        .unionByName(conf.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    tp = conf.filter(F.col("a") == F.col("p")).select(
+        F.col("a").alias("cls"), F.col("n").alias("tp")
+    )
+    out = (
+        classes.join(tp, "cls", "left")
+        .join(rows.select(F.col("a").alias("cls"), "row_n"), "cls", "left")
+        .join(cols.select(F.col("p").alias("cls"), "col_n"), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("row_n", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("col_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("row_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+        .withColumn(
+            "precision_e6",
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.floor(
+                    F.col("tp") * 1_000_000.0 / (F.col("tp") + F.col("fp"))
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "recall_e6",
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.floor(
+                    F.col("tp") * 1_000_000.0 / (F.col("tp") + F.col("fn"))
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "f1_e6",
+            F.when(
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                F.floor(
+                    (F.lit(2) * F.col("tp"))
+                    * 1_000_000.0
+                    / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .join(F.broadcast(glob))
+        .join(F.broadcast(trace))
+        .select(
+            "cls",
+            "support",
+            "tp",
+            "fp",
+            "fn",
+            "precision_e6",
+            "recall_e6",
+            "f1_e6",
+            F.floor(
+                F.col("trace") * 1_000_000.0 / F.col("n_total") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("accuracy_e6"),
+            F.when(
+                F.col("n_total") * F.col("n_total") - F.col("s_rc") > 0,
+                F.floor(
+                    (F.col("n_total") * F.col("trace") - F.col("s_rc"))
+                    * 1_000_000.0
+                    / (F.col("n_total") * F.col("n_total") - F.col("s_rc"))
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(1_000_000)).cast("long").alias("kappa_e6"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    conf.unpersist()
+    return out
