@@ -156,15 +156,18 @@ from halvesting_geometric_spark.operators.relational import (
 )
 from halvesting_geometric_spark.operators.temporal import (
     snapshot_diff,
+    temporal_reachability,
     temporal_triangles,
 )
 from halvesting_geometric_spark.operators.behavior import (
     association_rules,
     cohort_retention,
     engagement_gini,
+    frequent_sequences,
     funnel_steps,
     session_paths,
 )
+from halvesting_geometric_spark.operators.structural import structural_holes
 from halvesting_geometric_spark.operators.bowtie import bowtie_decomposition
 from halvesting_geometric_spark.operators.fuzzy import fuzzy_pairs
 from halvesting_geometric_spark.operators.centrality import (
@@ -229,6 +232,9 @@ __all__ = [
     "aggregate_neighbors_positional",
     "betweenness_sampled",
     "association_rules",
+    "frequent_sequences",
+    "structural_holes",
+    "temporal_reachability",
     "bowtie_decomposition",
     "calibration_error",
     "classification_report",

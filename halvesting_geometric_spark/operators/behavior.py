@@ -296,3 +296,100 @@ def association_rules(
     out = out.localCheckpoint(eager=True)
     bi.unpersist()
     return out
+
+
+def frequent_sequences(
+    events: DataFrame,
+    session_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    item_col: str = "role",
+    min_support: int = 1,
+    max_len: int = 3,
+) -> DataFrame:
+    """Frequent sequential patterns (PrefixSpan-style support counting,
+    Pei et al. ICDE 2001 semantics) of length 2 and 3 over per-session
+    item sequences.
+
+    A pattern <a, b> (resp. <a, b, c>) is SUPPORTED by a session when its
+    items occur at strictly increasing ``order_col`` positions, any gap
+    allowed — the classic subsequence relation, items may repeat. Support
+    = number of distinct sessions containing the pattern. Returns
+    (pattern, length, support) with ``pattern`` the '>'-joined item string,
+    ``support >= min_support``.
+
+    Instead of growing projected databases (PrefixSpan's recursion —
+    driver-side and depth-bound), each length is one closed-form
+    existence test over per-session item statistics:
+
+    * length 2: <a,b> ⊆ session  ⇔  min_pos(a) < max_pos(b) — two numbers
+      per (session, item), so the candidate join is |items|² per session
+      on the tiny stats table, never on raw occurrences.
+    * length 3: <a,b,c> ⊆ session  ⇔  some occurrence position o of b has
+      min_pos(a) < o < max_pos(c) — one join of the b-occurrence list
+      against the same stats table, |occ|·|items|² candidates per session
+      bounded by the item VOCABULARY (event/role types), not by pairs of
+      raw events.
+
+    Scale shape: one groupBy to (session, item, min_pos, max_pos), self
+    joins keyed on the session (co-partitioned, no broadcast of raw data),
+    distinct + map-side-combined count per pattern. Pattern-space blowup
+    is inherent to sequence mining; with categorical vocabularies (roles,
+    event types, tool names) the candidate space is |V|³ per session and
+    ``min_support`` prunes the global result.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if max_len not in (2, 3):
+        raise ValueError(f"max_len must be 2 or 3, got {max_len}")
+    occ = events.select(
+        F.col(session_col).cast("string").alias("s"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col(order_col).cast("long").alias("o"),
+    )
+    stats = occ.groupBy("s", "item").agg(
+        F.min("o").alias("mn"), F.max("o").alias("mx")
+    ).persist()
+    stats.count()
+    len2 = (
+        stats.alias("a")
+        .join(stats.alias("b"), "s")
+        .filter(F.col("a.mn") < F.col("b.mx"))
+        .groupBy(
+            F.col("a.item").alias("p1"), F.col("b.item").alias("p2")
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .select(
+            F.concat_ws(">", "p1", "p2").alias("pattern"),
+            F.lit(2).cast("long").alias("length"),
+            "support",
+        )
+    )
+    out = len2
+    if max_len == 3:
+        len3 = (
+            occ.alias("b")
+            .join(stats.alias("a"), "s")
+            .filter(F.col("a.mn") < F.col("b.o"))
+            .join(stats.alias("c"), "s")
+            .filter(F.col("c.mx") > F.col("b.o"))
+            .select(
+                "s",
+                F.col("a.item").alias("p1"),
+                F.col("b.item").alias("p2"),
+                F.col("c.item").alias("p3"),
+            )
+            .distinct()
+            .groupBy("p1", "p2", "p3")
+            .agg(F.count("*").cast("long").alias("support"))
+            .select(
+                F.concat_ws(">", "p1", "p2", "p3").alias("pattern"),
+                F.lit(3).cast("long").alias("length"),
+                "support",
+            )
+        )
+        out = len2.unionByName(len3)
+    out = out.filter(F.col("support") >= min_support).localCheckpoint(
+        eager=True
+    )
+    stats.unpersist()
+    return out

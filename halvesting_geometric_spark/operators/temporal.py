@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from halvesting_geometric_spark.functions import extract_refs
 
@@ -213,3 +214,131 @@ def snapshot_diff(
         "src_conv", "dst_conv", F.lit("removed").alias("status")
     )
     return added.unionByName(removed)
+
+
+def temporal_reachability(
+    tedges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame | list[int],
+    time_col: str = "t",
+    start: int = 0,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability over a timestamped
+    edge stream (Wu et al., VLDB 2014 single-pass semantics, computed here
+    as monotone label-correcting supersteps).
+
+    A time-respecting path traverses edge occurrences (src, dst, t) in
+    non-decreasing time: an edge is usable only when ``t >= arrival(src)``.
+    ``arrival(v)`` is the minimum timestamp of the last edge on any such
+    path from the seed set (seeds start at ``start``). Engine-new — the
+    reference's graph is a static snapshot; its edge stream here carries
+    per-turn event time (reference ``utils/data/link_prediction_datamodule``
+    treats edges as timeless).
+
+    Superstep shape (the audited SSSP/BFS pattern): the frontier is the set
+    of vertices whose arrival improved last round; one shuffle join
+    frontier→edges on ``src`` keeps occurrences with ``t >= arrival``, one
+    min-aggregate on ``dst``, one full-outer merge with the state. A
+    non-improved vertex re-relaxes nothing (its usable out-edge set only
+    grows when its arrival DROPS), so work is proportional to the improved
+    set — hub-safe and lineage-truncated per round. Arrival labels are
+    drawn from the finite timestamp set and strictly decrease, so the
+    fixpoint exists; raises if ``max_rounds`` supersteps do not reach it
+    (the gate's recursive-CTE twin computes the exact fixpoint, so a
+    truncated answer must fail loudly, never silently).
+
+    Args: ``tedges`` (src, dst, <time_col>) with integer timestamps (e.g.
+    epoch microseconds — keep them integral; the whole state is exact
+    BIGINT arithmetic, bit-stable cross-engine). Self-loops are dropped
+    (``t >= arrival(v)`` can never improve ``arrival(v)``).
+
+    Returns (vertex_id, arrival) for every vertex reachable by a
+    time-respecting path; unreached vertices are absent.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    spark = tedges.sparkSession
+    if isinstance(sources, (list, tuple)):
+        sources = spark.createDataFrame(
+            [(int(s),) for s in sources], "vertex_id long"
+        )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    inf = F.lit(2**62).cast("long")
+    topo = (
+        tedges.select(
+            "src", "dst", F.col(time_col).cast("long").alias("t")
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("t") >= F.lit(int(start))))
+        .repartition(n_shuffle, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    topo.count()
+    state = (
+        sources.select("vertex_id")
+        .distinct()
+        .join(vertices.select("vertex_id"), "vertex_id", "left_semi")
+        .select(
+            "vertex_id", F.lit(int(start)).cast("long").alias("arrival")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if state.count() == 0:
+        raise ValueError("source set is empty (or disjoint from vertices)")
+    frontier = state
+    prev_caches: list[DataFrame] = [state]
+    converged = False
+    for _ in range(max_rounds):
+        cand = (
+            topo.join(
+                frontier.select(F.col("vertex_id").alias("src"), "arrival"),
+                "src",
+            )
+            .filter(F.col("t") >= F.col("arrival"))
+            .groupBy("dst")
+            .agg(F.min("t").alias("cand"))
+        )
+        paired = (
+            state.join(
+                cand.select(F.col("dst").alias("vertex_id"), "cand"),
+                "vertex_id",
+                "full_outer",
+            )
+            .select(
+                "vertex_id",
+                F.least(
+                    F.coalesce("arrival", inf), F.coalesce("cand", inf)
+                ).alias("arrival"),
+                (
+                    F.col("arrival").isNull()
+                    | (F.coalesce("cand", inf) < F.col("arrival"))
+                ).alias("_improved"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_improved = paired.filter(F.col("_improved")).count()
+        nxt = paired.select("vertex_id", "arrival").localCheckpoint(
+            eager=False
+        )
+        frontier = paired.filter(F.col("_improved")).select(
+            "vertex_id", "arrival"
+        )
+        for p in prev_caches:
+            p.unpersist()
+        prev_caches = [paired]
+        state = nxt
+        if n_improved == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"temporal_reachability did not reach the fixpoint within "
+            f"{max_rounds} supersteps"
+        )
+    out = state.select(
+        "vertex_id", F.col("arrival").cast("long").alias("arrival")
+    ).localCheckpoint(eager=True)
+    for p in prev_caches:
+        p.unpersist()
+    topo.unpersist()
+    return out
