@@ -39,7 +39,7 @@ ALGORITHMS = (
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
     "distinct", "zorder", "auroc", "simrank", "graphlets",
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
-    "support", "conductance",
+    "support", "conductance", "freqseq", "treach", "holes",
 )
 
 
@@ -94,6 +94,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="cusum: decision interval h in count units")
     ap.add_argument("--delta", type=int, default=172800,
                     help="tmotif: motif window in seconds")
+    ap.add_argument("--min-support", type=int, default=2,
+                    help="freqseq: minimum session support per pattern")
     ap.add_argument(
         "--aqe-bypass",
         action=argparse.BooleanOptionalAction,
@@ -557,6 +559,63 @@ def main(argv: list[str] | None = None) -> int:
         tt = temporal_triangles(edge_events(transcripts), delta_s=args.delta)
         tt.write.mode("overwrite").parquet(args.output)
         summary.update(tt.first().asDict())
+    elif args.algorithm == "freqseq":
+        from halvesting_geometric_spark.operators.behavior import (
+            frequent_sequences,
+        )
+
+        fs = frequent_sequences(
+            transcripts, session_col="conv_id", order_col="turn_idx",
+            item_col="role", min_support=args.min_support, max_len=3,
+        )
+        fs.write.mode("overwrite").parquet(args.output)
+        summary["patterns"] = fs.count()
+    elif args.algorithm == "treach":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.temporal import (
+            edge_events,
+            temporal_reachability,
+        )
+
+        ee = edge_events(transcripts)
+        vmap = g.vertices.select("vertex_id", "conv_id")
+        te = (
+            ee.join(
+                vmap.select(
+                    F.col("vertex_id").alias("src"),
+                    F.col("conv_id").alias("src_conv"),
+                ),
+                "src_conv",
+            )
+            .join(
+                vmap.select(
+                    F.col("vertex_id").alias("dst"),
+                    F.col("conv_id").alias("dst_conv"),
+                ),
+                "dst_conv",
+            )
+            .select(
+                "src", "dst",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            )
+        )
+        r = temporal_reachability(
+            te, g.vertices.select("vertex_id"), args.seeds, start=0,
+        )
+        r.write.mode("overwrite").parquet(args.output)
+        summary["reached"] = r.count()
+    elif args.algorithm == "holes":
+        from halvesting_geometric_spark.operators.structural import (
+            structural_holes,
+        )
+
+        sh = structural_holes(
+            g.edges,
+            max_degree=args.max_degree if args.max_degree else 1024,
+        )
+        sh.write.mode("overwrite").parquet(args.output)
+        summary["vertices"] = sh.count()
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

@@ -209,3 +209,22 @@ def test_cli_support_conductance(spark, tmp_path, capsys):
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["algorithm"] == algo
         assert summary[key] >= 1
+
+
+def test_cli_freqseq_treach_holes(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_fth")
+    generate_transcripts(spark, 40, seed=23).write.parquet(tr_dir)
+    for algo, key, extra in (
+        ("freqseq", "patterns", ["--min-support", "1"]),
+        ("treach", "reached", ["--seeds", "0", "1"]),
+        ("holes", "vertices", []),
+    ):
+        out = str(tmp_path / f"out_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out, *extra]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert summary[key] >= 1
+        assert spark.read.parquet(out).count() == summary[key]
