@@ -223,6 +223,7 @@ def temporal_reachability(
     time_col: str = "t",
     start: int = 0,
     max_rounds: int = 64,
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """Earliest-arrival time-respecting reachability over a timestamped
     edge stream (Wu et al., VLDB 2014 single-pass semantics, computed here
@@ -253,11 +254,26 @@ def temporal_reachability(
     BIGINT arithmetic, bit-stable cross-engine). Self-loops are dropped
     (``t >= arrival(v)`` can never improve ``arrival(v)``).
 
+    ``time_buckets``: the web-scale path for adversarial (e.g. uniform
+    random) timestamp distributions, adapting Wu et al.'s time-ordered
+    single pass to supersteps. Edges are split into that many equi-width
+    time bands processed in ASCENDING order, each band label-corrected to
+    its own fixpoint before the next opens. Once band b is at fixpoint,
+    its edges can never relax again: any later improvement assigns an
+    arrival drawn from a band > b, and a band-b edge needs
+    ``t >= arrival`` with ``t`` below that band — so the per-band
+    correction chains (and hence supersteps) are bounded by the band's
+    time width, not by the global cascade. ``max_rounds`` caps each band.
+    ``None`` (default) = single global fixpoint, best for naturally
+    causal streams (chronological logs) with short correction chains.
+
     Returns (vertex_id, arrival) for every vertex reachable by a
     time-respecting path; unreached vertices are absent.
     """
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if time_buckets is not None and time_buckets < 1:
+        raise ValueError(f"time_buckets must be >= 1, got {time_buckets}")
     spark = tedges.sparkSession
     if isinstance(sources, (list, tuple)):
         sources = spark.createDataFrame(
@@ -285,56 +301,77 @@ def temporal_reachability(
     )
     if state.count() == 0:
         raise ValueError("source set is empty (or disjoint from vertices)")
-    frontier = state
+    # time bands: [lo, hi) half-open; (None, None) = all edges, one pass
+    bands: list[tuple[int | None, int | None]] = [(None, None)]
+    if time_buckets is not None and time_buckets > 1:
+        lohi = topo.agg(F.min("t"), F.max("t")).first()
+        tmin, tmax = lohi[0], lohi[1]
+        if tmin is not None and tmin != tmax:
+            width = -((tmin - tmax - 1) // time_buckets)  # ceil(span/B)
+            bands = [
+                (tmin + i * width, tmin + (i + 1) * width)
+                for i in range(time_buckets)
+            ]
     prev_caches: list[DataFrame] = [state]
-    converged = False
-    for _ in range(max_rounds):
-        cand = (
-            topo.join(
-                frontier.select(F.col("vertex_id").alias("src"), "arrival"),
-                "src",
+    for lo, hi in bands:
+        if lo is None:
+            bedges = topo
+            frontier = state
+        else:
+            bedges = topo.filter((F.col("t") >= lo) & (F.col("t") < hi))
+            # only a vertex arrived before the band's end can use its edges
+            frontier = state.filter(F.col("arrival") < hi)
+        converged = False
+        for _ in range(max_rounds):
+            cand = (
+                bedges.join(
+                    frontier.select(
+                        F.col("vertex_id").alias("src"), "arrival"
+                    ),
+                    "src",
+                )
+                .filter(F.col("t") >= F.col("arrival"))
+                .groupBy("dst")
+                .agg(F.min("t").alias("cand"))
             )
-            .filter(F.col("t") >= F.col("arrival"))
-            .groupBy("dst")
-            .agg(F.min("t").alias("cand"))
-        )
-        paired = (
-            state.join(
-                cand.select(F.col("dst").alias("vertex_id"), "cand"),
-                "vertex_id",
-                "full_outer",
+            paired = (
+                state.join(
+                    cand.select(F.col("dst").alias("vertex_id"), "cand"),
+                    "vertex_id",
+                    "full_outer",
+                )
+                .select(
+                    "vertex_id",
+                    F.least(
+                        F.coalesce("arrival", inf), F.coalesce("cand", inf)
+                    ).alias("arrival"),
+                    (
+                        F.col("arrival").isNull()
+                        | (F.coalesce("cand", inf) < F.col("arrival"))
+                    ).alias("_improved"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .select(
-                "vertex_id",
-                F.least(
-                    F.coalesce("arrival", inf), F.coalesce("cand", inf)
-                ).alias("arrival"),
-                (
-                    F.col("arrival").isNull()
-                    | (F.coalesce("cand", inf) < F.col("arrival"))
-                ).alias("_improved"),
+            n_improved = paired.filter(F.col("_improved")).count()
+            nxt = paired.select("vertex_id", "arrival").localCheckpoint(
+                eager=False
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        n_improved = paired.filter(F.col("_improved")).count()
-        nxt = paired.select("vertex_id", "arrival").localCheckpoint(
-            eager=False
-        )
-        frontier = paired.filter(F.col("_improved")).select(
-            "vertex_id", "arrival"
-        )
-        for p in prev_caches:
-            p.unpersist()
-        prev_caches = [paired]
-        state = nxt
-        if n_improved == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"temporal_reachability did not reach the fixpoint within "
-            f"{max_rounds} supersteps"
-        )
+            frontier = paired.filter(F.col("_improved")).select(
+                "vertex_id", "arrival"
+            )
+            for p in prev_caches:
+                p.unpersist()
+            prev_caches = [paired]
+            state = nxt
+            if n_improved == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"temporal_reachability did not reach the fixpoint within "
+                f"{max_rounds} supersteps"
+                + (f" (time band [{lo}, {hi}))" if lo is not None else "")
+            )
     out = state.select(
         "vertex_id", F.col("arrival").cast("long").alias("arrival")
     ).localCheckpoint(eager=True)

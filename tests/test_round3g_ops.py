@@ -146,6 +146,52 @@ def test_temporal_reachability_start_filters_old_edges(spark):
     assert got == {0: 6}
 
 
+def test_temporal_reachability_time_bands_match_global(spark):
+    # correction chain: 2 first arrives at 10 (direct), later improves to 2
+    # via 1, which re-opens the (2,3,t=5) edge — the banded pass must get
+    # the same fixpoint while exhausting each time band exactly once
+    triples = [(0, 2, 10), (0, 1, 1), (1, 2, 2), (2, 3, 5)]
+    want = _brute_earliest(triples, [0], 0)
+    for b in (1, 2, 4, 16):
+        got = {
+            r["vertex_id"]: r["arrival"]
+            for r in temporal_reachability(
+                _tedges(spark, triples),
+                _verts(spark, range(4)),
+                [0],
+                start=0,
+                time_buckets=b,
+            ).collect()
+        }
+        assert got == want, f"time_buckets={b}"
+    assert want == {0: 0, 1: 1, 2: 2, 3: 5}
+
+
+def test_temporal_reachability_bands_bound_rounds(spark):
+    # 6-hop chain, one edge per band: per-band fixpoint needs only 2
+    # rounds (1 relax + 1 empty-confirm), so max_rounds=2 succeeds banded
+    # while the global pass needs 7 and raises at the same cap
+    triples = [(i, i + 1, i + 1) for i in range(6)]
+    got = {
+        r["vertex_id"]: r["arrival"]
+        for r in temporal_reachability(
+            _tedges(spark, triples),
+            _verts(spark, range(7)),
+            [0],
+            max_rounds=2,
+            time_buckets=6,
+        ).collect()
+    }
+    assert got == _brute_earliest(triples, [0], 0)
+    with pytest.raises(RuntimeError):
+        temporal_reachability(
+            _tedges(spark, triples),
+            _verts(spark, range(7)),
+            [0],
+            max_rounds=2,
+        )
+
+
 def test_temporal_reachability_raises_on_truncation(spark):
     # 3-hop chain cannot converge in 1 superstep
     triples = [(0, 1, 1), (1, 2, 2), (2, 3, 3)]
