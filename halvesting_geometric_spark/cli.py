@@ -96,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="tmotif: motif window in seconds")
     ap.add_argument("--min-support", type=int, default=2,
                     help="freqseq: minimum session support per pattern")
+    ap.add_argument("--time-buckets", type=int, default=None,
+                    help="treach: ascending time bands (web-scale path for "
+                    "adversarial timestamp distributions); None = one "
+                    "global fixpoint")
     ap.add_argument(
         "--aqe-bypass",
         action=argparse.BooleanOptionalAction,
@@ -602,6 +606,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         r = temporal_reachability(
             te, g.vertices.select("vertex_id"), args.seeds, start=0,
+            time_buckets=args.time_buckets,
         )
         r.write.mode("overwrite").parquet(args.output)
         summary["reached"] = r.count()

@@ -216,7 +216,7 @@ def test_cli_freqseq_treach_holes(spark, tmp_path, capsys):
     generate_transcripts(spark, 40, seed=23).write.parquet(tr_dir)
     for algo, key, extra in (
         ("freqseq", "patterns", ["--min-support", "1"]),
-        ("treach", "reached", ["--seeds", "0", "1"]),
+        ("treach", "reached", ["--seeds", "0", "1", "--time-buckets", "4"]),
         ("holes", "vertices", []),
     ):
         out = str(tmp_path / f"out_{algo}")
