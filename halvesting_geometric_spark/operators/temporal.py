@@ -313,6 +313,11 @@ def temporal_reachability(
                 for i in range(time_buckets)
             ]
     prev_caches: list[DataFrame] = [state]
+    # deferred checkpoint unpersist: the checkpoint from two rounds back is
+    # fully materialized (last round's action forced its successor) and
+    # nothing live references it — free its blocks so long correction
+    # cascades don't accumulate one checkpointed state table per superstep
+    old_ckpts: list[DataFrame] = []
     for lo, hi in bands:
         if lo is None:
             bedges = topo
@@ -353,15 +358,23 @@ def temporal_reachability(
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             n_improved = paired.filter(F.col("_improved")).count()
-            nxt = paired.select("vertex_id", "arrival").localCheckpoint(
-                eager=False
-            )
-            frontier = paired.filter(F.col("_improved")).select(
+            # checkpoint the WHOLE paired row (incl. _improved) and derive
+            # both successors from the truncated plan: deriving the frontier
+            # from the un-checkpointed `paired` chains every prior round's
+            # logical plan through the cand join — measured to grow the
+            # plan superlinearly and exhaust the driver heap near ~90
+            # supersteps on a 3 GiB heap, even with tiny state
+            ckpt = paired.localCheckpoint(eager=False)
+            nxt = ckpt.select("vertex_id", "arrival")
+            frontier = ckpt.filter(F.col("_improved")).select(
                 "vertex_id", "arrival"
             )
             for p in prev_caches:
                 p.unpersist()
             prev_caches = [paired]
+            old_ckpts.append(ckpt)
+            while len(old_ckpts) > 2:
+                old_ckpts.pop(0).unpersist()
             state = nxt
             if n_improved == 0:
                 converged = True
@@ -377,5 +390,7 @@ def temporal_reachability(
     ).localCheckpoint(eager=True)
     for p in prev_caches:
         p.unpersist()
+    for c in old_ckpts:
+        c.unpersist()
     topo.unpersist()
     return out
