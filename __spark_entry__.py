@@ -3163,6 +3163,17 @@ def _q_treach4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (mixing.pack_sequences): the documents
+    corpus concatenated in doc_id order and split into 1000-token training
+    bins; one row per (doc, bin) span, all exact BIGINT. Gate runs
+    scalable=True — the two-phase prefix-sum path is the one verified."""
+    from halvesting_geometric_spark.operators.mixing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, bin_size=1000, scalable=True)
+
+
 def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burt structural holes (structural.structural_holes) on the citation
     graph: per-vertex network constraint (e12 fixed point) + Borgatti
@@ -3188,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_seq3": _q_freq_seq3,
         "treach4": _q_treach4,
         "holes": _q_holes,
+        "pack1k": _q_pack1k,
         "bowtie5": _q_bowtie5,
         "assoc_rules": _q_assoc_rules,
         "class_report": _q_class_report,
@@ -5563,6 +5575,26 @@ def oracle_sql() -> dict[str, str]:
         # GROUP-BY-unique (sccmap) or rebuilt locally with
         # DISTINCT-over-UNION-ALL (undx); the recursive CTEs feed only
         # membership tests.
+        # sequence packing: closed form over one exclusive prefix sum —
+        # span arithmetic is pure BIGINT, generate_series == F.sequence
+        # (both inclusive), // == div on the nonnegative operands
+        "pack1k": r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM d)
+SELECT doc_id, n AS n_tokens, CAST(u.b AS BIGINT) AS bin_id,
+       CAST(GREATEST(s, u.b * 1000) - u.b * 1000 AS BIGINT) AS bin_offset,
+       CAST(LEAST(s + n, (u.b + 1) * 1000) - GREATEST(s, u.b * 1000)
+            AS BIGINT) AS len_in_bin,
+       CAST(GREATEST(s, u.b * 1000) - s AS BIGINT) AS doc_offset
+FROM c, unnest(generate_series(CAST(s // 1000 AS BIGINT),
+                               CAST((s + n - 1) // 1000 AS BIGINT))) AS u(b)""",
         # PrefixSpan support via min/max-position existence tests; the 'o'
         # position replicates Spark's row_number tiebreak (ts, event_id).
         "freq_seq3": """

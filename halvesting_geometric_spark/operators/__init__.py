@@ -182,7 +182,11 @@ from halvesting_geometric_spark.operators.metrics import (
     rich_club,
     triangle_significance,
 )
-from halvesting_geometric_spark.operators.mixing import budget_mix, chunk_tokens
+from halvesting_geometric_spark.operators.mixing import (
+    budget_mix,
+    chunk_tokens,
+    pack_sequences,
+)
 from halvesting_geometric_spark.operators.neighbors import (
     attention_aggregate,
     gated_aggregate,
@@ -235,6 +239,7 @@ __all__ = [
     "frequent_sequences",
     "structural_holes",
     "temporal_reachability",
+    "pack_sequences",
     "bowtie_decomposition",
     "calibration_error",
     "classification_report",

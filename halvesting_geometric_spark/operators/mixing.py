@@ -134,3 +134,98 @@ def chunk_tokens(
             "chunk",
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    bin_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scalable: bool = False,
+    buckets: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing: the pretraining corpus-assembly step
+    that concatenates documents in a deterministic order (ascending
+    ``id_col``) and splits the resulting token stream into fixed-size
+    training bins of ``bin_size`` tokens, documents crossing bin
+    boundaries (public recipes: GPT-2/3, LLaMA pretraining pack exactly
+    this way — concat + chunk, no padding waste).
+
+    Returns one row per (document, bin) span:
+    (doc_id, n_tokens, bin_id, bin_offset, len_in_bin, doc_offset) —
+    ``bin_offset`` where the span starts inside the bin, ``doc_offset``
+    where it starts inside the document; all exact BIGINT arithmetic
+    (the whole layout is a closed form over one exclusive prefix sum, so
+    the DuckDB gate twin is bit-identical). Empty documents are dropped;
+    tokens are whitespace tokens (same tokenizer as :func:`budget_mix` /
+    the ``token_count`` gate). Every bin except the last is exactly full:
+    sum(len_in_bin) per bin == bin_size.
+
+    ``scalable=False`` (validation scale) takes the prefix sum with one
+    unpartitioned window — a single-task sort. ``scalable=True`` is the
+    engine's two-phase pattern (same shape as auroc/dense_ids):
+    range-partition on the id, per-partition token totals (``buckets``
+    bounded rows) get windowed for partition offsets, each row adds its
+    partition-local prefix — no global sort, no single-task window, and
+    the output is IDENTICAL (range partitions are contiguous in id).
+    """
+    if bin_size < 1:
+        raise ValueError(f"bin_size must be >= 1, got {bin_size}")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("_id"), n_tok.alias("_n")
+    )
+    from pyspark.sql import Window
+
+    if not scalable:
+        w = Window.orderBy("_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        pref = base.withColumn(
+            "_s", F.coalesce(F.sum("_n").over(w), F.lit(0))
+        )
+    else:
+        parts = base.repartitionByRange(buckets, "_id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        totals = parts.groupBy("_pid").agg(
+            F.sum("_n").alias("_tn"), F.min("_id").alias("_lo")
+        )
+        w_off = Window.orderBy("_lo", "_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.withColumn(
+            "_off", F.coalesce(F.sum("_tn").over(w_off), F.lit(0))
+        ).select("_pid", "_off")
+        w_in = Window.partitionBy("_pid").orderBy("_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        pref = (
+            parts.withColumn(
+                "_local", F.coalesce(F.sum("_n").over(w_in), F.lit(0))
+            )
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn("_s", F.col("_local") + F.col("_off"))
+        )
+    L = F.lit(int(bin_size)).cast("long")
+    spans = pref.select(
+        "_id",
+        "_n",
+        "_s",
+        F.explode(
+            F.sequence(
+                F.expr(f"_s div {int(bin_size)}"),
+                F.expr(f"(_s + _n - 1) div {int(bin_size)}"),
+            )
+        ).alias("bin_id"),
+    )
+    lo = F.greatest(F.col("_s"), F.col("bin_id") * L)
+    hi = F.least(F.col("_s") + F.col("_n"), (F.col("bin_id") + 1) * L)
+    return spans.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (lo - F.col("bin_id") * L).cast("long").alias("bin_offset"),
+        (hi - lo).cast("long").alias("len_in_bin"),
+        (lo - F.col("_s")).cast("long").alias("doc_offset"),
+    )

@@ -265,3 +265,63 @@ def test_structural_holes_cap_drops_hub_centers(spark):
     # (vertex 0) mediated an indirect path: dyad (1,2) loses its 0-term
     assert all(capped[v] <= exact[v] for v in exact)
     assert capped[1] < exact[1] and capped[2] < exact[2]
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def _brute_pack(lengths, L):
+    """(id, n, bin, bin_off, len_in_bin, doc_off) via literal replay."""
+    out, pos = [], 0
+    for i, n in sorted(lengths.items()):
+        doc_pos = 0
+        while doc_pos < n:
+            b = pos // L
+            take = min(n - doc_pos, (b + 1) * L - pos)
+            out.append((i, n, b, pos - b * L, take, doc_pos))
+            pos += take
+            doc_pos += take
+    return sorted(out)
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    from halvesting_geometric_spark.operators.mixing import pack_sequences
+
+    lengths = {0: 7, 1: 3, 2: 12, 3: 1, 4: 5, 5: 10, 6: 2}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in lengths.items()],
+        "doc_id long, text string",
+    )
+    want = _brute_pack(lengths, 5)
+    for scalable in (False, True):
+        got = sorted(
+            tuple(r) for r in pack_sequences(
+                docs, bin_size=5, scalable=scalable, buckets=4
+            ).collect()
+        )
+        assert got == want, f"scalable={scalable}"
+    # invariants: every bin except the last is exactly full; per-doc
+    # spans cover the document contiguously
+    import collections
+
+    per_bin = collections.Counter()
+    for _, _, b, _, ln, _ in want:
+        per_bin[b] += ln
+    last = max(per_bin)
+    assert all(v == 5 for b, v in per_bin.items() if b != last)
+    per_doc = collections.defaultdict(int)
+    for i, n, _, _, ln, _ in want:
+        per_doc[i] += ln
+    assert per_doc == lengths
+
+
+def test_pack_sequences_drops_empty_and_validates(spark):
+    from halvesting_geometric_spark.operators.mixing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "   "), (2, "")], "doc_id long, text string"
+    )
+    got = pack_sequences(docs, bin_size=2).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 0]
+    with pytest.raises(ValueError):
+        pack_sequences(docs, bin_size=0)
