@@ -39,7 +39,7 @@ ALGORITHMS = (
     "kahn", "critpath", "roletrans", "toolseq", "toolruns",
     "distinct", "zorder", "auroc", "simrank", "graphlets",
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
-    "support", "conductance", "freqseq", "treach", "holes",
+    "support", "conductance", "freqseq", "treach", "holes", "pack",
 )
 
 
@@ -100,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="treach: ascending time bands (web-scale path for "
                     "adversarial timestamp distributions); None = one "
                     "global fixpoint")
+    ap.add_argument("--bin-size", type=int, default=2048,
+                    help="pack: training-bin token budget")
     ap.add_argument(
         "--aqe-bypass",
         action=argparse.BooleanOptionalAction,
@@ -621,6 +623,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         sh.write.mode("overwrite").parquet(args.output)
         summary["vertices"] = sh.count()
+    elif args.algorithm == "pack":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        # one packable unit per turn; the composite id keeps the
+        # conversation-then-turn concatenation order deterministic
+        units = transcripts.select(
+            F.concat_ws(
+                "#",
+                F.col("conv_id"),
+                F.lpad(F.col("turn_idx").cast("string"), 9, "0"),
+            ).alias("doc_id"),
+            "text",
+        )
+        packed = pack_sequences(
+            units, bin_size=args.bin_size, scalable=True
+        )
+        packed.write.mode("overwrite").parquet(args.output)
+        summary["spans"] = packed.count()
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

@@ -228,3 +228,25 @@ def test_cli_freqseq_treach_holes(spark, tmp_path, capsys):
         assert summary["algorithm"] == algo
         assert summary[key] >= 1
         assert spark.read.parquet(out).count() == summary[key]
+
+
+def test_cli_pack(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_pack")
+    generate_transcripts(spark, 40, seed=29).write.parquet(tr_dir)
+    out = str(tmp_path / "out_pack")
+    rc = cli.main(
+        ["pack", "--transcripts", tr_dir, "--output", out,
+         "--bin-size", "64"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["algorithm"] == "pack" and summary["spans"] >= 1
+    packed = spark.read.parquet(out)
+    assert packed.count() == summary["spans"]
+    # every non-final bin is exactly full
+    from pyspark.sql import functions as F
+
+    fills = packed.groupBy("bin_id").agg(F.sum("len_in_bin").alias("f"))
+    last = fills.agg(F.max("bin_id")).first()[0]
+    bad = fills.filter((F.col("bin_id") != last) & (F.col("f") != 64)).count()
+    assert bad == 0
