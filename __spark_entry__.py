@@ -3174,6 +3174,16 @@ def _q_pack1k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, bin_size=1000, scalable=True)
 
 
+def _q_hashtf256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (bm25.hashing_tf): 256-dim sparse term
+    vectors over documents, portable-hash features and sign — exact
+    integers, bit-identical cross-engine."""
+    from halvesting_geometric_spark.operators.bm25 import hashing_tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashing_tf(docs, num_features=256, signed=True, seed=0)
+
+
 def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burt structural holes (structural.structural_holes) on the citation
     graph: per-vertex network constraint (e12 fixed point) + Borgatti
@@ -3200,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "treach4": _q_treach4,
         "holes": _q_holes,
         "pack1k": _q_pack1k,
+        "hashtf256": _q_hashtf256,
         "bowtie5": _q_bowtie5,
         "assoc_rules": _q_assoc_rules,
         "class_report": _q_class_report,
@@ -5575,6 +5586,22 @@ def oracle_sql() -> dict[str, str]:
         # GROUP-BY-unique (sccmap) or rebuilt locally with
         # DISTINCT-over-UNION-ALL (undx); the recursive CTEs feed only
         # membership tests.
+        # signed feature hashing: portable-hash feature + sign, exact
+        # integer sums; % == pmod on the non-negative portable hash
+        "hashtf256": rf"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS u(tok)
+  WHERE length(trim(text)) > 0),
+fx AS (
+  SELECT doc_id,
+         {portable_hash64_sql('tok', seed=0)} % 256 AS feature,
+         CASE WHEN {portable_hash64_sql('tok', seed=1)} % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks)
+SELECT doc_id, CAST(feature AS BIGINT) AS feature,
+       CAST(SUM(sgn) AS BIGINT) AS value
+FROM fx GROUP BY 1, 2 HAVING SUM(sgn) <> 0""",
         # sequence packing: closed form over one exclusive prefix sum —
         # span arithmetic is pure BIGINT, generate_series == F.sequence
         # (both inclusive), // == div on the nonnegative operands

@@ -76,7 +76,11 @@ from halvesting_geometric_spark.operators.ngram_lm import (
     bigram_logprob,
     ngram_counts,
 )
-from halvesting_geometric_spark.operators.bm25 import bm25_scores, tfidf_top_terms
+from halvesting_geometric_spark.operators.bm25 import (
+    bm25_scores,
+    hashing_tf,
+    tfidf_top_terms,
+)
 from halvesting_geometric_spark.operators.bpe import (
     bpe_segment,
     bpe_train,
@@ -240,6 +244,7 @@ __all__ = [
     "structural_holes",
     "temporal_reachability",
     "pack_sequences",
+    "hashing_tf",
     "bowtie_decomposition",
     "calibration_error",
     "classification_report",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores", "tfidf_top_terms"]
+__all__ = ["bm25_scores", "hashing_tf", "tfidf_top_terms"]
 
 
 def bm25_scores(
@@ -144,4 +144,60 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf_e4")
+    )
+
+
+def hashing_tf(
+    docs: DataFrame,
+    num_features: int = 1024,
+    signed: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Feature hashing ("hashing trick", Weinberger et al. ICML 2009; the
+    fixed-dimension term-vector step of classic text-ML pipelines —
+    Spark MLlib's HashingTF re-expressed as a relational plan over the
+    engine-portable hash, so the result is identical on any engine or
+    cluster size).
+
+    Each whitespace token maps to ``feature = portable_hash(token) %
+    num_features``; ``signed=True`` additionally multiplies each
+    occurrence by a ±1 sign hash (second independent hash), which makes
+    hash-collision noise zero-mean — the unbiased estimator variant.
+    Returns the sparse vectors as (doc_id, feature, value) rows with
+    exact BIGINT values (zero entries dropped — signed cancellation
+    included), empty documents dropped.
+
+    One explode + one map-side-combinable groupBy; the shuffle carries at
+    most ``num_features`` rows per document.
+    """
+    if num_features < 1:
+        raise ValueError(f"num_features must be >= 1, got {num_features}")
+    from halvesting_geometric_spark.functions import portable_hash64
+
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    )
+    feature = F.pmod(
+        portable_hash64(F.col("_tok"), seed=seed), F.lit(int(num_features))
+    )
+    if signed:
+        sgn = F.when(
+            F.pmod(portable_hash64(F.col("_tok"), seed=seed + 1), F.lit(2))
+            == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+    else:
+        sgn = F.lit(1)
+    return (
+        toks.select(
+            id_col,
+            feature.cast("long").alias("feature"),
+            sgn.cast("long").alias("_sgn"),
+        )
+        .groupBy(id_col, "feature")
+        .agg(F.sum("_sgn").cast("long").alias("value"))
+        .filter(F.col("value") != 0)
     )

@@ -325,3 +325,56 @@ def test_pack_sequences_drops_empty_and_validates(spark):
     assert sorted(r["doc_id"] for r in got) == [0, 0]
     with pytest.raises(ValueError):
         pack_sequences(docs, bin_size=0)
+
+
+# -------------------------------------------------------- feature hashing
+
+
+def _phash(s, seed=None):
+    import hashlib
+
+    parts = [s] + ([str(seed)] if seed is not None else [])
+    payload = chr(31).join(parts).encode()
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def test_hashing_tf_matches_hash_replica(spark):
+    from collections import defaultdict
+
+    from halvesting_geometric_spark.operators.bm25 import hashing_tf
+
+    texts = {0: "a b a c", 1: "b b", 2: "  ", 3: "c"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r) for r in hashing_tf(
+            docs, num_features=8, signed=True, seed=0
+        ).collect()
+    )
+    want = defaultdict(int)
+    for i, t in texts.items():
+        for tok in t.split():
+            f = _phash(tok, seed=0) % 8
+            s = 1 if _phash(tok, seed=1) % 2 == 0 else -1
+            want[(i, f)] += s
+    assert got == sorted(
+        (i, f, v) for (i, f), v in want.items() if v != 0
+    )
+
+
+def test_hashing_tf_unsigned_counts(spark):
+    from halvesting_geometric_spark.operators.bm25 import hashing_tf
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "x y x"), (1, "y")], "doc_id long, text string"
+    )
+    out = hashing_tf(docs, num_features=4, signed=False)
+    # unsigned values are raw occurrence counts: totals match token counts
+    assert out.agg(F.sum("value")).first()[0] == 4
+    assert all(r["value"] >= 1 for r in out.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hashing_tf(docs, num_features=0)
