@@ -77,19 +77,41 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
         out[f"{name}_sec_runs"] = [round(w, 3) for w in walls]
         return result
 
-    t0 = time.monotonic()
-    tr = generate_transcripts(spark, n_convs).persist(StorageLevel.MEMORY_AND_DISK)
-    out["transcript_rows"] = tr.count()
-    out["gen_sec"] = round(time.monotonic() - t0, 3)
+    # gen and extract go through timed_median like every other headline
+    # (r03 VERDICT: extract's single sample was unmeasurable on a loaded
+    # host); each run rebuilds cold — the previous run's cache is dropped
+    # first — and the last result is kept for downstream queries.
+    _live: dict = {}
 
-    t0 = time.monotonic()
-    g = build_graph(tr, scalable_ids=True)
-    g.edges.persist(StorageLevel.MEMORY_AND_DISK)
-    g.vertices.persist(StorageLevel.MEMORY_AND_DISK)
-    out["num_edges"] = g.num_edges()
-    out["num_vertices"] = g.num_vertices()
-    out["extract_sec"] = round(time.monotonic() - t0, 3)
-    out["turns_per_sec"] = round(out["transcript_rows"] / out["extract_sec"], 1)
+    def run_gen():
+        if "tr" in _live:
+            _live.pop("tr").unpersist()
+        t = generate_transcripts(spark, n_convs).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        out["transcript_rows"] = t.count()
+        _live["tr"] = t
+        return t
+
+    tr = timed_median("gen", run_gen)
+
+    def run_extract():
+        if "g" in _live:
+            old = _live.pop("g")
+            old.edges.unpersist()
+            old.vertices.unpersist()
+        gg = build_graph(tr, scalable_ids=True)
+        gg.edges.persist(StorageLevel.MEMORY_AND_DISK)
+        gg.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+        out["num_edges"] = gg.num_edges()
+        out["num_vertices"] = gg.num_vertices()
+        _live["g"] = gg
+        return gg
+
+    g = timed_median("extract", run_extract)
+    out["turns_per_sec"] = round(
+        out["transcript_rows"] / out["extract_sec"], 1
+    )
 
     # JVM/JIT + AQE warm-up: the first superstep run compiles the codegen
     # classes for every plan shape in the loop; steady-state throughput is the

@@ -80,7 +80,19 @@ def cohort_retention(events: DataFrame, bucket: str = "week") -> DataFrame:
     of that cohort active at that offset (offset 0 row = cohort size).
     Two shuffles: first-activity groupBy, then the (user, bucket) distinct
     + join + count — the join side of cohorts is one row per user.
+
+    Supported buckets: hour/day/week (fixed-width, offset = whole-period
+    seconds distance) and month/year (calendar-width, offset via
+    ``months_between`` — month starts are not a fixed number of seconds
+    apart, so a seconds divisor would silently miscount them). Any other
+    unit raises ``ValueError`` rather than producing wrong offsets.
     """
+    _SECONDS = {"hour": 3600, "day": 86400, "week": 604800}
+    if bucket not in _SECONDS and bucket not in ("month", "year"):
+        raise ValueError(
+            f"cohort_retention: unsupported bucket {bucket!r}; "
+            "expected one of hour/day/week/month/year"
+        )
     firsts = events.groupBy("user_id").agg(
         F.date_trunc(bucket, F.min("ts")).alias("cohort")
     )
@@ -89,18 +101,27 @@ def cohort_retention(events: DataFrame, bucket: str = "week") -> DataFrame:
             "user_id", F.date_trunc(bucket, F.col("ts")).alias("b")
         ).distinct()
     )
+    if bucket in _SECONDS:
+        offset = F.floor(
+            (
+                F.unix_timestamp(F.col("b").cast("timestamp"))
+                - F.unix_timestamp(F.col("cohort").cast("timestamp"))
+            )
+            / F.lit(_SECONDS[bucket])
+        )
+    else:
+        # Truncated bucket starts are exact month boundaries, so
+        # months_between is integral; /12 for whole-year offsets.
+        months = F.round(
+            F.months_between(
+                F.col("b").cast("timestamp"), F.col("cohort").cast("timestamp")
+            )
+        )
+        offset = months / 12 if bucket == "year" else months
     per = active.join(firsts, "user_id").select(
         "user_id",
         "cohort",
-        (
-            F.floor(
-                (
-                    F.unix_timestamp(F.col("b").cast("timestamp"))
-                    - F.unix_timestamp(F.col("cohort").cast("timestamp"))
-                )
-                / F.lit(604800 if bucket == "week" else 86400)
-            )
-        ).cast("long").alias("offset"),
+        offset.cast("long").alias("offset"),
     )
     return (
         per.groupBy("cohort", "offset")
@@ -232,11 +253,12 @@ def association_rules(
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     keys = list(basket_cols)
+    # Basket key is a struct of the actual key columns: no concat collisions
+    # (('a','bc') vs ('ab','c')) and NULL fields stay positionally distinct,
+    # unlike concat_ws which silently skips them.
     bi = (
         baskets.select(
-            F.concat_ws(
-                "", *[F.col(k).cast("string") for k in keys]
-            ).alias("_b"),
+            F.struct(*[F.col(k) for k in keys]).alias("_b"),
             F.col(item_col).cast("string").alias("item"),
         )
         .dropDuplicates(["_b", "item"])
@@ -305,6 +327,7 @@ def frequent_sequences(
     item_col: str = "role",
     min_support: int = 1,
     max_len: int = 3,
+    max_vocab: int | None = 64,
 ) -> DataFrame:
     """Frequent sequential patterns (PrefixSpan-style support counting,
     Pei et al. ICDE 2001 semantics) of length 2 and 3 over per-session
@@ -336,6 +359,13 @@ def frequent_sequences(
     is inherent to sequence mining; with categorical vocabularies (roles,
     event types, tool names) the candidate space is |V|³ per session and
     ``min_support`` prunes the global result.
+
+    ``max_vocab`` guards that blowup: the distinct-item count is measured
+    first (one cheap aggregation) and a ``ValueError`` is raised above the
+    threshold — the len-3 candidate term is |occ|·|V|² per session, which is
+    fine for role/tool vocabularies but catastrophic for free-form item
+    columns (user ids, texts). Pass ``max_vocab=None`` to opt out
+    explicitly.
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
@@ -346,6 +376,16 @@ def frequent_sequences(
         F.col(item_col).cast("string").alias("item"),
         F.col(order_col).cast("long").alias("o"),
     )
+    if max_vocab is not None:
+        n_items = occ.select("item").distinct().limit(max_vocab + 1).count()
+        if n_items > max_vocab:
+            raise ValueError(
+                f"frequent_sequences: item column {item_col!r} has more than "
+                f"max_vocab={max_vocab} distinct values; the length-3 "
+                "candidate join is |occurrences|*|vocab|^2 per session. Use "
+                "a categorical item column, or pass max_vocab=None to opt "
+                "in to the blowup."
+            )
     stats = occ.groupBy("s", "item").agg(
         F.min("o").alias("mn"), F.max("o").alias("mx")
     ).persist()

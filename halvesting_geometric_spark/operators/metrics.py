@@ -336,4 +336,9 @@ def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("phi_e6"),
         )
     )
+    # Pin the result, then release the labeled-edge cache so repeated calls
+    # in one session don't accumulate persisted tables (matches the
+    # localCheckpoint+unpersist pattern of structural_holes).
+    out = out.localCheckpoint(eager=True)
+    te.unpersist()
     return out

@@ -113,7 +113,7 @@ def sorted_neighborhood_pairs(
 
     Scale shape: the global rank uses the same two-phase per-partition
     counting path as ``dense_ids_scalable`` (no single-task global window),
-    over a composite ``key|zero-padded-id`` string whose lexicographic order
+    over a composite ``key<TAB>zero-padded-id`` string whose lexicographic order
     equals the (key, id) order; the id rides inside the composite's
     fixed-width (20-char, full int64 range) tail, so it is re-extracted
     after ranking instead of shuffle-joined back. The within-window
@@ -147,7 +147,13 @@ def sorted_neighborhood_pairs(
                   "and at most 20 chars wide")
         )
     )
-    composite = F.concat_ws("|", key, padded)
+    # Tab separator (0x09) sorts below the whole normalized alphabet
+    # (letters/digits/space after normalize_key), so when one key is a
+    # proper prefix of another the shorter key still ranks first — i.e.
+    # composite order == (key, id) order. With normalize=False and raw keys
+    # containing control chars < 0x09, order degrades to composite-string
+    # order.
+    composite = F.concat_ws("\t", key, padded)
     keyed = df.select(composite.alias("_sk")).dropDuplicates(["_sk"])
     ranked = dense_ids_scalable(
         keyed, "_sk", id_col="_rank", num_partitions=num_partitions

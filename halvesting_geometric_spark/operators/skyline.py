@@ -140,4 +140,8 @@ def skyline2(
         )
     else:
         out = surv.drop("_pid")
+    # Pin the result, then drop the local-survivor cache so repeated calls
+    # don't accumulate persisted tables in long sessions.
+    out = out.localCheckpoint(eager=True)
+    surv.unpersist()
     return out

@@ -72,15 +72,29 @@ def test_snm_pairs_match_bruteforce(spark):
         (r["a"], r["b"])
         for r in sorted_neighborhood_pairs(df, "name", "id", window=w, num_partitions=4).collect()
     )
-    ordered = [
-        rid for _, rid in sorted((f"{n}|{i:020d}", i) for i, n in rows)
-    ]
+    ordered = [rid for _, rid in sorted((n, i) for i, n in rows)]
     want = sorted(
         (ordered[i], ordered[j])
         for i in range(len(ordered))
         for j in range(i + 1, min(i + w + 1, len(ordered)))
     )
     assert got == want
+
+
+def test_snm_prefix_keys_rank_in_key_id_order(spark):
+    # "user 1" is a proper prefix of "user 1 x": the tab separator sorts
+    # below space/alphanumerics, so the shorter key must rank FIRST (the
+    # old '|' separator, 0x7c, inverted this).
+    rows = [(0, "user 1 x"), (1, "user 1"), (2, "user 2")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r["a"], r["b"])
+        for r in sorted_neighborhood_pairs(
+            df, "name", "id", window=1, num_partitions=2
+        ).collect()
+    )
+    # (key, id) order: "user 1" (1) < "user 1 x" (0) < "user 2" (2)
+    assert got == [(0, 2), (1, 0)]
 
 
 def test_edge_support_triangle_plus_bridge(spark):

@@ -87,6 +87,18 @@ def test_frequent_sequences_validates_args(spark):
         frequent_sequences(df, max_len=4)
 
 
+def test_frequent_sequences_vocab_guard(spark):
+    # 5 distinct items: blocked at max_vocab=4, allowed at 5 or None —
+    # the len-3 join is |occ|*|V|^2 per session, so high-cardinality item
+    # columns must be an explicit opt-in.
+    sessions = {"c": ["a", "b", "cc", "d", "e"]}
+    df = _seq_df(spark, sessions)
+    with pytest.raises(ValueError, match="max_vocab"):
+        frequent_sequences(df, max_vocab=4)
+    assert frequent_sequences(df, max_len=2, max_vocab=5).count() > 0
+    assert frequent_sequences(df, max_len=2, max_vocab=None).count() > 0
+
+
 # ------------------------------------------------- temporal reachability
 
 
