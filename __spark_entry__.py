@@ -794,6 +794,56 @@ def _q_sage_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hetero_sage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation typed message passing with fan-in (hetero.hetero_aggregate
+    — the to_hetero data-side analog): user-(writes)->conv and
+    conv-(cites)->conv per-relation feature MEANS summed per conv.
+
+    Determinism: features are small integers, so each per-relation mean is
+    one exact-int-sum / count division, and the fan-in sums at most TWO
+    doubles per vertex (commutative, order-free) before the single e6
+    quantization — bit-exact vs the DuckDB twin per the stacked-mean rule.
+    """
+    from halvesting_geometric_spark.operators.hetero import hetero_aggregate
+
+    g = _hetero_graph(spark, sf_dir)
+    _, verts, _ = _pipeline(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ufeats = (
+        ev.select(F.col("user_id").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 11).cast("double"),
+            ).alias("features"),
+        )
+    )
+    cnum = F.substring(F.col("conv_id"), 2, 6).cast("long")
+    cfeats = verts.select(
+        F.col("conv_id").alias("id"),
+        F.array(
+            (cnum % 5).cast("double"), (cnum % 13).cast("double")
+        ).alias("features"),
+    )
+    out = hetero_aggregate(
+        g, {"user": ufeats, "conv": cfeats}, dim=2, agg="mean", combine="sum"
+    )["conv"]
+    e6 = lambda i, n: (  # noqa: E731
+        F.floor(F.element_at(F.col("vec"), i) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias(n)
+    )
+    return out.select(
+        F.col("id").alias("conv_id"),
+        "n_rels",
+        "nbr_total",
+        e6(1, "v1_e6"),
+        e6(2, "v2_e6"),
+    )
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the citation graph, e6-rounded."""
     from halvesting_geometric_spark.operators.linkpred import (
@@ -3211,7 +3261,7 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-1..3 gates verified so far only by the local oracle replica
 # (tools/check_oracles.py). Everything else (already hash-matched in
 # r01/r02/r03) follows in its original registration order.
-_ROUND4_NEW: list = []  # appended to as round-4 gates are registered
+_ROUND4_NEW: list = ["hetero_sage"]
 
 _NEVER_CAPTURED = [
     'winnow', 'winnow_pairs', 'eigencent6', 'msf',
@@ -3331,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp6": _q_sssp6,
         "repetition": _q_repetition,
         "sage_mean": _q_sage_mean,
+        "hetero_sage": _q_hetero_sage,
         "assortativity": _q_assortativity,
         "scrub": _q_scrub,
         "four_cycles": _q_four_cycles,
@@ -7483,6 +7534,25 @@ FROM base""",
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         # -- typed graph / nested structs / entity resolution -----------------
+        "hetero_sage": f"""WITH {_BASE},{_WRITES_SQL},
+ufeat AS (SELECT id, CAST(id % 7 AS DOUBLE) AS f1, CAST(id % 11 AS DOUBLE) AS f2
+  FROM (SELECT DISTINCT user_id AS id FROM events)),
+cfeat AS (SELECT conv_id AS id,
+    CAST(CAST(substring(conv_id, 2, 6) AS BIGINT) % 5 AS DOUBLE) AS f1,
+    CAST(CAST(substring(conv_id, 2, 6) AS BIGINT) % 13 AS DOUBLE) AS f2
+  FROM verts),
+wagg AS (SELECT w.dst AS id, COUNT(*) AS nbr,
+         SUM(u.f1) / COUNT(*) AS v1, SUM(u.f2) / COUNT(*) AS v2
+  FROM writes w JOIN ufeat u ON w.src = u.id GROUP BY w.dst),
+cagg AS (SELECT ce.dst_conv AS id, COUNT(*) AS nbr,
+         SUM(c.f1) / COUNT(*) AS v1, SUM(c.f2) / COUNT(*) AS v2
+  FROM ce JOIN cfeat c ON ce.src_conv = c.id GROUP BY ce.dst_conv),
+uall AS (SELECT * FROM wagg UNION ALL SELECT * FROM cagg)
+SELECT id AS conv_id, CAST(COUNT(*) AS BIGINT) AS n_rels,
+       CAST(SUM(nbr) AS BIGINT) AS nbr_total,
+       CAST(floor(SUM(v1) * 1000000.0 + 0.5) AS BIGINT) AS v1_e6,
+       CAST(floor(SUM(v2) * 1000000.0 + 0.5) AS BIGINT) AS v2_e6
+FROM uall GROUP BY id""",
         "hetero_degrees": f"""WITH {_BASE},{_WRITES_SQL},
 deg AS (SELECT dst, COUNT(*) AS d FROM writes GROUP BY dst)
 SELECT v.conv_id, CAST(COALESCE(g.d, 0) AS BIGINT) AS degree

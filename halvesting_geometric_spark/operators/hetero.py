@@ -240,3 +240,108 @@ class HeteroGraph:
             .select("src", "dst", "relation")
         )
         return vertices, edges
+
+
+def hetero_aggregate(
+    graph: HeteroGraph,
+    features: dict[str, DataFrame],
+    dim: int,
+    relations: list[str] | None = None,
+    agg: str = "mean",
+    combine: str = "sum",
+    id_col: str = "id",
+    feature_col: str = "features",
+) -> dict[str, DataFrame]:
+    """Per-relation typed message passing with per-destination-type fan-in —
+    the data side of PyG's ``to_hetero`` dispatch (reference:
+    ``/root/reference/halvesting_geometric/modules/modeling_link_prediction.py:129``
+    converts one homogeneous GNN into per-relation convolutions whose outputs
+    are summed per destination node type; identity weights here, learned
+    parameters stay out of scope per SURVEY §7.3).
+
+    ``features``: ``{vertex_type: DataFrame(id_col, feature_col)}`` — every
+    relation whose SOURCE type has a feature table participates (messages
+    flow src→dst); relations with un-featured sources are skipped, mirroring
+    to_hetero's behavior of only convolving relations whose inputs exist.
+    ``relations`` restricts to the named relations (bare names, resolved via
+    :meth:`HeteroGraph.relation`).
+
+    Per relation the elementwise ``agg`` (mean/sum/max — the bounded-state
+    Arrow kernel of :func:`~.neighbors.aggregate_neighbors`) reduces each
+    destination's gathered source vectors; then per destination type the
+    per-relation vectors fan in elementwise (``combine``: 'sum' — PyG
+    HeteroConv's default — or 'mean' over the relations that reached the
+    vertex).
+
+    Returns ``{dst_type: DataFrame(id, n_rels, nbr_total, vec)}`` — only
+    destination types reached by at least one participating relation appear,
+    and within them only vertices with >=1 in-neighbor (to_hetero's conv
+    likewise emits zero vectors only via self-loops, which this data-side
+    analog does not add).
+
+    Scale shape: one gather join + one Arrow partial-reduce per relation
+    (each shuffles on the relation's own dst key), then a dim-bounded
+    posexplode + (id, pos) groupBy per destination type — the fan-in state
+    per vertex is ``dim`` doubles regardless of relation count.
+    """
+    if combine not in ("sum", "mean"):
+        raise ValueError(f"combine must be sum|mean, got {combine!r}")
+    from halvesting_geometric_spark.operators.neighbors import (
+        aggregate_neighbors,
+    )
+
+    keys = (
+        [graph.relation(r)[0] for r in relations]
+        if relations is not None
+        else sorted(graph.edges.keys())
+    )
+    per_dst: dict[str, list[DataFrame]] = {}
+    for (st, rel, dt) in keys:
+        if st not in features:
+            continue
+        r = aggregate_neighbors(
+            features[st],
+            graph.edges[(st, rel, dt)],
+            dim,
+            id_col=id_col,
+            feature_col=feature_col,
+            agg=agg,
+            direction="in",
+        )
+        per_dst.setdefault(dt, []).append(
+            r.select(
+                F.col("vertex_id").alias("id"),
+                F.lit(rel).alias("rel"),
+                "nbr_count",
+                "agg_vec",
+            )
+        )
+    out: dict[str, DataFrame] = {}
+    for dt, parts in per_dst.items():
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        totals = u.groupBy("id").agg(
+            F.count("*").cast("long").alias("n_rels"),
+            F.sum("nbr_count").cast("long").alias("nbr_total"),
+        )
+        vec = (
+            u.select("id", F.posexplode("agg_vec").alias("pos", "v"))
+            .groupBy("id", "pos")
+            .agg(F.sum("v").alias("v"))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("vec")
+            )
+        )
+        res = totals.join(vec, "id")
+        if combine == "mean":
+            res = res.withColumn(
+                "vec",
+                F.transform(F.col("vec"), lambda v: v / F.col("n_rels")),
+            )
+        out[dt] = res.select("id", "n_rels", "nbr_total", "vec")
+    return out

@@ -156,8 +156,11 @@ def aggregate_neighbors(
         uniq, out, cnt = fold()
         yield pd.DataFrame({"dst": uniq, "pvec": list(out), "cnt": cnt})
 
+    # dst keeps the id column's own type (long vertex ids, or string ids in
+    # typed/hetero graphs) — np.unique and the groupBy merge are type-agnostic
+    _dst_t = gathered.schema["dst"].dataType.simpleString()
     partials = gathered.mapInPandas(
-        partial, schema="dst long, pvec array<double>, cnt long"
+        partial, schema=f"dst {_dst_t}, pvec array<double>, cnt long"
     )
     zero = (
         F.array_repeat(F.lit(float("-inf")), dim)
