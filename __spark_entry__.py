@@ -1860,6 +1860,48 @@ def _q_neighbor_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode: full PNGs (CRC chunks, zlib IDAT, per-row filters
+    cycling through all five PNG filter types) are synthesized from
+    events-table arithmetic, then decoded back by the pure-stdlib codec
+    (multimodal.decode_png: inflate + unfilter) and reduced to integer pixel
+    stats. The oracle recomputes the generator's gradient closed-form — green
+    means the stats really came from decoded pixel bytes. All-integer output
+    (mean_e6 is round-half-up integer division), bit-exact by construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.multimodal import (
+        pixel_stats,
+        png_full_bytes,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(8) + F.col("event_id") % 24).cast("int").alias("w"),
+            (F.lit(8) + (F.col("event_id") * 3) % 24).cast("int").alias("h"),
+            (F.col("event_id") % 31).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        png_full_bytes(int(w), int(h), int(sd))
+                        for w, h, sd in zip(pdf["w"], pdf["h"], pdf["s"])
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return pixel_stats(media)
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal header metadata: synthesize genuine PNG/JPEG/GIF
     container bytes from events-table arithmetic (format/width/height are
@@ -3261,7 +3303,7 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-1..3 gates verified so far only by the local oracle replica
 # (tools/check_oracles.py). Everything else (already hash-matched in
 # r01/r02/r03) follows in its original registration order.
-_ROUND4_NEW: list = ["hetero_sage"]
+_ROUND4_NEW: list = ["hetero_sage", "media_pixels"]
 
 _NEVER_CAPTURED = [
     'winnow', 'winnow_pairs', 'eigencent6', 'msf',
@@ -3408,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         # -- queries new in round 3 --
         "wl_capped": _q_wl_capped,
+        "media_pixels": _q_media_pixels,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
@@ -6379,6 +6422,24 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
             for i in range(8)
             for j in range(i, 8)
         ),
+        "media_pixels": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         8 + event_id % 24 AS w,
+         8 + (event_id * 3) % 24 AS h,
+         event_id % 31 AS s
+  FROM events WHERE event_id % 97 = 0),
+px AS (
+  SELECT m.media_id, m.w, m.h,
+         (tx.x * 7 + ty.y * 13 + m.s) % 256 AS v
+  FROM m
+  JOIN range(0, 32) tx(x) ON tx.x < m.w
+  JOIN range(0, 32) ty(y) ON ty.y < m.h)
+SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max,
+       CAST((SUM(v) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_e6
+FROM px GROUP BY media_id""",
         "media_meta": """
 SELECT CAST(event_id AS BIGINT) AS media_id,
        CASE CAST(event_id % 3 AS INTEGER)
