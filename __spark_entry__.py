@@ -183,6 +183,26 @@ def _q_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppr_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR-Nibble sweep-cut profile (localcluster.ppr_sweep — Andersen-
+    Chung-Lang local clustering) around seed set {vertex_id < 3}: prefix
+    volume/cut/conductance along the integer degree-normalized PPR order."""
+    from halvesting_geometric_spark.operators.localcluster import ppr_sweep
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    seeds = verts.filter(F.col("vertex_id") < 3).select("vertex_id")
+    return ppr_sweep(
+        edges, verts, seeds, damping=0.85, fixed_iters=5, k=24
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        "vertex_id",
+        "score",
+        "vol",
+        "cut",
+        "phi_e6",
+    )
+
+
 def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 5 L1-normalized iterations."""
     from halvesting_geometric_spark.operators.centrality import hits
@@ -3303,7 +3323,7 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-1..3 gates verified so far only by the local oracle replica
 # (tools/check_oracles.py). Everything else (already hash-matched in
 # r01/r02/r03) follows in its original registration order.
-_ROUND4_NEW: list = ["hetero_sage", "media_pixels"]
+_ROUND4_NEW: list = ["hetero_sage", "media_pixels", "ppr_nibble"]
 
 _NEVER_CAPTURED = [
     'winnow', 'winnow_pairs', 'eigencent6', 'msf',
@@ -3498,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "wpagerank3": _q_wpagerank3,
         "ppr5": _q_ppr5,
+        "ppr_nibble": _q_ppr_nibble,
         "hits5": _q_hits5,
         "kcore3": _q_kcore3,
         "bfs4": _q_bfs4,
@@ -3932,9 +3953,10 @@ r{k} AS (
     )
 
 
-def _ppr_sql(iters: int) -> str:
-    """Personalized PageRank twin: teleport + dangling mass restart at the
-    seed set {vertex_id < 3} — unrolled like _pagerank_sql."""
+def _ppr_parts(iters: int) -> list:
+    """Shared CTE list for the PPR twins (_ppr_sql, _ppr_sweep_sql):
+    teleport + dangling mass restart at the seed set {vertex_id < 3} —
+    unrolled like _pagerank_sql."""
     parts = [
         _BASE,
         "ns AS (SELECT COUNT(*) AS s FROM verts WHERE vertex_id < 3)",
@@ -3962,11 +3984,62 @@ r{k} AS (
          + 0.85 * COALESCE(s.m, 0) AS r
   FROM verts v LEFT JOIN s{k} s ON v.vertex_id = s.v)"""
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def _ppr_sql(iters: int) -> str:
+    body = ",\n".join(_ppr_parts(iters))
     return (
         f"WITH {body}\n"
         f"SELECT v AS vertex_id, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_e6 "
         f"FROM r{iters}"
+    )
+
+
+def _ppr_sweep_sql(iters: int, k: int) -> str:
+    """PPR-Nibble sweep-cut twin (localcluster.ppr_sweep): rank by the
+    integer degree-normalized e6 PPR mass, then prefix volumes/cuts with
+    window cumulative sums — exact integers except the final e6 division."""
+    parts = _ppr_parts(iters)
+    parts.append(f"""rq AS (
+  SELECT v, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_e6
+  FROM r{iters} WHERE floor(r * 1000000 + 0.5) > 0),
+cdeg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon)
+  GROUP BY v),
+scored AS (
+  SELECT rq.v, cdeg.d,
+         CAST(floor(rq.rank_e6 * 1000000 / cdeg.d) AS BIGINT) AS score
+  FROM rq JOIN cdeg ON rq.v = cdeg.v),
+pref AS (
+  SELECT * FROM (
+    SELECT v, d, score,
+           row_number() OVER (ORDER BY score DESC, v ASC) AS pos
+    FROM scored) WHERE pos <= {k}),
+em AS (
+  SELECT LEAST(COALESCE(pa.pos, 2000000000), COALESCE(pb.pos, 2000000000)) AS mn,
+         GREATEST(COALESCE(pa.pos, 2000000000), COALESCE(pb.pos, 2000000000)) AS mx
+  FROM canon c LEFT JOIN pref pa ON c.a = pa.v LEFT JOIN pref pb ON c.b = pb.v),
+cmin AS (SELECT mn AS pos, COUNT(*) AS c_in FROM em WHERE mn <= {k} GROUP BY mn),
+cmax AS (SELECT mx AS pos, COUNT(*) AS c_done FROM em WHERE mx <= {k} GROUP BY mx),
+mm AS (SELECT COUNT(*) AS m FROM canon),
+sweep AS (
+  SELECT p.pos, p.v AS vertex_id, p.score,
+         SUM(p.d) OVER (ORDER BY p.pos) AS vol,
+         SUM(COALESCE(ci.c_in, 0)) OVER (ORDER BY p.pos)
+           - SUM(COALESCE(cx.c_done, 0)) OVER (ORDER BY p.pos) AS cut
+  FROM pref p LEFT JOIN cmin ci ON p.pos = ci.pos
+              LEFT JOIN cmax cx ON p.pos = cx.pos)""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"""SELECT CAST(pos AS BIGINT) AS pos, vertex_id, score,
+       CAST(vol AS BIGINT) AS vol, CAST(cut AS BIGINT) AS cut,
+       CAST(CASE WHEN LEAST(vol, 2 * (SELECT m FROM mm) - vol) > 0
+            THEN floor(cut * 1000000.0 / LEAST(vol, 2 * (SELECT m FROM mm) - vol) + 0.5)
+            ELSE 0 END AS BIGINT) AS phi_e6
+FROM sweep"""
     )
 
 
@@ -6002,6 +6075,7 @@ ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
         "wpagerank3": _wpagerank_sql(3),
         "ppr5": _ppr_sql(5),
+        "ppr_nibble": _ppr_sweep_sql(5, 24),
         "hits5": _hits_sql(5),
         "kcore3": _kcore_sql(3, 8),
         "bfs4": _bfs_sql(4),

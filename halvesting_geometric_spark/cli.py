@@ -40,6 +40,7 @@ ALGORITHMS = (
     "distinct", "zorder", "auroc", "simrank", "graphlets",
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
     "support", "conductance", "freqseq", "treach", "holes", "pack",
+    "assoc", "nibble",
 )
 
 
@@ -94,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="cusum: decision interval h in count units")
     ap.add_argument("--delta", type=int, default=172800,
                     help="tmotif: motif window in seconds")
+    ap.add_argument("--n-seeds", type=int, default=3,
+                    help="nibble: seed set = dense vertex ids [0, n)")
+    ap.add_argument("--sweep-k", type=int, default=32,
+                    help="nibble: sweep prefix length (broadcast-bounded)")
     ap.add_argument("--min-support", type=int, default=2,
                     help="freqseq: minimum session support per pattern")
     ap.add_argument("--time-buckets", type=int, default=None,
@@ -645,6 +650,44 @@ def main(argv: list[str] | None = None) -> int:
         )
         packed.write.mode("overwrite").parquet(args.output)
         summary["spans"] = packed.count()
+    elif args.algorithm == "assoc":
+        from halvesting_geometric_spark.operators.behavior import (
+            association_rules,
+        )
+
+        rules = association_rules(
+            transcripts,
+            basket_cols=("conv_id",),
+            item_col="role",
+            min_support=args.min_support,
+        )
+        rules.write.mode("overwrite").parquet(args.output)
+        summary["rules"] = rules.count()
+    elif args.algorithm == "nibble":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.localcluster import (
+            ppr_sweep,
+        )
+
+        seeds = g.vertices.filter(
+            F.col("vertex_id") < args.n_seeds
+        ).select("vertex_id")
+        prof = ppr_sweep(
+            g.edges, g.vertices, seeds,
+            damping=args.damping, fixed_iters=args.iters,
+            k=args.sweep_k,
+        )
+        prof.write.mode("overwrite").parquet(args.output)
+        best = (
+            prof.filter(F.col("cut") > 0)
+            .orderBy(F.col("phi_e6").asc(), F.col("pos").asc())
+            .first()
+        )
+        summary["sweep_rows"] = prof.count()
+        if best is not None:
+            summary["best_pos"] = best["pos"]
+            summary["best_phi_e6"] = best["phi_e6"]
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

@@ -250,3 +250,21 @@ def test_cli_pack(spark, tmp_path, capsys):
     last = fills.agg(F.max("bin_id")).first()[0]
     bad = fills.filter((F.col("bin_id") != last) & (F.col("f") != 64)).count()
     assert bad == 0
+
+
+def test_cli_assoc_nibble(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_an")
+    generate_transcripts(spark, 40, seed=31).write.parquet(tr_dir)
+    for algo, key, extra in (
+        ("assoc", "rules", ["--min-support", "1"]),
+        ("nibble", "sweep_rows", ["--iters", "3", "--sweep-k", "8"]),
+    ):
+        out = str(tmp_path / f"out_{algo}")
+        rc = cli.main(
+            [algo, "--transcripts", tr_dir, "--output", out, *extra]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        assert summary[key] >= 1
+        assert spark.read.parquet(out).count() == summary[key]
