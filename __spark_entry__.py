@@ -203,6 +203,27 @@ def _q_ppr_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental triangle counter (streaming.triangles) folded
+    over three deterministic batches of the citation edges (split by
+    (src+dst) % 3 — swap-invariant, so canonical pairs never straddle
+    batches). Output = per-batch delta + running total; the oracle recounts
+    the cumulative subsets with the wedge join and differences them, so a
+    green row means the delta really equals T(E_<=k) - T(E_<k)."""
+    from halvesting_geometric_spark.streaming.triangles import (
+        IncrementalTriangles,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    inc = IncrementalTriangles()
+    rows = []
+    for k in range(3):
+        batch = edges.filter((F.col("src") + F.col("dst")) % 3 == k)
+        delta = inc.update(batch)
+        rows.append((k, int(delta), int(inc.total)))
+    return spark.createDataFrame(rows, "batch long, delta long, total long")
+
+
 def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 5 L1-normalized iterations."""
     from halvesting_geometric_spark.operators.centrality import hits
@@ -3323,7 +3344,9 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-1..3 gates verified so far only by the local oracle replica
 # (tools/check_oracles.py). Everything else (already hash-matched in
 # r01/r02/r03) follows in its original registration order.
-_ROUND4_NEW: list = ["hetero_sage", "media_pixels", "ppr_nibble"]
+_ROUND4_NEW: list = [
+    "hetero_sage", "media_pixels", "ppr_nibble", "inc_triangles3",
+]
 
 _NEVER_CAPTURED = [
     'winnow', 'winnow_pairs', 'eigencent6', 'msf',
@@ -3519,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wpagerank3": _q_wpagerank3,
         "ppr5": _q_ppr5,
         "ppr_nibble": _q_ppr_nibble,
+        "inc_triangles3": _q_inc_triangles,
         "hits5": _q_hits5,
         "kcore3": _q_kcore3,
         "bfs4": _q_bfs4,
@@ -6076,6 +6100,23 @@ ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "wpagerank3": _wpagerank_sql(3),
         "ppr5": _ppr_sql(5),
         "ppr_nibble": _ppr_sweep_sql(5, 24),
+        "inc_triangles3": f"""WITH {_BASE},
+ck0 AS (SELECT a, b FROM canon WHERE (a + b) % 3 = 0),
+ck1 AS (SELECT a, b FROM canon WHERE (a + b) % 3 <= 1),
+t0 AS (SELECT COUNT(*) AS t FROM ck0 e1
+       JOIN ck0 e2 ON e2.a = e1.b
+       JOIN ck0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+t1 AS (SELECT COUNT(*) AS t FROM ck1 e1
+       JOIN ck1 e2 ON e2.a = e1.b
+       JOIN ck1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+t2 AS (SELECT COUNT(*) AS t FROM canon e1
+       JOIN canon e2 ON e2.a = e1.b
+       JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(0 AS BIGINT) AS batch,
+       CAST((SELECT t FROM t0) AS BIGINT) AS delta,
+       CAST((SELECT t FROM t0) AS BIGINT) AS total
+UNION ALL SELECT 1, (SELECT t FROM t1) - (SELECT t FROM t0), (SELECT t FROM t1)
+UNION ALL SELECT 2, (SELECT t FROM t2) - (SELECT t FROM t1), (SELECT t FROM t2)""",
         "hits5": _hits_sql(5),
         "kcore3": _kcore_sql(3, 8),
         "bfs4": _bfs_sql(4),
