@@ -46,6 +46,11 @@ KERNELS = {
     "components": "dense-id",
     "triangles_per_vertex": "dense-id+csr",
     "media_meta": "media",
+    # media_pixels: PNG synthesis (enc) + pure-stdlib decode (pixel_stats),
+    # both Arrow-batched mapInPandas
+    "media_pixels": "media",
+    # hetero_sage: per-relation aggregate_neighbors partial kernels
+    "hetero_sage": "sage",
     "audio_meta": "media",
     "video_meta": "media",
     "sage_mean": "sage",
