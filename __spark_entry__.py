@@ -224,6 +224,22 @@ def _q_inc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "batch long, delta long, total long")
 
 
+def _q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-64 distinct sketches per event type over user_id
+    (sketch.kmv_sketch, portable hash) + pairwise Jaccard estimates
+    (sketch.kmv_jaccard). Every event type has < 64 distinct users at gate
+    scale is NOT assumed — the oracle replays the identical bottom-k
+    windows, so estimate rows match bit-exactly either way."""
+    from halvesting_geometric_spark.operators.sketch import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64, hash_method="portable")
+    return kmv_jaccard(sk, k=64)
+
+
 def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 5 L1-normalized iterations."""
     from halvesting_geometric_spark.operators.centrality import hits
@@ -3346,6 +3362,7 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r01/r02/r03) follows in its original registration order.
 _ROUND4_NEW: list = [
     "hetero_sage", "media_pixels", "ppr_nibble", "inc_triangles3",
+    "kmv_jaccard64",
 ]
 
 _NEVER_CAPTURED = [
@@ -3543,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr5": _q_ppr5,
         "ppr_nibble": _q_ppr_nibble,
         "inc_triangles3": _q_inc_triangles,
+        "kmv_jaccard64": _q_kmv_jaccard,
         "hits5": _q_hits5,
         "kcore3": _q_kcore3,
         "bfs4": _q_bfs4,
@@ -6100,6 +6118,35 @@ ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "wpagerank3": _wpagerank_sql(3),
         "ppr5": _ppr_sql(5),
         "ppr_nibble": _ppr_sweep_sql(5, 24),
+        "kmv_jaccard64": f"""WITH gh AS (
+  SELECT DISTINCT event_type AS grp,
+         {_ph("user_id", seed=0)} AS h
+  FROM events),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM gh) WHERE rn <= 64),
+gs AS (SELECT DISTINCT grp FROM sk),
+pairs AS (SELECT a.grp AS g1, b.grp AS g2 FROM gs a JOIN gs b ON a.grp < b.grp),
+u AS (
+  SELECT g1, g2, h, MAX(in1) AS in1, MAX(in2) AS in2 FROM (
+    SELECT p.g1, p.g2, s.h, 1 AS in1, 0 AS in2
+    FROM pairs p JOIN sk s ON s.grp = p.g1
+    UNION ALL
+    SELECT p.g1, p.g2, s.h, 0, 1
+    FROM pairs p JOIN sk s ON s.grp = p.g2)
+  GROUP BY g1, g2, h),
+bott AS (
+  SELECT * FROM (
+    SELECT g1, g2, h, in1, in2,
+           row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+    FROM u) WHERE rn <= 64)
+SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_union,
+       CAST(SUM(in1 * in2) AS BIGINT) AS matches,
+       CAST(CASE WHEN COUNT(*) > 0
+            THEN floor(SUM(in1 * in2) * 1000000.0 / COUNT(*) + 0.5)
+            ELSE 0 END AS BIGINT) AS jaccard_e6
+FROM bott GROUP BY g1, g2""",
         "inc_triangles3": f"""WITH {_BASE},
 ck0 AS (SELECT a, b FROM canon WHERE (a + b) % 3 = 0),
 ck1 AS (SELECT a, b FROM canon WHERE (a + b) % 3 <= 1),

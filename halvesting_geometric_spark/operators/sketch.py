@@ -507,3 +507,117 @@ def hll_sliding_merge(
         .groupBy("window_end", "reg")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch + Jaccard estimation
+# (Bar-Yossef et al. RANDOM 2002; Beyer et al. SIGMOD 2007 — public papers)
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_method: str = "portable",
+    seed: int = 0,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Bottom-k distinct sketch per group: the ``k`` smallest DISTINCT hash
+    values of each group's values. Returns (group, rank, h), rank 1..k.
+
+    Mergeable (union of two groups' sketches re-bottom-k'd is the union's
+    sketch) and exact when a group has < k distinct values — the property
+    :func:`kmv_jaccard` exploits for bit-exact oracles.
+
+    Scale shape: one distinct shuffle to (group, hash), then TWO bounded
+    windows — first per (group, salt) so no single sort sees more than
+    ~1/``salt_buckets`` of a hot group's distinct values, then per group
+    over at most ``salt_buckets * k`` pre-filtered rows. No collect, no
+    unbounded aggregation buffers.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = hash64(hash_method, F.col(value_col), seed=seed)
+    gh = df.select(
+        F.col(group_col).alias("group"), h.alias("h")
+    ).distinct()
+    w1 = Window.partitionBy("group", "_salt").orderBy("h")
+    pre = (
+        gh.withColumn("_salt", F.pmod(F.col("h"), F.lit(salt_buckets)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+    )
+    w2 = Window.partitionBy("group").orderBy("h")
+    return (
+        pre.select("group", "h")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("group", F.col("rank").cast("long").alias("rank"), "h")
+    )
+
+
+def kmv_jaccard(sketch: DataFrame, k: int) -> DataFrame:
+    """Pairwise Jaccard estimates from a :func:`kmv_sketch` table.
+
+    For every unordered group pair (g1 < g2): take the k smallest distinct
+    hashes of the UNION of the two sketches (the union's own KMV sketch, a
+    closure property of bottom-k), count how many of them belong to BOTH
+    groups, and estimate J = matches / |union sketch|. When both groups
+    have < k distinct values the estimate is the EXACT Jaccard similarity.
+
+    Returns (g1, g2, n_union, matches, jaccard_e6) with the usual
+    round-half-up e6 fixed point — all-integer arithmetic except that one
+    division.
+
+    Scale shape: the pair table is #groups² / 2 rows (groups are categories,
+    not data); each pair's union window sees ≤ 2k rows. The sketch join
+    fans each sketch row out to (#groups - 1) pairs — fine for categorical
+    group columns (the intended domain), quadratic in #groups by nature.
+    """
+    groups = sketch.select("group").distinct()
+    pairs = (
+        groups.select(F.col("group").alias("g1"))
+        .join(groups.select(F.col("group").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    s1 = sketch.select(F.col("group").alias("g1"), "h").withColumn(
+        "in1", F.lit(1)
+    )
+    s2 = sketch.select(F.col("group").alias("g2"), "h").withColumn(
+        "in2", F.lit(1)
+    )
+    u = (
+        pairs.join(s1, "g1")
+        .select("g1", "g2", "h", "in1", F.lit(0).alias("in2"))
+        .unionByName(
+            pairs.join(s2, "g2")
+            .select("g1", "g2", "h", F.lit(0).alias("in1"), "in2")
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g1", "g2").orderBy("h")
+    bottom = u.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = bottom.groupBy("g1", "g2").agg(
+        F.count("*").cast("long").alias("n_union"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("matches"),
+    )
+    jac = (
+        F.when(
+            F.col("n_union") > 0,
+            F.floor(
+                F.col("matches") * 1_000_000.0 / F.col("n_union") + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return agg.select("g1", "g2", "n_union", "matches", jac.alias("jaccard_e6"))
