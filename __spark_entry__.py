@@ -240,6 +240,19 @@ def _q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard(sk, k=64)
 
 
+def _q_oov64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage (textstats.vocab_coverage): per-doc OOV token
+    counts against the corpus's own top-64 token vocabulary (deterministic
+    count-desc/token-asc tie-break, so engine and oracle build the exact
+    same vocabulary)."""
+    from halvesting_geometric_spark.operators.textstats import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=64).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_oov", "oov_e6"
+    )
+
+
 def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 5 L1-normalized iterations."""
     from halvesting_geometric_spark.operators.centrality import hits
@@ -3362,7 +3375,7 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r01/r02/r03) follows in its original registration order.
 _ROUND4_NEW: list = [
     "hetero_sage", "media_pixels", "ppr_nibble", "inc_triangles3",
-    "kmv_jaccard64",
+    "kmv_jaccard64", "oov64",
 ]
 
 _NEVER_CAPTURED = [
@@ -3561,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_nibble": _q_ppr_nibble,
         "inc_triangles3": _q_inc_triangles,
         "kmv_jaccard64": _q_kmv_jaccard,
+        "oov64": _q_oov64,
         "hits5": _q_hits5,
         "kcore3": _q_kcore3,
         "bfs4": _q_bfs4,
@@ -6118,6 +6132,25 @@ ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "wpagerank3": _wpagerank_sql(3),
         "ppr5": _ppr_sql(5),
         "ppr_nibble": _ppr_sweep_sql(5, 24),
+        "oov64": r"""WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+occ AS (SELECT tk.id, u.t AS tok FROM tk, unnest(tk.l) AS u(t)),
+vc AS (SELECT tok, COUNT(*) AS n FROM occ GROUP BY tok),
+vocab AS (SELECT tok FROM vc ORDER BY n DESC, tok ASC LIMIT 64),
+pd AS (
+  SELECT occ.id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM occ LEFT JOIN vocab v ON occ.tok = v.tok GROUP BY occ.id)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+            THEN floor(pd.n_oov * 1000000.0 / pd.n_tokens + 0.5)
+            ELSE 0 END AS BIGINT) AS oov_e6
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.id""",
         "kmv_jaccard64": f"""WITH gh AS (
   SELECT DISTINCT event_type AS grp,
          {_ph("user_id", seed=0)} AS h

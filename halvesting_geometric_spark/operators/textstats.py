@@ -240,3 +240,75 @@ def fingerprint(
             hash_method, F.reverse(F.substring(F.reverse(norm), 1, 256))
         ).alias("fp_tail"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary coverage / OOV rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the standard pre-tokenizer health
+    metric for a training mix (how much of each document a fixed vocabulary
+    can represent).
+
+    Vocabulary = the ``vocab_size`` most frequent tokens by total corpus
+    occurrences, ties broken by token string ascending (deterministic, so
+    the oracle reproduces the exact vocabulary). Returns one row per doc:
+    (id, n_tokens, n_oov, oov_e6) where oov_e6 is the round-half-up e6
+    fixed point of n_oov / n_tokens (0 for empty docs).
+
+    Scale shape: one map-side-combined (token → count) aggregation, one
+    two-phase exact top-N (no global sort of the full vocabulary — ORDER BY
+    + LIMIT plans as TakeOrderedAndProject, a per-partition heap + one
+    ``vocab_size``-row driver merge), then a BROADCAST left-anti-style join
+    of the exploded (doc, token) occurrences against the vocabulary. The
+    vocabulary must fit a broadcast: vocab_size is capped at 4M rows.
+    """
+    if not 1 <= vocab_size <= 4_000_000:
+        raise ValueError(
+            f"vocab_size must be in [1, 4e6] (broadcast), got {vocab_size}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    oov = (
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(
+                F.col("n_oov") * 1_000_000.0 / F.col("n_tokens") + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    # docs with zero tokens (empty/whitespace text) still get a row
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        )
+        .select("id", "n_tokens", "n_oov", oov.alias("oov_e6"))
+    )

@@ -65,3 +65,44 @@ def test_kmv_validates_k(spark):
     df = _df(spark, {"a": [1]})
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "grp", "val", k=0)
+
+
+# ------------------------------- vocab coverage (textstats.vocab_coverage)
+
+from halvesting_geometric_spark.operators.textstats import vocab_coverage  # noqa: E402
+
+
+def test_vocab_coverage_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc"),
+            (1, "bb bb dd"),
+            (2, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: bb=3, aa=2, cc=1, dd=1 -> vocab_size=3 keeps bb, aa,
+    # and the tie cc<dd resolved by token ascending -> cc in, dd out
+    got = {
+        r["id"]: (r["n_tokens"], r["n_oov"], r["oov_e6"])
+        for r in vocab_coverage(docs, vocab_size=3).collect()
+    }
+    assert got[0] == (4, 0, 0)
+    assert got[1] == (3, 1, 333333)
+    assert got[2] == (0, 0, 0)  # empty doc still gets a row
+
+
+def test_vocab_coverage_full_vocab_means_zero_oov(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y z"), (1, "x q")], "doc_id long, text string"
+    )
+    rows = vocab_coverage(docs, vocab_size=100).collect()
+    assert all(r["n_oov"] == 0 for r in rows)
+
+
+def test_vocab_coverage_validates_size(spark):
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab_size"):
+        vocab_coverage(docs, vocab_size=0)
