@@ -3367,43 +3367,46 @@ def _q_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structural_holes(edges, max_degree=None)
 
 
-# Driver-capture rotation (round 4): the correctness gate records only the
-# FIRST ~50 entries of queries(), so the gates never captured by an official
-# CORRECTNESS_r0N.json round come first — new round-4 gates, then the 80
-# round-1..3 gates verified so far only by the local oracle replica
-# (tools/check_oracles.py). Everything else (already hash-matched in
-# r01/r02/r03) follows in its original registration order.
-_ROUND4_NEW: list = [
-    "hetero_sage", "media_pixels", "ppr_nibble", "inc_triangles3",
-    "kmv_jaccard64", "oov64",
-]
+# Driver-capture rotation: the correctness gate records only the FIRST ~50
+# entries of queries() per round (observed cap, CORRECTNESS_r02.json), so
+# gates never hash-matched by any official CORRECTNESS_r0N.json round come
+# first, in registration order; already-captured gates follow. The captured
+# set is read from the CORRECTNESS files on disk at call time, so each new
+# round rotates automatically — no manual list to maintain. Gates past the
+# window stay registered and are re-verified per-session via
+# tools/check_oracles.py (same Spark-vs-DuckDB comparison).
 
-_NEVER_CAPTURED = [
-    'winnow', 'winnow_pairs', 'eigencent6', 'msf',
-    'fastrp2', 'node2vec3', 'katz8', 'triad_census',
-    'matching', 'reciprocity', 'rich_club30', 'salsa3',
-    'diameter4', 'influence3', 'setjoin_pairs', 'data_mix',
-    'chunks32', 'attention', 'gated', 'clustering',
-    'graph_stats', 'sssp6', 'repetition', 'sage_mean',
-    'assortativity', 'scrub', 'four_cycles', 'containment',
-    'simrank2', 'simrank_mc3', 'graphlets', 'nf4',
-    'mis', 'harmonic4', 'modularity3', 'ktruss4',
-    'walks4', 'tpch_q1', 'tpch_q3', 'metapath2',
-    'vecops', 'clean_corpus', 'densest2', 'wl3',
-    'dedup_clusters', 'wl_capped', 'media_meta', 'neighbor_sample2',
-    'coreness3', 'audio_meta', 'video_meta', 'turn_texts',
-    'degree_evolution', 'graph_growth', 'betweenness4', 'coloring4',
-    'emb_cov8', 'simhash_pairs', 'louvain1', 'ivf_ann',
-    'ngram_lm', 'scc2', 'bm25', 'bpe3',
-    'tfidf5', 'condensation2', 'pq_codes', 'cms_hh',
-    'wsample3', 'bursts', 'length_quantiles', 'ego2',
-    'four_cliques', 'snapshot_diff', 'stratified', 'funnel3',
-    'cohorts', 'session_paths', 'fuzzy_pairs', 'hitting4',
-]
+
+def _captured_gates() -> set:
+    import glob
+    import json
+    import os
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    caught: set = set()
+    for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            # only a clean hash-matched row counts as captured; a gate the
+            # driver saw but that failed (or errored) rotates back to the
+            # front so the fix gets re-verified officially
+            if (
+                isinstance(row, dict)
+                and row.get("hash_match") is True
+                and row.get("rows_match") is True
+                and row.get("err") is None
+            ):
+                caught.add(name)
+    return caught
 
 
 def _rotate_for_capture(q: dict) -> dict:
-    front = [n for n in (*_ROUND4_NEW, *_NEVER_CAPTURED) if n in q]
+    caught = _captured_gates()
+    front = [n for n in q if n not in caught]
     seen = set(front)
     return {n: q[n] for n in (*front, *[k for k in q if k not in seen])}
 
