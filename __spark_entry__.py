@@ -1972,6 +1972,55 @@ def _q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(media)
 
 
+def _q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode: complete RIFF/WAVE PCM16 files (fmt chunk,
+    interleaved int16 frames with the deterministic waveform
+    ``((t*37 + c*1009 + s*131) % 4001) - 2000``) are synthesized from
+    events-table arithmetic, decoded back by the pure-stdlib codec
+    (multimodal.decode_wav: chunk walk + frame de-multiplex) and reduced to
+    integer PCM stats (sum/min/max/energy/zero-crossings). The oracle
+    replays the waveform closed-form in SQL — green means the stats really
+    came from decoded sample bytes. All-integer output, bit-exact by
+    construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.multimodal import (
+        audio_stats,
+        wav_full_bytes,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 89 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(1) + F.col("event_id") % 2).cast("int").alias("ch"),
+            (F.lit(8000) + (F.col("event_id") % 4) * 4000)
+            .cast("int")
+            .alias("rate"),
+            (F.lit(50) + (F.col("event_id") * 7) % 350).cast("int").alias("n"),
+            (F.col("event_id") % 257).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        wav_full_bytes(int(c), int(r), int(n), int(sd))
+                        for c, r, n, sd in zip(
+                            pdf["ch"], pdf["rate"], pdf["n"], pdf["s"]
+                        )
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return audio_stats(media)
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal header metadata: synthesize genuine PNG/JPEG/GIF
     container bytes from events-table arithmetic (format/width/height are
@@ -3527,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- queries new in round 3 --
         "wl_capped": _q_wl_capped,
         "media_pixels": _q_media_pixels,
+        "audio_pcm": _q_audio_pcm,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
@@ -6620,6 +6670,37 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
             for i in range(8)
             for j in range(i, 8)
         ),
+        "audio_pcm": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         1 + event_id % 2 AS ch,
+         8000 + (event_id % 4) * 4000 AS rate,
+         50 + (event_id * 7) % 350 AS n,
+         event_id % 257 AS s
+  FROM events WHERE event_id % 89 = 0),
+samp AS (
+  SELECT m.media_id, m.ch, m.rate, m.n, t.t, c.c,
+         ((t.t * 37 + c.c * 1009 + m.s * 131) % 4001) - 2000 AS v
+  FROM m
+  JOIN range(0, 400) t(t) ON t.t < m.n
+  JOIN range(0, 2) c(c) ON c.c < m.ch),
+agg AS (
+  SELECT media_id, CAST(MAX(ch) AS INT) AS channels,
+         CAST(MAX(rate) AS INT) AS sample_rate_hz,
+         CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(SUM(v) AS BIGINT) AS sample_sum,
+         CAST(MIN(v) AS INT) AS sample_min,
+         CAST(MAX(v) AS INT) AS sample_max,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM samp GROUP BY media_id),
+zc AS (
+  SELECT media_id,
+         CAST(COALESCE(SUM(CASE WHEN pn IS NOT NULL AND pn != neg
+                                THEN 1 END), 0) AS BIGINT) AS zero_crossings
+  FROM (SELECT media_id, (v < 0) AS neg,
+               LAG(v < 0) OVER (PARTITION BY media_id ORDER BY t) AS pn
+        FROM samp WHERE c = 0) q
+  GROUP BY media_id)
+SELECT agg.*, zc.zero_crossings FROM agg JOIN zc USING (media_id)""",
         "media_pixels": """WITH m AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,
          8 + event_id % 24 AS w,
