@@ -2021,6 +2021,20 @@ def _q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media)
 
 
+def _q_substr_dedup5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022 semantics) over
+    the documents table: every 5-token run occurring >=2 times anywhere in
+    the corpus is cut from every carrier, overlapping windows merged into
+    maximal spans, text reassembled in original order. Engine groups grams
+    by 64-bit hash inside codegen (dedup.dedup_substrings); the oracle
+    replays gram counting on the gram STRINGS — identical absent an
+    xxhash64 collision, so green also certifies collision-freedom on this
+    corpus."""
+    from halvesting_geometric_spark.operators.dedup import dedup_substrings
+
+    return dedup_substrings(load_table(spark, sf_dir, "documents"), l=5)
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal header metadata: synthesize genuine PNG/JPEG/GIF
     container bytes from events-table arithmetic (format/width/height are
@@ -3577,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_capped": _q_wl_capped,
         "media_pixels": _q_media_pixels,
         "audio_pcm": _q_audio_pcm,
+        "substr_dedup5": _q_substr_dedup5,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
@@ -6670,6 +6685,41 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
             for i in range(8)
             for j in range(i, 8)
         ),
+        "substr_dedup5": r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (
+  SELECT id, u.i - 1 AS gpos,
+         lower(array_to_string(toks[u.i:u.i+4], ' ')) AS gram
+  FROM d, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (SELECT g.id, g.gpos FROM g JOIN hot USING (gram)),
+cov AS (SELECT DISTINCT id, u.p AS pos
+        FROM dup, unnest(range(gpos, gpos + 5)) AS u(p)),
+sp AS (
+  SELECT id, COUNT(*) AS n_cov,
+         SUM(CASE WHEN prev IS NULL OR pos <> prev + 1 THEN 1 ELSE 0 END)
+           AS n_spans
+  FROM (SELECT id, pos,
+               LAG(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+        FROM cov) q
+  GROUP BY id),
+t AS (SELECT id, u.i - 1 AS pos, toks[u.i] AS tok
+      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+kept AS (SELECT t.id, t.pos, t.tok
+         FROM t LEFT JOIN cov ON cov.id = t.id AND cov.pos = t.pos
+         WHERE cov.pos IS NULL),
+reb AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY id)
+SELECT d.id, CAST(len(d.toks) AS INT) AS n_tokens,
+       CAST(COALESCE(sp.n_cov, 0) AS INT) AS n_dup_tokens,
+       CAST(COALESCE(sp.n_spans, 0) AS INT) AS n_spans,
+       COALESCE(reb.text, '') AS text
+FROM d LEFT JOIN sp ON sp.id = d.id LEFT JOIN reb ON reb.id = d.id""",
         "audio_pcm": """WITH m AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,
          1 + event_id % 2 AS ch,

@@ -535,3 +535,111 @@ def dedup_lines(
             ),
         )
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    l: int = 50,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal (id, n_tokens, n_dup_tokens,
+    n_spans, text) — the Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") corpus hygiene step that document- and
+    line-level dedup cannot express: any run of ``l`` consecutive tokens
+    occurring ``min_occurrences``-or-more times ANYWHERE in the corpus
+    (across documents or repeated within one) is cut from every document,
+    overlapping duplicate windows merged into maximal spans first.
+
+    The published implementation builds one corpus-wide suffix array — a
+    global sorted order, hostile to a shared-nothing engine. Same
+    semantics here as pure dataflow: every token ``l``-gram (lowercased,
+    whitespace-tokenized) is hashed to 64 bits inside codegen (split →
+    sequence → slice/concat → xxhash64, cf. :func:`word_shingles`), a
+    map-side-combined count keeps only hashes with >= ``min_occurrences``
+    occurrences — the HOT table, tiny next to the corpus since most grams
+    are unique — and a semi join marks each document's duplicate window
+    starts. Per-doc state is bounded by DOCUMENT length everywhere
+    (sort_array(collect_list(gpos)) like :func:`dedup_lines`'s rebuild);
+    span merge, covered-token count and in-order reassembly are Catalyst
+    array expressions (flatten/sequence/aggregate/filter), zero Python.
+
+    Grouping on the 64-bit gram hash (not the gram string) keeps the
+    shuffle narrow; a false merge needs an xxhash64 collision
+    (~n_grams^2 / 2^65 — negligible at any real corpus size, same
+    tradeoff as :func:`minhash_signatures`). Reassembly filters each
+    token against the merged covered-position array (O(n_tokens *
+    n_covered) per doc, bounded by row size, still codegen).
+
+    Output ``text`` keeps original token case/order with covered spans
+    removed; ``n_spans`` counts the maximal merged spans.
+    """
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(
+        F.length(trimmed) > 0, F.split(trimmed, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    n = F.size("_toks")
+    offsets = F.when(
+        n >= l, F.sequence(F.lit(0), n - l)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                offsets,
+                lambda i: F.xxhash64(
+                    F.lower(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, l)))
+                ),
+            )
+        ).alias("gpos", "ghash"),
+    )
+    hot = (
+        grams.groupBy("ghash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("ghash")
+    )
+    dupg = (
+        grams.join(hot, "ghash", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("gpos")).alias("_dupg"))
+    )
+    joined = base.join(dupg, "id", "left")
+    covered = F.when(F.col("_dupg").isNull(), F.array().cast("array<int>")).otherwise(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("_dupg"), lambda g: F.sequence(g, g + l - 1))
+            )
+        )
+    )
+    out = joined.select(
+        "id",
+        F.col("_toks"),
+        covered.alias("_cov"),
+    )
+    n_spans = F.aggregate(
+        F.col("_cov"),
+        F.struct(F.lit(0).alias("cnt"), F.lit(-2).alias("prev")),
+        lambda acc, x: F.struct(
+            (acc["cnt"] + F.when(x == acc["prev"] + 1, 0).otherwise(1)).alias(
+                "cnt"
+            ),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+    return out.select(
+        "id",
+        F.size("_toks").alias("n_tokens"),
+        F.size("_cov").alias("n_dup_tokens"),
+        n_spans.alias("n_spans"),
+        F.array_join(
+            F.filter(
+                F.col("_toks"),
+                lambda t, i: ~F.array_contains(F.col("_cov"), i.cast("int")),
+            ),
+            " ",
+        ).alias("text"),
+    )
