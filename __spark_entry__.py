@@ -2021,6 +2021,22 @@ def _q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media)
 
 
+def _q_semdedup95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (ivf.semdedup): centroids = the 8
+    lowest-id vectors unit-normalized (the ivf_ann determinism convention),
+    every vector assigned by e4-rounded cosine (lowest centroid id on
+    ties), then within-cell pairs at pair-cosine >= 0.95 drop the member
+    CLOSER to its centroid (ties by higher id). Output is total: one row
+    per vector with its cell, centroid similarity, and survival flag."""
+    from halvesting_geometric_spark.operators.ivf import (
+        seed_centroids,
+        semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, seed_centroids(emb, 8), dim=64, threshold_e4=9500)
+
+
 def _q_substr_dedup5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring removal (Lee et al. 2022 semantics) over
     the documents table: every 5-token run occurring >=2 times anywhere in
@@ -3592,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": _q_media_pixels,
         "audio_pcm": _q_audio_pcm,
         "substr_dedup5": _q_substr_dedup5,
+        "semdedup95": _q_semdedup95,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
@@ -6685,6 +6702,42 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
             for i in range(8)
             for j in range(i, 8)
         ),
+        "semdedup95": """
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+eu AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS e
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ev) q),
+cu AS (SELECT vec_id AS cid, e AS ce FROM eu WHERE vec_id < 8),
+sims AS (
+  SELECT eu.vec_id, cu.cid,
+         CAST(floor(list_dot_product(eu.e, cu.ce) * 10000 + 0.5) AS BIGINT) AS s
+  FROM eu CROSS JOIN cu),
+assign AS (
+  SELECT vec_id, cid AS cell, s AS sim_e4 FROM (
+    SELECT vec_id, cid, s,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM sims) t WHERE rn = 1),
+pairsim AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, a.cell,
+         a.sim_e4 AS pa, b.sim_e4 AS pb,
+         CAST(floor(
+           CASE WHEN sqrt(list_dot_product(va.e, va.e)) = 0
+                  OR sqrt(list_dot_product(vb.e, vb.e)) = 0 THEN 0.0
+                ELSE list_dot_product(va.e, vb.e)
+                     / (sqrt(list_dot_product(va.e, va.e))
+                        * sqrt(list_dot_product(vb.e, vb.e)))
+           END * 10000 + 0.5) AS BIGINT) AS ps
+  FROM assign a JOIN assign b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  JOIN ev va ON va.vec_id = a.vec_id
+  JOIN ev vb ON vb.vec_id = b.vec_id),
+dropped AS (
+  SELECT DISTINCT ida AS id FROM pairsim
+  WHERE ps >= 9500
+    AND (pb < pa OR (pb = pa AND idb < ida)))
+SELECT a.vec_id, a.cell, a.sim_e4, (d.id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON d.id = a.vec_id""",
         "substr_dedup5": r"""
 WITH d AS (
   SELECT doc_id AS id,

@@ -43,6 +43,7 @@ __all__ = [
     "kmeans_fit",
     "ivf_assign",
     "ivf_topk",
+    "semdedup",
 ]
 
 
@@ -288,4 +289,86 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim_e4")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    dim: int | None = None,
+    threshold_e4: int = 9500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic near-duplicate pruning by clustering embeddings and comparing
+    pairs only WITHIN a cluster. Returns every input vector as
+    (id, cell, sim_e4, kept) where ``sim_e4`` is the 1e-4-rounded cosine to
+    the assigned centroid and ``kept`` is the survival flag.
+
+    Keep policy (the paper's low-centroid-similarity rule, made
+    deterministic): within any same-cell pair whose pairwise cosine rounds
+    to >= ``threshold_e4``, the member FARTHER from the centroid survives —
+    an item is dropped iff some same-cell neighbor above the threshold has
+    strictly lower ``sim_e4`` (ties broken by lower id). Priorities form a
+    total order, so the drop set is unique and SQL-replayable.
+
+    Scale design: assignment is the IVF Arrow kernel (one matmul per batch,
+    no shuffle); the pair scan shuffles once on cell id and compares
+    |cell|^2 candidates per cell — exactly the paper's cost model, where k
+    is chosen to keep clusters bounded (they use k ~ sqrt(N)). The witness
+    join is cell-keyed (never a global cross join) and stops at a semi
+    join: only the existence of a higher-priority neighbor matters, so no
+    pair list is materialized. ``max_cell_size`` guards degenerate
+    clusterings: the operator raises rather than silently running a
+    quadratic scan over an oversized cell (pick a larger k or better
+    centroids).
+    """
+    from halvesting_geometric_spark.functions import cosine_similarity
+
+    assign = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    if max_cell_size is not None:
+        big = (
+            assign.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cell_size)
+            .limit(1)
+            .collect()
+        )
+        if big:
+            raise ValueError(
+                f"cell {big[0]['cell']} holds {big[0]['n']} vectors "
+                f"(> max_cell_size={max_cell_size}); the within-cell pair "
+                "scan is quadratic — refit with larger k"
+            )
+    pts = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(assign.withColumnRenamed(id_col, "id"), "id")
+    left = pts.select("cell", F.col("id").alias("a"),
+                      F.col("sim_e4").alias("pa"), F.col("v").alias("va"))
+    right = pts.select("cell", F.col("id").alias("b"),
+                       F.col("sim_e4").alias("pb"), F.col("v").alias("vb"))
+    pair_e4 = F.floor(
+        cosine_similarity("va", "vb", dim=dim) * 10_000 + F.lit(0.5)
+    ).cast("long")
+    dropped = (
+        left.join(right, "cell")
+        .filter(
+            (F.col("pb") < F.col("pa"))
+            | ((F.col("pb") == F.col("pa")) & (F.col("b") < F.col("a")))
+        )
+        .filter(pair_e4 >= threshold_e4)
+        .select(F.col("a").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.withColumnRenamed(id_col, "id")
+        .join(dropped.withColumn("_d", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            "sim_e4",
+            F.col("_d").isNull().alias("kept"),
+        )
     )
