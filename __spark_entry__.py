@@ -2021,6 +2021,20 @@ def _q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media)
 
 
+def _q_dsir256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (mixing.dsir_scores): hashed unigram+bigram
+    features (portable hash, 256 buckets), add-0.5-smoothed bucket models
+    for target (docs with doc_id % 97 == 0, the decontam benchmark
+    convention) vs the full raw corpus, per-doc ln-likelihood-ratio sum at
+    e4 rounding. Counts are exact integers cross-engine; only the final
+    ln-sum floats, absorbed by the rounding (the ngram_lm contract)."""
+    from halvesting_geometric_spark.operators.mixing import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    return dsir_scores(docs, target, buckets=256, hash_method="portable")
+
+
 def _q_semdedup95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup pruning (ivf.semdedup): centroids = the 8
     lowest-id vectors unit-normalized (the ivf_ann determinism convention),
@@ -3609,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm": _q_audio_pcm,
         "substr_dedup5": _q_substr_dedup5,
         "semdedup95": _q_semdedup95,
+        "dsir256": _q_dsir256,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
@@ -6702,6 +6717,33 @@ FROM qb WHERE quality >= 0.5 GROUP BY text""",
             for i in range(8)
             for j in range(i, 8)
         ),
+        "dsir256": rf"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT id, u.t AS f FROM d, unnest(toks) AS u(t)),
+bi AS (SELECT id, toks[CAST(u.i AS BIGINT)] || ' '
+               || toks[CAST(u.i AS BIGINT) + 1] AS f
+       FROM d, unnest(range(1, len(toks))) AS u(i)),
+feats AS (
+  SELECT id, {portable_hash64_sql('f', seed=0)} % 256 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) q),
+tc AS (SELECT bucket, COUNT(*) AS ct FROM feats WHERE id % 97 = 0
+       GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket),
+nt AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tc),
+nr AS (SELECT COALESCE(SUM(cr), 0) AS nr FROM rc),
+lr AS (SELECT rc.bucket,
+              ln((COALESCE(tc.ct, 0) + 0.5) / (nt.nt + 0.5 * 256))
+            - ln((rc.cr + 0.5) / (nr.nr + 0.5 * 256)) AS lrv
+       FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+sc AS (SELECT f.id, COUNT(*) AS n_feats, SUM(l.lrv) AS s
+       FROM feats f JOIN lr l USING (bucket) GROUP BY f.id)
+SELECT d.id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(floor(COALESCE(sc.s, 0.0) * 10000 + 0.5) AS BIGINT) AS llr_e4
+FROM d LEFT JOIN sc ON sc.id = d.id""",
         "semdedup95": """
 WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 eu AS (

@@ -229,3 +229,102 @@ def pack_sequences(
         (hi - lo).cast("long").alias("len_in_bin"),
         (lo - F.col("_s")).cast("long").alias("doc_offset"),
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    use_bigrams: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "portable",
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, arXiv:2302.03169 — "Data
+    Selection for Language Models via Importance Resampling", public
+    paper): per raw document, the log-likelihood ratio of its hashed
+    n-gram features under a target-corpus unigram model vs the raw-corpus
+    model. Returns (id, n_feats, llr_e4); select by thresholding or top-k
+    on ``llr_e4`` (the paper's Gumbel-noise resampling is a caller-side
+    tie-break policy — scores here are the deterministic substrate).
+
+    Features are the paper's: whitespace tokens (lowercased) and, with
+    ``use_bigrams``, space-joined token bigrams, each hashed into
+    ``buckets`` buckets. Bucket probabilities use add-``alpha`` smoothing:
+    ``p(b) = (c_b + alpha) / (N + alpha * B)``.
+
+    Scale design: both corpus scans reduce to one ``buckets``-row count
+    table each (map-side combined groupBy on the bucket id — state is B
+    rows regardless of corpus size); the log-ratio table (raw buckets
+    left-joined with target counts) is <= B rows and BROADCAST to the
+    feature stream, so scoring is one narrow join + one groupBy(id). No
+    floats cross engines except the final ln-sum, absorbed by e4 rounding
+    (the ngram_lm contract). ``hash_method='portable'`` makes the bucket
+    assignment bit-identical in any engine; 'xxhash64' is the faster
+    Spark-only path.
+    """
+    from halvesting_geometric_spark.operators.dedup import _hash64
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        uni = toks
+        parts = [uni]
+        if use_bigrams:
+            bi = F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            parts.append(bi)
+        allf = F.concat(*parts) if len(parts) > 1 else parts[0]
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(allf).alias("_f")
+        ).filter(F.col("_f") != "").select(
+            "id",
+            F.pmod(_hash64(hash_method, F.col("_f"), 0), F.lit(buckets)).alias(
+                "bucket"
+            ),
+        )
+
+    rawf = feats(docs)
+    tgtc = feats(target).groupBy("bucket").agg(F.count("*").alias("ct"))
+    rawc = rawf.groupBy("bucket").agg(F.count("*").alias("cr"))
+    nt = tgtc.agg(F.sum("ct").alias("nt"))
+    nr = rawc.agg(F.sum("cr").alias("nr"))
+    lr = (
+        rawc.join(tgtc, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(alpha))
+                    / (F.col("nr") + F.lit(alpha * buckets))
+                )
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        rawf.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_feats"), F.sum("_lr").alias("_s"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.floor(F.coalesce(F.col("_s"), F.lit(0.0)) * 10_000 + F.lit(0.5))
+            .cast("long")
+            .alias("llr_e4"),
+        )
+    )
