@@ -40,7 +40,7 @@ ALGORITHMS = (
     "distinct", "zorder", "auroc", "simrank", "graphlets",
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
     "support", "conductance", "freqseq", "treach", "holes", "pack",
-    "assoc", "nibble",
+    "assoc", "nibble", "substrdedup", "dsir",
 )
 
 
@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
                     "global fixpoint")
     ap.add_argument("--bin-size", type=int, default=2048,
                     help="pack: training-bin token budget")
+    ap.add_argument("--gram-len", type=int, default=20,
+                    help="substrdedup: duplicated-run length in tokens")
+    ap.add_argument("--min-occurrences", type=int, default=2,
+                    help="substrdedup: corpus occurrence threshold")
+    ap.add_argument("--buckets", type=int, default=4096,
+                    help="dsir: hashed-feature bucket count")
+    ap.add_argument("--target-role", default="assistant",
+                    help="dsir: role whose turns form the target corpus")
     ap.add_argument(
         "--aqe-bypass",
         action=argparse.BooleanOptionalAction,
@@ -688,6 +696,50 @@ def main(argv: list[str] | None = None) -> int:
         if best is not None:
             summary["best_pos"] = best["pos"]
             summary["best_phi_e6"] = best["phi_e6"]
+    elif args.algorithm == "substrdedup":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.dedup import (
+            dedup_substrings,
+        )
+
+        docs = transcripts.select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        cleaned = dedup_substrings(
+            docs, l=args.gram_len, min_occurrences=args.min_occurrences
+        )
+        cleaned.write.mode("overwrite").parquet(args.output)
+        agg = cleaned.agg(
+            F.count("*").alias("d"),
+            F.sum("n_dup_tokens").alias("c"),
+            F.sum("n_spans").alias("s"),
+        ).first()
+        summary["docs"] = agg["d"]
+        summary["dup_tokens"] = int(agg["c"] or 0)
+        summary["spans"] = int(agg["s"] or 0)
+    elif args.algorithm == "dsir":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.mixing import dsir_scores
+
+        docs = transcripts.select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text", "role"
+        )
+        scored = dsir_scores(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("role") == args.target_role).select(
+                "doc_id", "text"
+            ),
+            buckets=args.buckets,
+            hash_method="xxhash64",
+        )
+        scored.write.mode("overwrite").parquet(args.output)
+        agg = scored.agg(
+            F.count("*").alias("d"), F.max("llr_e4").alias("mx")
+        ).first()
+        summary["docs"] = agg["d"]
+        summary["max_llr_e4"] = int(agg["mx"] or 0)
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

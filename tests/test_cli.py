@@ -268,3 +268,31 @@ def test_cli_assoc_nibble(spark, tmp_path, capsys):
         assert summary["algorithm"] == algo
         assert summary[key] >= 1
         assert spark.read.parquet(out).count() == summary[key]
+
+
+def test_cli_substrdedup_dsir(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_sd")
+    generate_transcripts(spark, 40, seed=33).write.parquet(tr_dir)
+    out1 = str(tmp_path / "out_substr")
+    rc = cli.main(
+        ["substrdedup", "--transcripts", tr_dir, "--output", out1,
+         "--gram-len", "3"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["algorithm"] == "substrdedup"
+    assert summary["docs"] >= 1
+    df = spark.read.parquet(out1)
+    assert df.count() == summary["docs"]
+    assert set(df.columns) == {"id", "n_tokens", "n_dup_tokens", "n_spans", "text"}
+
+    out2 = str(tmp_path / "out_dsir")
+    rc = cli.main(
+        ["dsir", "--transcripts", tr_dir, "--output", out2,
+         "--buckets", "256", "--target-role", "assistant"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["algorithm"] == "dsir"
+    assert summary["docs"] >= 1
+    assert spark.read.parquet(out2).count() == summary["docs"]
