@@ -2252,6 +2252,18 @@ def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(edges, verts).orderBy("triad")
 
 
+def _q_coarsen12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel coarsening step (matching.coarsen_graph): contract
+    every maximal-matching pair into its smaller endpoint, relabel the
+    canonical edge set, sum multiplicities into weights, drop self-loops.
+    The oracle unrolls the same local-minimum matching rounds (portable
+    hash, seed 42) and replays the contraction in SQL."""
+    from halvesting_geometric_spark.operators.matching import coarsen_graph
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return coarsen_graph(edges, seed=42, hash_method="portable")
+
+
 def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy maximal matching (local-minimum edge selection, portable
     hash) over the canonical link graph."""
@@ -3623,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm": _q_audio_pcm,
         "substr_dedup5": _q_substr_dedup5,
         "semdedup95": _q_semdedup95,
+        "coarsen12": _q_coarsen12,
         "dsir256": _q_dsir256,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
@@ -4032,7 +4045,7 @@ FROM names nm LEFT JOIN allc a ON nm.triad = a.triad
 ORDER BY nm.triad"""
 
 
-def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
+def _matching_sql(rounds: int = 12, seed: int = 42, coarsen: bool = False) -> str:
     """Maximal-matching twin: unrolled local-minimum selection rounds with
     the identical (priority, a, b) total order (portable hash)."""
     from halvesting_geometric_spark.functions import portable_hash64_sql
@@ -4069,7 +4082,19 @@ mlive{r} AS MATERIALIZED (
         f"SELECT a, b FROM msel_{r}" for r in range(1, rounds + 1)
     )
     body = ",\n".join(parts)
-    return f"WITH {body}\n{chosen}"
+    if not coarsen:
+        return f"WITH {body}\n{chosen}"
+    return f"""WITH {body},
+chosen AS ({chosen}),
+cmap AS (SELECT b AS v, a AS s FROM chosen),
+rel AS (
+  SELECT COALESCE(ma.s, c.a) AS ra, COALESCE(mb.s, c.b) AS rb
+  FROM canon c
+  LEFT JOIN cmap ma ON ma.v = c.a
+  LEFT JOIN cmap mb ON mb.v = c.b)
+SELECT LEAST(ra, rb) AS a, GREATEST(ra, rb) AS b,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM rel WHERE ra <> rb GROUP BY 1, 2"""
 
 
 def _wpagerank_sql(iters: int) -> str:
@@ -6203,6 +6228,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "katz8": _katz_sql(8, alpha=0.05, beta=1.0),
         "triad_census": _triad_census_sql(),
         "matching": _matching_sql(rounds=12, seed=42),
+        "coarsen12": _matching_sql(rounds=12, seed=42, coarsen=True),
         "reciprocity": _RECIPROCITY_SQL,
         "rich_club30": _rich_club_sql(30),
         "salsa3": _salsa_sql(3),

@@ -134,3 +134,70 @@ def maximal_matching(
     return MatchingResult(
         matching=out, rounds=r, num_matched=n, metrics=metrics
     )
+
+
+def coarsen_graph(
+    edges: DataFrame,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+    fixed_rounds: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """One level of multilevel graph coarsening over a maximal matching —
+    the Metis/Karypis-Kumar scheme re-expressed as dataflow: every matched
+    pair (a, b) contracts into supernode ``a`` (the canonical smaller id),
+    unmatched vertices survive unchanged, and the coarse edge set is the
+    relabeled canonical edge set with multiplicities summed into a
+    ``weight`` column (collapsed parallel edges carry their count, the
+    standard coarse-weight convention) and self-loops dropped.
+
+    Returns (a, b, weight) canonical coarse edges. The contraction mapping
+    is only materialized for MATCHED ``b``-side vertices (one row per
+    matched pair — everything else is identity), so relabeling is two
+    broadcast-or-shuffle left joins against a table half the matching size,
+    never a vertex-universe join. Repeated application halves the vertex
+    count geometrically (matching is maximal), which is the multilevel
+    ladder a partitioner or a coarse-to-fine layout pass runs on.
+    """
+    res = maximal_matching(
+        edges,
+        seed=seed,
+        hash_method=hash_method,
+        fixed_rounds=fixed_rounds,
+        max_rounds=max_rounds,
+    )
+    mp = res.matching.select(F.col("b").alias("v"), F.col("a").alias("s"))
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("ca"),
+            F.greatest("src", "dst").alias("cb"),
+        )
+        .distinct()
+    )
+    rel = (
+        canon.join(
+            mp.select(F.col("v").alias("ca"), F.col("s").alias("sa")),
+            "ca",
+            "left",
+        )
+        .join(
+            mp.select(F.col("v").alias("cb"), F.col("s").alias("sb")),
+            "cb",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("sa"), F.col("ca")).alias("ra"),
+            F.coalesce(F.col("sb"), F.col("cb")).alias("rb"),
+        )
+    )
+    out = (
+        rel.select(
+            F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("weight"))
+    )
+    res.matching.unpersist()
+    return out
