@@ -2035,6 +2035,29 @@ def _q_dsir256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, target, buckets=256, hash_method="portable")
 
 
+def _q_textclf256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text-classifier inference (mixing.classifier_scores):
+    fastText-style quality scoring with a provided (bucket, weight) table —
+    here synthesized deterministically (weight(b) = ((b*37) % 21 - 10)/10,
+    bias -0.25) so the oracle regenerates it from range() arithmetic.
+    Features share the DSIR hashed unigram+bigram map (portable hash,
+    256 buckets); only the final weight sum floats, absorbed by e4
+    rounding."""
+    from halvesting_geometric_spark.operators.mixing import classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = (
+        spark.range(256)
+        .select(
+            F.col("id").alias("bucket"),
+            (((F.col("id") * 37) % 21 - 10) / 10.0).alias("weight"),
+        )
+    )
+    return classifier_scores(
+        docs, weights, bias=-0.25, buckets=256, hash_method="portable"
+    )
+
+
 def _q_semdedup95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup pruning (ivf.semdedup): centroids = the 8
     lowest-id vectors unit-normalized (the ivf_ann determinism convention),
@@ -3637,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup95": _q_semdedup95,
         "coarsen12": _q_coarsen12,
         "dsir256": _q_dsir256,
+        "textclf256": _q_textclf256,
         "media_meta": _q_media_meta,
         "neighbor_sample2": _q_neighbor_sample2,
         "coreness3": _q_coreness3,
@@ -6769,6 +6793,29 @@ sc AS (SELECT f.id, COUNT(*) AS n_feats, SUM(l.lrv) AS s
        FROM feats f JOIN lr l USING (bucket) GROUP BY f.id)
 SELECT d.id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
        CAST(floor(COALESCE(sc.s, 0.0) * 10000 + 0.5) AS BIGINT) AS llr_e4
+FROM d LEFT JOIN sc ON sc.id = d.id""",
+        "textclf256": rf"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT id, u.t AS f FROM d, unnest(toks) AS u(t)),
+bi AS (SELECT id, toks[CAST(u.i AS BIGINT)] || ' '
+               || toks[CAST(u.i AS BIGINT) + 1] AS f
+       FROM d, unnest(range(1, len(toks))) AS u(i)),
+feats AS (
+  SELECT id, {portable_hash64_sql('f', seed=0)} % 256 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) q),
+w AS (SELECT CAST(u.b AS BIGINT) AS bucket,
+             ((u.b * 37) % 21 - 10) / 10.0 AS wt
+      FROM unnest(range(0, 256)) AS u(b)),
+sc AS (SELECT f.id, COUNT(*) AS n_feats, SUM(COALESCE(w.wt, 0.0)) AS s
+       FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.id)
+SELECT d.id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(floor((COALESCE(sc.s, 0.0) - 0.25) * 10000 + 0.5) AS BIGINT)
+         AS score_e4,
+       (COALESCE(sc.s, 0.0) - 0.25) >= 0 AS positive
 FROM d LEFT JOIN sc ON sc.id = d.id""",
         "semdedup95": """
 WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -231,6 +231,45 @@ def pack_sequences(
     )
 
 
+def hashed_ngram_features(
+    df: DataFrame,
+    buckets: int,
+    use_bigrams: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "portable",
+) -> DataFrame:
+    """(id, bucket) per feature OCCURRENCE: whitespace tokens (lowercased)
+    and, with ``use_bigrams``, space-joined token bigrams, hashed into
+    ``buckets`` buckets — the shared feature map of the DSIR scorer and the
+    hashed linear classifier. Pure array arithmetic (split → transform/
+    slice → explode → pmod(hash)), one narrow map stage, no Python."""
+    from halvesting_geometric_spark.operators.dedup import _hash64
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    parts = [toks]
+    if use_bigrams:
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(bi)
+    allf = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(allf).alias("_f"))
+        .filter(F.col("_f") != "")
+        .select(
+            "id",
+            F.pmod(_hash64(hash_method, F.col("_f"), 0), F.lit(buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
 def dsir_scores(
     docs: DataFrame,
     target: DataFrame,
@@ -264,33 +303,12 @@ def dsir_scores(
     assignment bit-identical in any engine; 'xxhash64' is the faster
     Spark-only path.
     """
-    from halvesting_geometric_spark.operators.dedup import _hash64
-
-    def feats(df: DataFrame) -> DataFrame:
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        uni = toks
-        parts = [uni]
-        if use_bigrams:
-            bi = F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-            parts.append(bi)
-        allf = F.concat(*parts) if len(parts) > 1 else parts[0]
-        return df.select(
-            F.col(id_col).alias("id"), F.explode(allf).alias("_f")
-        ).filter(F.col("_f") != "").select(
-            "id",
-            F.pmod(_hash64(hash_method, F.col("_f"), 0), F.lit(buckets)).alias(
-                "bucket"
-            ),
-        )
-
-    rawf = feats(docs)
-    tgtc = feats(target).groupBy("bucket").agg(F.count("*").alias("ct"))
+    rawf = hashed_ngram_features(
+        docs, buckets, use_bigrams, text_col, id_col, hash_method
+    )
+    tgtc = hashed_ngram_features(
+        target, buckets, use_bigrams, text_col, id_col, hash_method
+    ).groupBy("bucket").agg(F.count("*").alias("ct"))
     rawc = rawf.groupBy("bucket").agg(F.count("*").alias("cr"))
     nt = tgtc.agg(F.sum("ct").alias("nt"))
     nr = rawc.agg(F.sum("cr").alias("nr"))
@@ -326,5 +344,57 @@ def dsir_scores(
             F.floor(F.coalesce(F.col("_s"), F.lit(0.0)) * 10_000 + F.lit(0.5))
             .cast("long")
             .alias("llr_e4"),
+        )
+    )
+
+
+def classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    buckets: int = 4096,
+    use_bigrams: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "portable",
+) -> DataFrame:
+    """Hashed linear text-classifier INFERENCE — the fastText-style quality
+    scorer every public LLM corpus pipeline runs (GPT-3's LR quality
+    filter, CCNet/RefinedWeb-style classifiers; public papers). Weights
+    are learned elsewhere and arrive as a (bucket, weight) table; this
+    operator only scores: ``score = bias + sum(weight[bucket])`` over the
+    document's hashed unigram+bigram feature occurrences (the
+    :func:`hashed_ngram_features` map, shared with DSIR).
+
+    Returns (id, n_feats, score_e4, positive) for EVERY input document
+    (featureless docs score at the bias). The weight table is <= ``buckets``
+    rows and broadcast, so scoring is one narrow join + one groupBy(id) —
+    the same shuffle shape as any counting rollup, independent of corpus
+    size. Missing buckets weigh 0.
+    """
+    f = hashed_ngram_features(
+        docs, buckets, use_bigrams, text_col, id_col, hash_method
+    )
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("double").alias("_w"),
+    )
+    scored = (
+        f.join(F.broadcast(w), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum(F.coalesce(F.col("_w"), F.lit(0.0))).alias("_s"),
+        )
+    )
+    total = F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(float(bias))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.floor(total * 10_000 + F.lit(0.5)).cast("long").alias("score_e4"),
+            (total >= 0).alias("positive"),
         )
     )

@@ -78,3 +78,41 @@ def test_unigram_only_mode(spark):
     assert got[0]["n_feats"] == 3
     # target == raw -> every bucket ratio is 1 -> llr exactly 0
     assert got[0]["llr_e4"] == 0
+
+
+def _brute_clf(raw, weights, buckets, bias):
+    out = {}
+    for i, t in raw.items():
+        fs = _feats(t, buckets)
+        s = bias + sum(weights.get(b, 0.0) for b in fs)
+        out[i] = (len(fs), math.floor(s * 10_000 + 0.5), s >= 0)
+    return out
+
+
+def test_classifier_scores_matches_bruteforce(spark):
+    from halvesting_geometric_spark.operators.mixing import classifier_scores
+
+    raw = {
+        1: "clean well written informative article text",
+        2: "spam spam click here spam buy now",
+        3: "   ",
+    }
+    wmap = {b: ((b * 37) % 21 - 10) / 10.0 for b in range(128)}
+    rd = spark.createDataFrame(list(raw.items()), "doc_id long, text string")
+    wd = spark.createDataFrame(list(wmap.items()), "bucket long, weight double")
+    got = {
+        r["id"]: (r["n_feats"], r["score_e4"], r["positive"])
+        for r in classifier_scores(rd, wd, bias=-0.25, buckets=128).collect()
+    }
+    assert got == _brute_clf(raw, wmap, 128, -0.25)
+    # featureless doc scores exactly at the bias
+    assert got[3] == (0, math.floor(-0.25 * 10_000 + 0.5), False)
+
+
+def test_classifier_missing_buckets_weigh_zero(spark):
+    from halvesting_geometric_spark.operators.mixing import classifier_scores
+
+    rd = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    wd = spark.createDataFrame([], "bucket long, weight double")
+    r = classifier_scores(rd, wd, bias=1.0, buckets=64).collect()[0]
+    assert r["n_feats"] == 3 and r["score_e4"] == 10_000 and r["positive"]
