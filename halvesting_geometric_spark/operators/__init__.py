@@ -53,6 +53,7 @@ from halvesting_geometric_spark.operators.ivf import (
     ivf_topk,
     kmeans_fit,
     seed_centroids,
+    semdedup,
 )
 from halvesting_geometric_spark.operators.layout import (
     cluster_by_zorder,
@@ -123,8 +124,12 @@ from halvesting_geometric_spark.operators.embeddings import (
 from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
+    audio_stats,
+    decode_png,
+    decode_wav,
     extract_features,
     parse_media_meta,
+    pixel_stats,
     sample_frames,
 )
 from halvesting_geometric_spark.operators.neighborhood import (
@@ -189,6 +194,9 @@ from halvesting_geometric_spark.operators.metrics import (
 from halvesting_geometric_spark.operators.mixing import (
     budget_mix,
     chunk_tokens,
+    classifier_scores,
+    dsir_scores,
+    hashed_ngram_features,
     pack_sequences,
 )
 from halvesting_geometric_spark.operators.neighbors import (
@@ -206,7 +214,10 @@ from halvesting_geometric_spark.operators.fastrp import (
     fastrp_embeddings,
     fastrp_projection,
 )
-from halvesting_geometric_spark.operators.matching import maximal_matching
+from halvesting_geometric_spark.operators.matching import (
+    coarsen_graph,
+    maximal_matching,
+)
 from halvesting_geometric_spark.operators.msf import minimum_spanning_forest
 from halvesting_geometric_spark.operators.triads import triad_census
 from halvesting_geometric_spark.operators.traversal import (
@@ -315,6 +326,15 @@ __all__ = [
     "label_propagation",
     "maximal_independent_set",
     "maximal_matching",
+    "coarsen_graph",
+    "semdedup",
+    "dsir_scores",
+    "classifier_scores",
+    "hashed_ngram_features",
+    "audio_stats",
+    "decode_wav",
+    "decode_png",
+    "pixel_stats",
     "metapath_walks",
     "node2vec_walks",
     "modularity",
