@@ -349,8 +349,15 @@ def semdedup(
                       F.col("sim_e4").alias("pa"), F.col("v").alias("va"))
     right = pts.select("cell", F.col("id").alias("b"),
                        F.col("sim_e4").alias("pb"), F.col("v").alias("vb"))
+    # unrolled dot only for narrow vectors: above ~32 dims the unrolled
+    # expression inside the join's codegen'd consume overflows the JVM
+    # 64KB method limit and the whole stage falls back to interpreted —
+    # the compact zip_with/aggregate loop form codegens fine and sums in
+    # the same index order (identical float result)
     pair_e4 = F.floor(
-        cosine_similarity("va", "vb", dim=dim) * 10_000 + F.lit(0.5)
+        cosine_similarity("va", "vb", dim=dim if dim and dim <= 32 else None)
+        * 10_000
+        + F.lit(0.5)
     ).cast("long")
     dropped = (
         left.join(right, "cell")
