@@ -294,10 +294,18 @@ def embedding_near_dups(
     b = lsh_bucket(emb, dim, n_planes, seed, id_col, vec_col)
     left = b.select("bucket", F.col("id").alias("a"), F.col("embedding").alias("va"))
     right = b.select("bucket", F.col("id").alias("b"), F.col("embedding").alias("vb"))
+    # unrolled dot only below ~32 dims: inside the bucket join's codegen'd
+    # consume a wide unrolled expression overflows the JVM 64KB method
+    # limit and the stage falls back to interpreted eval; the compact
+    # zip_with/aggregate loop form codegens and sums in the same index
+    # order (identical float result)
+    pair_dim = dim if dim and dim <= 32 else None
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine_similarity("va", "vb", dim=dim).alias("cosine"))
+        .select(
+            "a", "b", cosine_similarity("va", "vb", dim=pair_dim).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
