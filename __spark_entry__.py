@@ -2021,6 +2021,51 @@ def _q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media)
 
 
+def _q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode: complete GIF89a files (global color table,
+    image descriptor, variable-width LZW-compressed index stream per the GIF
+    spec) are synthesized from events-table arithmetic, decoded back by the
+    pure-stdlib codec (multimodal.decode_gif: sub-block walk + LZW +
+    palette mapping) and reduced to integer pixel stats including the
+    position-weighted sum ``Σ (x + y·w)·(R+G+B)`` — order-sensitive, so a
+    decoder that produced the right multiset of pixels in the wrong layout
+    cannot match. The oracle replays the generator's palette + index closed
+    forms — green means the stats really came from LZW-decoded bytes.
+    All-integer output, bit-exact by construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.multimodal import (
+        gif_full_bytes,
+        gif_pixel_stats,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 101 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(8) + F.col("event_id") % 24).cast("int").alias("w"),
+            (F.lit(8) + (F.col("event_id") * 3) % 24).cast("int").alias("h"),
+            (F.col("event_id") % 29).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        gif_full_bytes(int(w), int(h), int(sd))
+                        for w, h, sd in zip(pdf["w"], pdf["h"], pdf["s"])
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return gif_pixel_stats(media)
+
+
 def _q_dsir256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (mixing.dsir_scores): hashed unigram+bigram
     features (portable hash, 256 buckets), add-0.5-smoothed bucket models
@@ -3656,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_capped": _q_wl_capped,
         "media_pixels": _q_media_pixels,
         "audio_pcm": _q_audio_pcm,
+        "gif_pixels": _q_gif_pixels,
         "substr_dedup5": _q_substr_dedup5,
         "semdedup95": _q_semdedup95,
         "coarsen12": _q_coarsen12,
@@ -6937,6 +6983,36 @@ SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
        CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max,
        CAST((SUM(v) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_e6
 FROM px GROUP BY media_id""",
+        "gif_pixels": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         8 + event_id % 24 AS w,
+         8 + (event_id * 3) % 24 AS h,
+         event_id % 29 AS s
+  FROM events WHERE event_id % 101 = 0),
+px AS (
+  SELECT m.media_id, m.w, m.h, m.s, tx.x, ty.y,
+         (tx.x * 7 + ty.y * 13 + m.s) % 8 AS i
+  FROM m
+  JOIN range(0, 32) tx(x) ON tx.x < m.w
+  JOIN range(0, 32) ty(y) ON ty.y < m.h),
+chv AS (
+  SELECT media_id, w, h, x, y,
+         (i * 37 + s) % 256 AS r,
+         (i * 59 + 2 * s) % 256 AS g,
+         (i * 83 + 3 * s) % 256 AS b
+  FROM px)
+SELECT media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(8 AS INT) AS palette_size,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(r + g + b) AS BIGINT) AS pixel_sum,
+       CAST(MIN(LEAST(r, g, b)) AS INT) AS pixel_min,
+       CAST(MAX(GREATEST(r, g, b)) AS INT) AS pixel_max,
+       CAST(SUM((x + y * w) * (r + g + b)) AS BIGINT) AS pos_sum,
+       CAST((SUM(r + g + b) * 1000000 + (3 * COUNT(*)) // 2)
+            // (3 * COUNT(*)) AS BIGINT) AS mean_e6
+FROM chv GROUP BY media_id""",
         "media_meta": """
 SELECT CAST(event_id AS BIGINT) AS media_id,
        CASE CAST(event_id % 3 AS INTEGER)

@@ -125,9 +125,11 @@ from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
     audio_stats,
+    decode_gif,
     decode_png,
     decode_wav,
     extract_features,
+    gif_pixel_stats,
     parse_media_meta,
     pixel_stats,
     sample_frames,
@@ -334,6 +336,8 @@ __all__ = [
     "audio_stats",
     "decode_wav",
     "decode_png",
+    "decode_gif",
+    "gif_pixel_stats",
     "pixel_stats",
     "metapath_walks",
     "node2vec_walks",

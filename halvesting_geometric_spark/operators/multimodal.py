@@ -6,7 +6,10 @@ codec (:func:`decode_png` — zlib IDAT inflate + all five PNG scanline
 filters) backs :func:`pixel_stats` and ``extract_features``'s
 ``png_stdlib`` backend. *WAV PCM16 sample decode is REAL*: :func:`decode_wav`
 (RIFF chunk walk + int16 frame de-multiplex) backs :func:`audio_stats`.
-JPEG/GIF pixel decode and video frame decode
+*GIF pixel decode is REAL*: :func:`decode_gif` (block walk + variable-width
+LZW with clear/EOI handling, dictionary growth to 4096 and reset, palette
+mapping) backs :func:`gif_pixel_stats`.
+JPEG pixel decode and video frame decode
 remain stubbed behind ``decode_backend`` because no codec libraries exist in
 this container — ``deterministic_fake`` produces seeded pseudo-decodes so
 downstream operators (resize bookkeeping, frame sampling) have stable,
@@ -709,6 +712,323 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Real GIF codec (pure stdlib — GIF87a/89a and its LZW variant are public
+# file-format knowledge; cf. the reference's opaque media handling at
+# halvesting_geometric/utils/data/*, which never decodes payloads)
+# --------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit code-width ceiling fixed by the GIF spec
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """GIF-variant LZW over a palette-index stream, LSB-first bit packing.
+
+    Spec behavior implemented: leading clear code, EOI terminator,
+    variable code width starting at ``min_code_size + 1``, width bump when
+    the entry just added equals ``1 << width`` (the decoder's next-entry
+    value — the two sides' dictionaries are offset by one pending entry, so
+    this is the value both compare against), and a clear + full reset when
+    the table reaches 4096 entries.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0  # bit accumulator, LSB-first
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    nxt = eoi + 1
+    emit(clear, width)
+    it = iter(int(v) for v in indices)
+    cur = next(it)
+    for s in it:
+        key = (cur, s)
+        if key in table:
+            cur = table[key]
+            continue
+        emit(cur, width)
+        table[key] = nxt
+        nxt += 1
+        # the entry just added has value nxt-1; the decoder (which lags by
+        # one pending entry) bumps when ITS next value == 1 << width, and
+        # that value equals nxt-1 here — bump in lockstep
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        cur = s
+        if nxt == _GIF_MAX_CODE:
+            emit(cur, width)
+            emit(clear, width)
+            table.clear()
+            nxt = eoi + 1
+            width = min_code_size + 1
+            cur = next(it, None)  # type: ignore[assignment]
+            if cur is None:
+                break
+    if cur is not None:
+        emit(cur, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, expected: int
+) -> "np.ndarray":
+    """Inverse of :func:`_gif_lzw_encode`: variable-width LSB-first code
+    reader, clear/EOI handling, the cScSc (code == next-entry) case, width
+    bump when the next-entry value reaches ``1 << width``, no additions once
+    the table is full (until a clear). Returns exactly ``expected`` palette
+    indices; raises ``ValueError`` on malformed streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(expected, dtype=np.int32)
+    n_out = 0
+    # dictionary: code -> byte sequence; codes < clear are literals
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"first code {code} out of range")
+            seq = table[code]
+        elif code < len(table):
+            seq = table[code]
+            if len(table) < _GIF_MAX_CODE:  # deferred clear: table may fill
+                table.append(prev + seq[:1])
+        elif code == len(table) and code < _GIF_MAX_CODE:
+            seq = prev + prev[:1]  # cScSc case
+            table.append(seq)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        if n_out + len(seq) > expected:
+            raise ValueError("LZW stream decodes past the pixel count")
+        out[n_out : n_out + len(seq)] = np.frombuffer(seq, dtype=np.uint8)
+        n_out += len(seq)
+        prev = seq
+    if n_out != expected:
+        raise ValueError(f"decoded {n_out} indices, expected {expected}")
+    return out
+
+
+def gif_full_bytes(
+    width: int, height: int, seed: int = 0, palette_bits: int = 3
+) -> bytes:
+    """COMPLETE valid GIF89a carrying REAL pixel data: a global color table
+    of ``P = 2**palette_bits`` entries with closed-form channels
+
+    - ``R(i) = (i*37 + seed)     % 256``
+    - ``G(i) = (i*59 + 2*seed)   % 256``
+    - ``B(i) = (i*83 + 3*seed)   % 256``
+
+    and row-major pixel indices ``idx(x, y) = (x*7 + y*13 + seed) % P``,
+    LZW-compressed per the GIF spec (:func:`_gif_lzw_encode`). Both closed
+    forms are SQL-replayable, so an oracle can verify that decoded stats
+    really came from the LZW-compressed bytes. Unlike :func:`gif_bytes`
+    (header-only fixture for the metadata parser), this payload decodes
+    end-to-end with any real GIF reader."""
+    if not (1 <= palette_bits <= 8):
+        raise ValueError(f"palette_bits must be 1..8, got {palette_bits}")
+    p = 1 << palette_bits
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    idx = ((x * 7 + y * 13 + seed) % p).astype(np.uint8).ravel()  # row-major
+    gct = bytearray()
+    for i in range(p):
+        gct += bytes(
+            ((i * 37 + seed) % 256, (i * 59 + 2 * seed) % 256,
+             (i * 83 + 3 * seed) % 256)
+        )
+    packed = 0x80 | 0x70 | (palette_bits - 1)  # GCT flag, color res 8, size
+    mcs = max(2, palette_bits)  # GIF LZW minimum code size floor is 2
+    lzw = _gif_lzw_encode(idx, mcs)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([packed, 0, 0])
+        + bytes(gct)
+        + b"\x2c"  # image descriptor
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"  # no local color table, not interlaced
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3b"  # trailer
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Real GIF decode, pure stdlib + numpy: logical-screen-descriptor
+    parse, global/local color table, extension-block skip, sub-block
+    reassembly, variable-width LZW (:func:`_gif_lzw_decode`), palette
+    mapping. First image frame only; interlace unsupported (``ValueError``).
+    Returns ``(height, width, 3)`` uint8 RGB."""
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    if payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError(f"unknown GIF version {payload[3:6]!r}")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside image data")
+            ln = payload[pos]
+            if ln == 0:
+                pos += 1
+                break
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF truncated inside image data")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx].reshape(h, w, 3)
+    raise ValueError("GIF contains no image block")
+
+
+GIF_PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, palette_size int, n_px long, "
+    "pixel_sum long, pixel_min int, pixel_max int, pos_sum long, mean_e6 long"
+)
+
+
+def gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics over REAL decoded GIF payloads
+    (:func:`decode_gif` — sub-block walk + variable-width LZW + palette
+    mapping, no codec library).
+
+    Input: (media_id, payload) with payload a full GIF. Output one row per
+    image: dims, palette size, pixel count, sum/min/max over all RGB channel
+    values, the position-weighted sum ``Σ (x + y*width) · (R+G+B)`` (order-
+    sensitive — a decoder that transposed axes or reversed rows could not
+    match it), and the e6 fixed-point mean over the ``3·n_px`` channel
+    values (exact integer sum, single round-half-up division) — bit-exact
+    against an oracle that replays the generator's palette + index closed
+    forms.
+
+    Arrow-batched mapInPandas; narrow (no shuffle) — decode cost is the
+    per-partition codec work itself.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_gif(payload)
+                h, w, _ = px.shape
+                v64 = px.astype(np.int64)
+                v3 = v64.sum(axis=2)  # (h, w) per-pixel channel sum
+                posg = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + np.arange(h, dtype=np.int64)[:, None] * w
+                )
+                tot = int(v64.sum())
+                nv = int(v64.size)  # 3 * n_px channel values
+                rows.append(
+                    (
+                        int(mid), w, h, 2 << (payload[10] & 0x07),
+                        w * h, tot, int(v64.min()), int(v64.max()),
+                        int((posg * v3).sum()),
+                        (tot * 1_000_000 + nv // 2) // nv,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "width", "height", "palette_size",
+                        "n_px", "pixel_sum", "pixel_min", "pixel_max",
+                        "pos_sum", "mean_e6",
+                    ],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=GIF_PIXEL_STATS_SCHEMA
     )
 
 

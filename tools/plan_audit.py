@@ -52,6 +52,9 @@ KERNELS = {
     # audio_pcm: WAV synthesis (enc) + pure-stdlib PCM decode (audio_stats),
     # both Arrow-batched mapInPandas
     "audio_pcm": "media",
+    # gif_pixels: GIF synthesis (enc) + pure-stdlib LZW decode
+    # (gif_pixel_stats), both Arrow-batched mapInPandas
+    "gif_pixels": "media",
     # semdedup95: IVF Arrow matmul assignment kernel; the pair scan itself
     # is pure Catalyst (unrolled cosine)
     "semdedup95": "ivf",
