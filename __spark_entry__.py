@@ -2066,6 +2066,110 @@ def _q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_pixel_stats(media)
 
 
+def _q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG pixel decode: complete JPEG files (DQT, SOF0,
+    declared canonical Huffman DHT, entropy-coded scan with DC prediction
+    and byte stuffing per ITU T.81) are synthesized from events-table
+    arithmetic as grids of constant 8×8 tiles, decoded back by the
+    pure-stdlib codec (multimodal.decode_jpeg: Huffman + dequant + IDCT)
+    and reduced to integer pixel stats. A constant tile's DCT is DC-only,
+    so the decoded value has the exact closed form
+    ``clamp(2·round((p−128)/2)+128)`` that the oracle replays — green means
+    the stats really came from Huffman-decoded, IDCT'd bytes. The
+    position-weighted sum is tile-expanded analytically in the oracle, so
+    layout errors cannot hash-match. Bit-exact by construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.multimodal import (
+        jpeg_full_bytes,
+        jpeg_pixel_stats,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 103 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(8) * (F.lit(1) + F.col("event_id") % 4))
+            .cast("int")
+            .alias("w"),
+            (F.lit(8) * (F.lit(1) + (F.col("event_id") * 3) % 4))
+            .cast("int")
+            .alias("h"),
+            (F.col("event_id") % 37).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        jpeg_full_bytes(int(w), int(h), int(sd))
+                        for w, h, sd in zip(pdf["w"], pdf["h"], pdf["s"])
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return jpeg_pixel_stats(media)
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI video frame decode: complete AVI containers (RIFF
+    hdrl/movi/idx1 layout, 'vids'/MJPG stream) are synthesized from
+    events-table arithmetic with 2–4 baseline-JPEG frames each, decoded back
+    by the pure-stdlib codec chain (multimodal.decode_avi: RIFF walk →
+    decode_jpeg per '00dc' chunk) and reduced to per-FRAME pixel stats. Each
+    frame f uses tile seed s+17f, so the oracle replays the same DC-only
+    closed form as `jpeg_pixels` per (media, frame) — green means every
+    frame's bytes really came out of the container walk AND the Huffman/IDCT
+    decode, and the container's frame count and fps survive round-trip.
+    Bit-exact by construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.multimodal import (
+        avi_mjpeg_bytes,
+        video_frame_stats,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 211 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(8) * (F.lit(1) + F.col("event_id") % 3))
+            .cast("int")
+            .alias("w"),
+            (F.lit(8) * (F.lit(1) + (F.col("event_id") * 5) % 3))
+            .cast("int")
+            .alias("h"),
+            (F.lit(2) + F.col("event_id") % 3).cast("int").alias("nf"),
+            (F.col("event_id") % 41).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        avi_mjpeg_bytes(
+                            int(w), int(h), int(nf), int(sd), fps=10
+                        )
+                        for w, h, nf, sd in zip(
+                            pdf["w"], pdf["h"], pdf["nf"], pdf["s"]
+                        )
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return video_frame_stats(media)
+
+
 def _q_dsir256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (mixing.dsir_scores): hashed unigram+bigram
     features (portable hash, 256 buckets), add-0.5-smoothed bucket models
@@ -3702,6 +3806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": _q_media_pixels,
         "audio_pcm": _q_audio_pcm,
         "gif_pixels": _q_gif_pixels,
+        "jpeg_pixels": _q_jpeg_pixels,
+        "video_frames": _q_video_frames,
         "substr_dedup5": _q_substr_dedup5,
         "semdedup95": _q_semdedup95,
         "coarsen12": _q_coarsen12,
@@ -6983,6 +7089,73 @@ SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
        CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max,
        CAST((SUM(v) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_e6
 FROM px GROUP BY media_id""",
+        "jpeg_pixels": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         8 * (1 + event_id % 4) AS w,
+         8 * (1 + (event_id * 3) % 4) AS h,
+         event_id % 37 AS s
+  FROM events WHERE event_id % 103 = 0),
+tiles AS (
+  SELECT m.media_id, m.w, m.h, tx.x AS tx, ty.y AS ty,
+         (tx.x * 7 + ty.y * 13 + m.s) % 256 AS p
+  FROM m
+  JOIN range(0, 4) tx(x) ON tx.x < m.w // 8
+  JOIN range(0, 4) ty(y) ON ty.y < m.h // 8),
+tv AS (
+  -- constant 8x8 tile => DC-only DCT; decoded value closed form
+  SELECT media_id, w, h, tx, ty,
+         LEAST(255, GREATEST(0,
+           CASE WHEN p % 2 = 0 THEN p
+                WHEN p > 128 THEN p + 1 ELSE p - 1 END)) AS v
+  FROM tiles)
+SELECT media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+       CAST(64 * SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INT) AS pixel_min,
+       CAST(MAX(v) AS INT) AS pixel_max,
+       -- sum over a tile's 64 cells of (x + y*w) = 512*tx+224 + w*(512*ty+224)
+       CAST(SUM(v * (512 * tx + 224 + w * (512 * ty + 224))) AS BIGINT)
+         AS pos_sum,
+       CAST((64 * SUM(v) * 1000000 + (MAX(w) * MAX(h)) // 2)
+            // (MAX(w) * MAX(h)) AS BIGINT) AS mean_e6
+FROM tv GROUP BY media_id""",
+        "video_frames": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         8 * (1 + event_id % 3) AS w,
+         8 * (1 + (event_id * 5) % 3) AS h,
+         2 + event_id % 3 AS nf,
+         event_id % 41 AS s
+  FROM events WHERE event_id % 211 = 0),
+fr AS (
+  SELECT m.*, CAST(f.f AS INT) AS frame_idx
+  FROM m JOIN range(0, 4) f(f) ON f.f < m.nf),
+tiles AS (
+  SELECT fr.media_id, fr.w, fr.h, fr.nf, fr.frame_idx, tx.x AS tx, ty.y AS ty,
+         (tx.x * 7 + ty.y * 13 + fr.s + 17 * fr.frame_idx) % 256 AS p
+  FROM fr
+  JOIN range(0, 3) tx(x) ON tx.x < fr.w // 8
+  JOIN range(0, 3) ty(y) ON ty.y < fr.h // 8),
+tv AS (
+  -- constant 8x8 tile => DC-only DCT; decoded value closed form
+  SELECT media_id, w, h, nf, frame_idx, tx, ty,
+         LEAST(255, GREATEST(0,
+           CASE WHEN p % 2 = 0 THEN p
+                WHEN p > 128 THEN p + 1 ELSE p - 1 END)) AS v
+  FROM tiles)
+SELECT media_id, frame_idx,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(nf) AS INT) AS n_frames,
+       CAST(10000 AS BIGINT) AS fps_e3,  -- encoder fps=10: 1e9 // 100000us
+       CAST(64 * SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INT) AS pixel_min,
+       CAST(MAX(v) AS INT) AS pixel_max,
+       -- sum over a tile's 64 cells of (x + y*w) = 512*tx+224 + w*(512*ty+224)
+       CAST(SUM(v * (512 * tx + 224 + w * (512 * ty + 224))) AS BIGINT)
+         AS pos_sum
+FROM tv GROUP BY media_id, frame_idx""",
         "gif_pixels": """WITH m AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,
          8 + event_id % 24 AS w,

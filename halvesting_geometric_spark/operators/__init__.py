@@ -125,14 +125,20 @@ from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
     audio_stats,
+    avi_mjpeg_bytes,
+    decode_avi,
     decode_gif,
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     extract_features,
     gif_pixel_stats,
+    jpeg_pixel_stats,
     parse_media_meta,
     pixel_stats,
     sample_frames,
+    video_frame_stats,
 )
 from halvesting_geometric_spark.operators.neighborhood import (
     effective_diameter,
@@ -337,7 +343,13 @@ __all__ = [
     "decode_wav",
     "decode_png",
     "decode_gif",
+    "decode_jpeg",
+    "encode_jpeg",
+    "decode_avi",
+    "avi_mjpeg_bytes",
     "gif_pixel_stats",
+    "jpeg_pixel_stats",
+    "video_frame_stats",
     "pixel_stats",
     "metapath_walks",
     "node2vec_walks",

@@ -8,13 +8,19 @@ filters) backs :func:`pixel_stats` and ``extract_features``'s
 (RIFF chunk walk + int16 frame de-multiplex) backs :func:`audio_stats`.
 *GIF pixel decode is REAL*: :func:`decode_gif` (block walk + variable-width
 LZW with clear/EOI handling, dictionary growth to 4096 and reset, palette
-mapping) backs :func:`gif_pixel_stats`.
-JPEG pixel decode and video frame decode
-remain stubbed behind ``decode_backend`` because no codec libraries exist in
-this container — ``deterministic_fake`` produces seeded pseudo-decodes so
-downstream operators (resize bookkeeping, frame sampling) have stable,
-testable outputs, and ``pillow``/``ffmpeg`` backends raise
-``NotImplementedError`` with the exact integration point documented.
+mapping) backs :func:`gif_pixel_stats`. *Baseline JPEG pixel decode is
+REAL*: :func:`decode_jpeg` (marker walk, declared-table canonical Huffman,
+byte destuffing, DC prediction, dequant + orthonormal IDCT, YCbCr) backs
+:func:`jpeg_pixel_stats` and — together with the PNG and GIF codecs — the
+``stdlib`` signature-dispatch backend of ``extract_features``.
+*Video frame decode is REAL for MJPEG-in-AVI*: :func:`decode_avi` (RIFF
+list walk, avih/strh validation, per-``00dc``-chunk baseline-JPEG decode)
+backs :func:`video_frame_stats` and ``sample_frames``'s ``stdlib`` backend.
+Every modality now has at least one real pure-stdlib codec path;
+``deterministic_fake`` remains for stable pseudo-decodes in plumbing tests,
+and the ``pillow``/``ffmpeg`` backends (external-library codecs: arbitrary
+image formats, H.264 video) raise ``NotImplementedError`` with the exact
+integration point documented.
 
 *Header metadata* is NOT stubbed: :func:`parse_media_meta` reads real
 PNG / JPEG / GIF container bytes (signatures, IHDR, SOFn markers, logical
@@ -1032,6 +1038,679 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Real baseline JPEG codec (pure stdlib + numpy — ITU T.81 baseline
+# sequential DCT, public file-format knowledge). Scope: 8-bit precision,
+# 1- or 3-component, no chroma subsampling (4:4:4), no restart intervals,
+# no progressive mode — out-of-scope inputs raise ValueError, mirroring
+# decode_png's documented subset.
+# --------------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Standard JPEG zigzag scan order, generated from its defining rule
+    (anti-diagonals d = row+col; odd d walks row-ascending, even d
+    row-descending) rather than a memorized table."""
+    order = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        for r in (rows if d % 2 == 1 else reversed(list(rows))):
+            order.append(r * 8 + (d - r))
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis per T.81: M[u, x] =
+    C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2 else 1. Forward block transform
+    is M·f·Mᵀ; inverse is Mᵀ·F·M."""
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+_JPEG_DCTM = _jpeg_dct_matrix()
+
+# Simple VALID canonical Huffman tables declared in DHT (any valid table is
+# legal — the decoder reads whatever the stream declares, so nothing here
+# depends on the Annex K example tables): DC categories 0..11 as 12 of the
+# 15 available 4-bit codes; the 256 run/size AC symbols as 255 nine-bit
+# codes plus one ten-bit code (a DHT count byte caps at 255; the all-ones
+# code stays reserved per spec).
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = list(range(256))
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """symbol → (code, length) per the T.81 canonical-code construction."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_round(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (deterministic, SQL-replayable — numpy's
+    default rounds half to even)."""
+    return np.trunc(x + np.sign(x) * 0.5)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(_jpeg_round(out), 0, 255)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    y = px[..., 0].astype(np.float64)
+    cb = px[..., 1].astype(np.float64) - 128.0
+    cr = px[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(_jpeg_round(out), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(pixels: np.ndarray, quant: int = 16) -> bytes:
+    """Baseline sequential JPEG encoder, pure stdlib + numpy: level shift,
+    orthonormal 8×8 DCT, uniform quantization table (``quant`` everywhere —
+    a legal custom table whose DC path has the closed form the oracle
+    replays), zigzag, DC prediction, run/size AC coding, canonical Huffman
+    per the declared DHT tables, byte stuffing. Input ``(h, w)`` or
+    ``(h, w, 1)`` grayscale, or ``(h, w, 3)`` RGB (encoded as YCbCr 4:4:4).
+    Edges pad by replication to 8×8 blocks; the SOF dimensions keep the
+    true size."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    if ncomp not in (1, 3):
+        raise ValueError(f"1 or 3 components supported, got {ncomp}")
+    planes = (
+        [px[:, :, 0].astype(np.float64)]
+        if ncomp == 1
+        else [
+            _rgb_to_ycbcr(px)[:, :, i].astype(np.float64) for i in range(3)
+        ]
+    )
+    bh, bw = -(-h // 8), -(-w // 8)
+    pad = [
+        np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        for p in planes
+    ]
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def put_val(v: int) -> None:
+        s = int(abs(v)).bit_length()
+        code, ln = dc_codes[s] if _dc_phase else ac_codes[_rs | s]
+        put(code, ln)
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    qtab = np.full(64, quant, dtype=np.float64)
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(ncomp):
+                blk = pad[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _JPEG_DCTM @ blk @ _JPEG_DCTM.T
+                scaled = coef.ravel()[_JPEG_ZZ] / qtab
+                # snap float-DCT epsilon (~1e-14) off exact halfway points so
+                # the quantizer decision is the closed form the oracle
+                # replays — the quantizer is the encoder's lossy choice, so
+                # any deterministic rule is spec-legal; the DECODER stays
+                # pure dequant+IDCT
+                scaled = np.round(scaled * 1e9) / 1e9
+                q = _jpeg_round(scaled).astype(np.int64)
+                diff = int(q[0]) - pred[c]
+                pred[c] = int(q[0])
+                _dc_phase, _rs = True, 0
+                put_val(diff)
+                _dc_phase = False
+                run = 0
+                nz = np.nonzero(q[1:])[0]
+                last = nz[-1] + 1 if nz.size else 0
+                for k in range(1, last + 1):
+                    if q[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        put(code, ln)
+                        run -= 16
+                    _rs = run << 4
+                    put_val(int(q[k]))
+                    run = 0
+                if last < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    put(code, ln)
+    if nbits:
+        put(0xFF, 8 - nbits)  # pad the last byte with 1-bits (flushes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([quant] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp)),
+    )
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+        + bytes([0, 63, 0]),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+
+
+def _jpeg_build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decode, pure stdlib + numpy: marker walk
+    (APPn/COM skip, DQT/DHT/SOF0/SOS), canonical Huffman decode from the
+    DECLARED tables, byte-destuffing, DC prediction, run/size AC expansion,
+    dequantize, un-zigzag, orthonormal IDCT, level shift, YCbCr→RGB for
+    3-component scans. Supported subset: 8-bit baseline, 1x1 sampling
+    (4:4:4), no restart intervals — ``ValueError`` otherwise. Returns
+    ``(height, width, components)`` uint8."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    h = w = None
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=o + 1
+                ).astype(np.float64)
+                tab = np.empty(64, dtype=np.float64)
+                tab[_JPEG_ZZ] = zz  # DQT stores zigzag order
+                qtabs[tq] = tab
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                htabs[(tc, th)] = _jpeg_build_decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nf = body[5]
+            for c in range(nf):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG not supported")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans not supported")
+            byid = {cid: i for i, (cid, _) in enumerate(comps)}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((byid[cid], tt >> 4, tt & 0x0F))
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if h is None or data_start is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+
+    # destuff entropy-coded bytes up to the next marker
+    ent = bytearray()
+    p = data_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                ent.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers not supported")
+            break
+        ent.append(b)
+        p += 1
+
+    bitpos = 0
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        byte, off = divmod(bitpos, 8)
+        if byte >= len(ent):
+            raise ValueError("entropy stream ended early")
+        bitpos += 1
+        return (ent[byte] >> (7 - off)) & 1
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_sym(table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bit()
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+    ]
+    pred = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, dct, act in scan:
+                dc_tab = htabs.get((0, dct))
+                ac_tab = htabs.get((1, act))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("scan references undeclared DHT table")
+                q = np.zeros(64, dtype=np.float64)
+                s = read_sym(dc_tab)
+                diff = extend(read_bits(s), s) if s else 0
+                pred[ci] += diff
+                q[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = read_sym(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    q[k] = extend(read_bits(s), s)
+                    k += 1
+                tab = qtabs.get(comps[ci][1])
+                if tab is None:
+                    raise ValueError("component references undeclared DQT")
+                coef = np.empty(64, dtype=np.float64)
+                coef[_JPEG_ZZ] = q * tab[_JPEG_ZZ]
+                blk = _JPEG_DCTM.T @ coef.reshape(8, 8) @ _JPEG_DCTM
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    stacked = np.stack(
+        [np.clip(_jpeg_round(p[:h, :w] + 128.0), 0, 255) for p in planes],
+        axis=-1,
+    )
+    if len(comps) == 3:
+        return _ycbcr_to_rgb(stacked)
+    return stacked.astype(np.uint8)
+
+
+def jpeg_full_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """COMPLETE valid baseline JPEG carrying REAL pixel data with an
+    EXACTLY SQL-replayable decode: a grayscale grid of constant 8×8 tiles
+    with tile value ``p(tx, ty) = (tx*7 + ty*13 + seed) % 256``. A constant
+    block's DCT is DC-only, so with the uniform quant table (16) the decoded
+    value has the closed form ``clamp(2·round((p-128)/2) + 128, 0, 255)`` —
+    p when p is even, p±1 toward 128±∞ when odd — which the oracle replays.
+    Width/height must be multiples of 8 so every block is one tile. Unlike
+    :func:`jpeg_bytes` (header-only fixture), this payload decodes
+    end-to-end with any baseline JPEG reader; the entropy stream exercises
+    Huffman DC prediction across every tile."""
+    if width % 8 or height % 8:
+        raise ValueError("tile fixture needs multiple-of-8 dims")
+    tx = np.arange(width // 8, dtype=np.int64)[None, :]
+    ty = np.arange(height // 8, dtype=np.int64)[:, None]
+    tiles = ((tx * 7 + ty * 13 + seed) % 256).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    return encode_jpeg(img, quant=16)
+
+
+JPEG_PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_px long, "
+    "pixel_sum long, pixel_min int, pixel_max int, pos_sum long, mean_e6 long"
+)
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics over REAL decoded baseline JPEG payloads
+    (:func:`decode_jpeg` — declared-table Huffman + dequant + IDCT, no codec
+    library). Same stat set as :func:`gif_pixel_stats` (sum/min/max over all
+    channel values, position-weighted sum ``Σ (x + y·w)·Σ_c v``, e6 mean
+    over channel values) so layout errors cannot hash-match.
+
+    Arrow-batched mapInPandas; narrow (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg(payload)
+                h, w, _ = px.shape
+                v64 = px.astype(np.int64)
+                v3 = v64.sum(axis=2)
+                posg = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + np.arange(h, dtype=np.int64)[:, None] * w
+                )
+                tot = int(v64.sum())
+                nv = int(v64.size)
+                rows.append(
+                    (
+                        int(mid), w, h, w * h, tot,
+                        int(v64.min()), int(v64.max()),
+                        int((posg * v3).sum()),
+                        (tot * 1_000_000 + nv // 2) // nv,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "width", "height", "n_px", "pixel_sum",
+                        "pixel_min", "pixel_max", "pos_sum", "mean_e6",
+                    ],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=JPEG_PIXEL_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Real MJPEG-in-AVI video codec (pure stdlib — Microsoft RIFF/AVI container
+# layout, public file-format knowledge; each frame is a baseline JPEG decoded
+# by the real codec above). Scope: one 'vids' stream with the MJPG fourcc,
+# no interleaved audio, no OpenDML extensions — out-of-scope inputs raise
+# ValueError, mirroring decode_png/decode_jpeg's documented subsets.
+# --------------------------------------------------------------------------
+
+
+def _le32(v: int) -> bytes:
+    return int(v).to_bytes(4, "little")
+
+
+def _le16(v: int) -> bytes:
+    return int(v).to_bytes(2, "little")
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """FOURCC + little-endian size + body, padded to even length (the size
+    field excludes the pad byte, per the RIFF rule the WAV walker already
+    honors on read)."""
+    return fourcc + _le32(len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def avi_mjpeg_bytes(
+    width: int, height: int, n_frames: int, seed: int = 0, fps: int = 10
+) -> bytes:
+    """COMPLETE valid AVI (RIFF) file carrying REAL MJPEG video: frame ``f``
+    is the full baseline JPEG :func:`jpeg_full_bytes`\\ ``(width, height,
+    seed + 17*f)`` — a grid of constant 8×8 tiles whose decode has the exact
+    closed form the `video_frames` oracle replays. The container is the
+    standard layout any AVI reader accepts: ``LIST hdrl`` (``avih`` main
+    header, ``LIST strl`` with a 'vids'/'MJPG' ``strh`` and a
+    BITMAPINFOHEADER ``strf``), ``LIST movi`` with one ``00dc`` chunk per
+    frame, and a keyframe ``idx1`` index."""
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    frames = [
+        jpeg_full_bytes(width, height, seed + 17 * f) for f in range(n_frames)
+    ]
+    usec = 1_000_000 // fps
+    max_frame = max(len(fr) for fr in frames)
+    avih = _riff_chunk(
+        b"avih",
+        _le32(usec)                    # dwMicroSecPerFrame
+        + _le32(max_frame * fps)       # dwMaxBytesPerSec
+        + _le32(0)                     # dwPaddingGranularity
+        + _le32(0x10)                  # dwFlags: AVIF_HASINDEX
+        + _le32(n_frames)              # dwTotalFrames
+        + _le32(0)                     # dwInitialFrames
+        + _le32(1)                     # dwStreams
+        + _le32(max_frame)             # dwSuggestedBufferSize
+        + _le32(width)
+        + _le32(height)
+        + _le32(0) * 4,                # dwReserved
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + _le32(0)                     # dwFlags
+        + _le16(0) + _le16(0)          # wPriority, wLanguage
+        + _le32(0)                     # dwInitialFrames
+        + _le32(1)                     # dwScale
+        + _le32(fps)                   # dwRate (rate/scale = fps)
+        + _le32(0)                     # dwStart
+        + _le32(n_frames)              # dwLength
+        + _le32(max_frame)             # dwSuggestedBufferSize
+        + _le32(0xFFFFFFFF)            # dwQuality (default)
+        + _le32(0)                     # dwSampleSize (0: varying frames)
+        + _le16(0) + _le16(0) + _le16(width) + _le16(height),  # rcFrame
+    )
+    strf = _riff_chunk(
+        b"strf",
+        _le32(40)                      # biSize
+        + _le32(width)
+        + _le32(height)
+        + _le16(1) + _le16(24)         # biPlanes, biBitCount
+        + b"MJPG"                      # biCompression
+        + _le32(width * height * 3)    # biSizeImage
+        + _le32(0) * 4,                # pels/meter, clr used/important
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_body = b""
+    index = b""
+    for fr in frames:
+        # idx1 offsets are from the 'movi' list-type fourcc (offset 4 lands
+        # on the first chunk id), the convention real muxers emit
+        index += b"00dc" + _le32(0x10) + _le32(4 + len(movi_body)) + _le32(len(fr))
+        movi_body += _riff_chunk(b"00dc", fr)
+    movi = _riff_list(b"movi", movi_body)
+    idx1 = _riff_chunk(b"idx1", index)
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _le32(len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
+    """Real AVI/MJPEG video decode, pure stdlib + numpy: RIFF list walk,
+    main-header (``avih``) parse, MJPG stream validation against ``strh``,
+    ``movi`` chunk iteration, and a full :func:`decode_jpeg` of every video
+    frame chunk (``##dc``/``##db``). Returns ``(frames, meta)`` where frames
+    are ``(h, w, channels)`` uint8 arrays and meta carries
+    ``width/height/n_frames/usec_per_frame``. Raises ``ValueError`` on
+    non-AVI payloads, non-MJPG streams, truncated chunks, or frame
+    dimensions that contradict the header."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if payload[8:12] != b"AVI ":
+        raise ValueError("RIFF payload is not AVI")
+
+    meta: dict = {}
+    frames: list[np.ndarray] = []
+    handler: bytes | None = None
+
+    def walk(buf: bytes, in_movi: bool) -> None:
+        nonlocal handler
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + clen]
+            if len(body) != clen:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(body[4:], in_movi or body[:4] == b"movi")
+            elif cid == b"avih":
+                if clen < 40:
+                    raise ValueError("avih main header too short")
+                meta.update(
+                    usec_per_frame=int.from_bytes(body[0:4], "little"),
+                    n_frames=int.from_bytes(body[16:20], "little"),
+                    width=int.from_bytes(body[32:36], "little"),
+                    height=int.from_bytes(body[36:40], "little"),
+                )
+            elif cid == b"strh":
+                if body[:4] == b"vids":
+                    handler = body[4:8]
+            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(decode_jpeg(bytes(body)))
+            pos += 8 + clen + (clen & 1)
+
+    walk(payload[12:], False)
+    if not meta:
+        raise ValueError("AVI missing avih main header")
+    if handler is not None and handler not in (b"MJPG", b"mjpg"):
+        raise ValueError(f"only MJPG streams supported, got {handler!r}")
+    for px in frames:
+        if px.shape[1] != meta["width"] or px.shape[0] != meta["height"]:
+            raise ValueError(
+                f"frame {px.shape[1]}x{px.shape[0]} contradicts header "
+                f"{meta['width']}x{meta['height']}"
+            )
+    if meta.get("n_frames") not in (None, len(frames)):
+        raise ValueError(
+            f"header declares {meta['n_frames']} frames, movi carries "
+            f"{len(frames)}"
+        )
+    return frames, meta
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, n_frames int, "
+    "fps_e3 long, pixel_sum long, pixel_min int, pixel_max int, pos_sum long"
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-FRAME pixel statistics over REAL decoded AVI/MJPEG payloads
+    (:func:`decode_avi` → :func:`decode_jpeg` per frame — no codec library).
+    One output row per video frame with the same stat set as
+    :func:`jpeg_pixel_stats` plus the container's frame count and exact
+    fps·1000, so both the JPEG entropy decode AND the RIFF container walk
+    must be right for the oracle to hash-match.
+
+    Arrow-batched mapInPandas; narrow (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, meta = decode_avi(payload)
+                fps_e3 = 1_000_000_000 // meta["usec_per_frame"]
+                for fi, px in enumerate(frames):
+                    h, w, _ = px.shape
+                    v64 = px.astype(np.int64)
+                    v3 = v64.sum(axis=2)
+                    posg = (
+                        np.arange(w, dtype=np.int64)[None, :]
+                        + np.arange(h, dtype=np.int64)[:, None] * w
+                    )
+                    rows.append(
+                        (
+                            int(mid), fi, w, h, len(frames), fps_e3,
+                            int(v64.sum()), int(v64.min()), int(v64.max()),
+                            int((posg * v3).sum()),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "frame_idx", "width", "height",
+                        "n_frames", "fps_e3", "pixel_sum", "pixel_min",
+                        "pixel_max", "pos_sum",
+                    ],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a codec: payload bytes → pseudo-pixel array.
 
@@ -1056,22 +1735,30 @@ def extract_features(
     if decode_backend == "pillow":
         raise NotImplementedError(
             "pillow backend: swap _fake_decode for PIL.Image.open; "
-            "container lacks the library (marked stub by design)"
+            "container lacks the library (marked stub by design — the "
+            "'stdlib' backend already decodes PNG/GIF/baseline-JPEG for "
+            "real without it)"
         )
-    if decode_backend not in ("deterministic_fake", "png_stdlib"):
+    if decode_backend not in ("deterministic_fake", "png_stdlib", "stdlib"):
         raise ValueError(f"unknown decode_backend {decode_backend!r}")
 
-    def _png_hist_features(p: bytes) -> list[float]:
-        # REAL decode path: pure-stdlib PNG inflate+unfilter, then an 8-bin
-        # normalized intensity histogram as the feature vector
-        px = decode_png(p)
+    def _hist_features(p: bytes) -> list[float]:
+        # REAL decode path: pure-stdlib codecs dispatched by signature
+        # (PNG inflate+unfilter, GIF LZW, baseline JPEG Huffman+IDCT),
+        # then an 8-bin normalized intensity histogram
+        if p[:2] == b"\xff\xd8":
+            px = decode_jpeg(p)
+        elif p[:4] == b"GIF8":
+            px = decode_gif(p)
+        else:
+            px = decode_png(p)
         hist = np.bincount(px.reshape(-1) >> 5, minlength=8).astype(np.float64)
         return (hist / px.size).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend == "png_stdlib":
-                feats = [_png_hist_features(p) for p in pdf["payload"]]
+            if decode_backend in ("png_stdlib", "stdlib"):
+                feats = [_hist_features(p) for p in pdf["payload"]]
             else:
                 feats = [
                     _fake_decode(p).tolist() for p in pdf["payload"]
@@ -1101,9 +1788,49 @@ def sample_frames(
 
     Frame expansion is fully vectorized (repeat + cumsum-arange, splitmix64
     frame hash over uint64 arrays); the only per-item step is the codec slot
-    itself, which a real backend replaces wholesale."""
-    if decode_backend != "deterministic_fake":
-        raise NotImplementedError("only the deterministic_fake backend exists here")
+    itself, which a real backend replaces wholesale.
+
+    ``decode_backend="stdlib"`` is the REAL path for AVI/MJPEG payloads:
+    :func:`decode_avi` decodes every frame (RIFF walk + baseline-JPEG
+    Huffman/IDCT), the container's own ``usec_per_frame`` converts
+    ``every_ms`` to a frame stride, and ``frame_hash`` is the decoded
+    frame's actual pixel sum — a value that only exists if the entropy
+    decode ran. ``ffmpeg`` (compressed codecs: H.264 etc.) remains the one
+    documented stub."""
+    if decode_backend == "ffmpeg":
+        raise NotImplementedError(
+            "ffmpeg backend: pipe payload through ffmpeg -f image2pipe; "
+            "container lacks the binary (marked stub by design — the "
+            "'stdlib' backend already decodes MJPEG-AVI frames for real)"
+        )
+    if decode_backend not in ("deterministic_fake", "stdlib"):
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
+
+    if decode_backend == "stdlib":
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, hashes = [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    frames, meta = decode_avi(payload)
+                    stride = max(1, every_ms * 1000 // meta["usec_per_frame"])
+                    for fi in range(0, len(frames), stride):
+                        ids.append(int(mid))
+                        idxs.append(fi)
+                        hashes.append(int(frames[fi].astype(np.int64).sum()))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(ids, dtype=np.int64),
+                        "frame_idx": pd.Series(idxs, dtype=np.int32),
+                        "frame_hash": pd.Series(hashes, dtype=np.int64),
+                    }
+                )
+
+        return (
+            media.filter(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(run_real, schema=FRAMES_SCHEMA)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -55,6 +55,12 @@ KERNELS = {
     # gif_pixels: GIF synthesis (enc) + pure-stdlib LZW decode
     # (gif_pixel_stats), both Arrow-batched mapInPandas
     "gif_pixels": "media",
+    # jpeg_pixels: baseline JPEG synthesis (enc) + pure-stdlib
+    # Huffman/IDCT decode (jpeg_pixel_stats), both Arrow-batched mapInPandas
+    "jpeg_pixels": "media",
+    # video_frames: AVI/MJPEG synthesis (enc) + pure-stdlib RIFF walk with
+    # per-frame JPEG decode (video_frame_stats), both Arrow-batched
+    "video_frames": "media",
     # semdedup95: IVF Arrow matmul assignment kernel; the pair scan itself
     # is pure Catalyst (unrolled cosine)
     "semdedup95": "ivf",
