@@ -2170,6 +2170,55 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(media)
 
 
+def _q_resize16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize pipeline, every stage a real codec: baseline JPEGs
+    (constant-8×8-tile fixtures from events arithmetic) → signature-dispatch
+    decode → exact 16× box downscale (each output pixel = round-half-up
+    integer mean of a 16×16 block spanning FOUR tiles, so the resize really
+    mixes decoded values) → lossless PNG re-encode (multimodal.encode_png)
+    → pixel_stats' independent PNG decode. The oracle replays the closed
+    form: block mean of four DC-only tile values = (v00+v01+v10+v11+2)//4.
+    Two chained Arrow kernels over binary columns; green requires the JPEG
+    entropy decode, the integer resize, AND the PNG round-trip all exact."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.multimodal import (
+        jpeg_full_bytes,
+        pixel_stats,
+        resize_images,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 131 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(16) * (F.lit(1) + F.col("event_id") % 3))
+            .cast("int")
+            .alias("w"),
+            (F.lit(16) * (F.lit(1) + (F.col("event_id") * 7) % 3))
+            .cast("int")
+            .alias("h"),
+            (F.col("event_id") % 53).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        jpeg_full_bytes(int(w), int(h), int(sd))
+                        for w, h, sd in zip(pdf["w"], pdf["h"], pdf["s"])
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return pixel_stats(resize_images(media, factor=16))
+
+
 def _q_dsir256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (mixing.dsir_scores): hashed unigram+bigram
     features (portable hash, 256 buckets), add-0.5-smoothed bucket models
@@ -3700,6 +3749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     see the comment above it."""
     q = {
         # -- queries new this session: front of the capture window --
+        # (the real-codec gates lead: they certify the round's pure-stdlib
+        # JPEG and AVI/MJPEG decode paths, the most load-bearing additions)
+        "jpeg_pixels": _q_jpeg_pixels,
+        "video_frames": _q_video_frames,
+        "resize16": _q_resize16,
         "freq_seq3": _q_freq_seq3,
         "treach4": _q_treach4,
         "holes": _q_holes,
@@ -3806,8 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": _q_media_pixels,
         "audio_pcm": _q_audio_pcm,
         "gif_pixels": _q_gif_pixels,
-        "jpeg_pixels": _q_jpeg_pixels,
-        "video_frames": _q_video_frames,
+        # jpeg_pixels / video_frames registered in the round-4 front block
         "substr_dedup5": _q_substr_dedup5,
         "semdedup95": _q_semdedup95,
         "coarsen12": _q_coarsen12,
@@ -7121,6 +7174,44 @@ SELECT media_id,
        CAST((64 * SUM(v) * 1000000 + (MAX(w) * MAX(h)) // 2)
             // (MAX(w) * MAX(h)) AS BIGINT) AS mean_e6
 FROM tv GROUP BY media_id""",
+        "resize16": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         16 * (1 + event_id % 3) AS w,
+         16 * (1 + (event_id * 7) % 3) AS h,
+         event_id % 53 AS s
+  FROM events WHERE event_id % 131 = 0),
+opx AS (
+  SELECT m.media_id, m.w, m.h, m.s, ox.x AS ox, oy.y AS oy
+  FROM m
+  JOIN range(0, 3) ox(x) ON ox.x < m.w // 16
+  JOIN range(0, 3) oy(y) ON oy.y < m.h // 16),
+quads AS (
+  SELECT media_id, w, h, ox, oy,
+         ((2 * ox + dx.d) * 7 + (2 * oy + dy.d) * 13 + s) % 256 AS p
+  FROM opx
+  CROSS JOIN range(0, 2) dx(d)
+  CROSS JOIN range(0, 2) dy(d)),
+tv AS (
+  -- constant 8x8 tile => DC-only DCT; decoded value closed form
+  SELECT media_id, w, h, ox, oy,
+         LEAST(255, GREATEST(0,
+           CASE WHEN p % 2 = 0 THEN p
+                WHEN p > 128 THEN p + 1 ELSE p - 1 END)) AS v
+  FROM quads),
+px AS (
+  -- 16x16 box mean over four tiles: (64*Sv + 128) // 256 = (Sv + 2) // 4
+  SELECT media_id, w, h, ox, oy, (SUM(v) + 2) // 4 AS vout
+  FROM tv GROUP BY media_id, w, h, ox, oy)
+SELECT media_id,
+       CAST(MAX(w) // 16 AS INT) AS width,
+       CAST(MAX(h) // 16 AS INT) AS height,
+       CAST((MAX(w) // 16) * (MAX(h) // 16) AS BIGINT) AS n_px,
+       CAST(SUM(vout) AS BIGINT) AS pixel_sum,
+       CAST(MIN(vout) AS INT) AS pixel_min,
+       CAST(MAX(vout) AS INT) AS pixel_max,
+       CAST((SUM(vout) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+         AS mean_e6
+FROM px GROUP BY media_id""",
         "video_frames": """WITH m AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,
          8 * (1 + event_id % 3) AS w,

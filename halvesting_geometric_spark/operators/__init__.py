@@ -126,8 +126,11 @@ from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
     audio_stats,
     avi_mjpeg_bytes,
+    box_resize,
     decode_avi,
     decode_gif,
+    decode_image,
+    encode_png,
     decode_jpeg,
     decode_png,
     decode_wav,
@@ -137,6 +140,7 @@ from halvesting_geometric_spark.operators.multimodal import (
     jpeg_pixel_stats,
     parse_media_meta,
     pixel_stats,
+    resize_images,
     sample_frames,
     video_frame_stats,
 )
@@ -347,6 +351,10 @@ __all__ = [
     "encode_jpeg",
     "decode_avi",
     "avi_mjpeg_bytes",
+    "decode_image",
+    "encode_png",
+    "box_resize",
+    "resize_images",
     "gif_pixel_stats",
     "jpeg_pixel_stats",
     "video_frame_stats",

@@ -61,6 +61,9 @@ KERNELS = {
     # video_frames: AVI/MJPEG synthesis (enc) + pure-stdlib RIFF walk with
     # per-frame JPEG decode (video_frame_stats), both Arrow-batched
     "video_frames": "media",
+    # resize16: JPEG synthesis (enc) + decode→box-resize→PNG re-encode
+    # (resize_images) + independent PNG decode (pixel_stats), all Arrow
+    "resize16": "media",
     # semdedup95: IVF Arrow matmul assignment kernel; the pair scan itself
     # is pure Catalyst (unrolled cosine)
     "semdedup95": "ivf",
