@@ -2219,6 +2219,147 @@ def _q_resize16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(resize_images(media, factor=16))
 
 
+def _q_patches16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokens over REAL JPEG decodes
+    (media_analysis.patchify): constant-tile baseline JPEGs → signature
+    dispatch decode → 16×16 patch grid, each patch spanning FOUR 8×8 tiles,
+    one row per patch with exact integer stats. The oracle replays the
+    DC-only closed form per quad — green means the patch grid geometry AND
+    the entropy decode are both exact. Bit-exact by construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.media_analysis import patchify
+    from halvesting_geometric_spark.operators.multimodal import (
+        jpeg_full_bytes,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 127 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(16) * (F.lit(1) + F.col("event_id") % 3))
+            .cast("int")
+            .alias("w"),
+            (F.lit(16) * (F.lit(1) + (F.col("event_id") * 7) % 3))
+            .cast("int")
+            .alias("h"),
+            (F.col("event_id") % 59).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        jpeg_full_bytes(int(w), int(h), int(sd))
+                        for w, h, sd in zip(pdf["w"], pdf["h"], pdf["s"])
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return patchify(media, patch=16)
+
+
+def _q_frame_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame differencing over REAL AVI/MJPEG decodes
+    (media_analysis.frame_diff_stats): consecutive decoded frames reduced
+    to exact integer L1 diffs / changed-pixel counts / max per-value change
+    — the primitive under scene-cut detection. Frame f's tile seed is
+    s+17f, so the oracle replays |v(s+17f) − v(s+17(f−1))| per tile in
+    closed form. Bit-exact by construction."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.media_analysis import (
+        frame_diff_stats,
+    )
+    from halvesting_geometric_spark.operators.multimodal import (
+        avi_mjpeg_bytes,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 223 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(8) * (F.lit(1) + F.col("event_id") % 3))
+            .cast("int")
+            .alias("w"),
+            (F.lit(8) * (F.lit(1) + (F.col("event_id") * 5) % 3))
+            .cast("int")
+            .alias("h"),
+            (F.lit(2) + F.col("event_id") % 3).cast("int").alias("nf"),
+            (F.col("event_id") % 43).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        avi_mjpeg_bytes(
+                            int(w), int(h), int(nf), int(sd), fps=10
+                        )
+                        for w, h, nf, sd in zip(
+                            pdf["w"], pdf["h"], pdf["nf"], pdf["s"]
+                        )
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return frame_diff_stats(media)
+
+
+def _q_pitch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation pitch estimate over REAL WAV PCM16 decodes
+    (media_analysis.pitch_estimate ∘ audio_autocorr): exact int64
+    ``R(k) = Σ v[t]·v[t+k]`` over decoded samples for lags 0..6, then the
+    arg-max lag ≥1 via a Catalyst window (ties → smallest lag). The decode
+    kernel runs once; the oracle replays R(k) with a lagged self-join over
+    the fixture waveform's closed form ``((t·37 + c·1009 + s·131) % 4001)
+    − 2000``. Bit-exact by construction — no floats anywhere."""
+    import pandas as pd
+
+    from halvesting_geometric_spark.operators.media_analysis import (
+        pitch_estimate,
+    )
+    from halvesting_geometric_spark.operators.multimodal import (
+        wav_full_bytes,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 149 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("media_id"),
+            (F.lit(1) + F.col("event_id") % 2).cast("int").alias("ch"),
+            (F.lit(128) + F.col("event_id") % 64).cast("int").alias("n"),
+            (F.col("event_id") % 29).cast("int").alias("s"),
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        wav_full_bytes(int(c), 8000, int(n), int(sd))
+                        for c, n, sd in zip(pdf["ch"], pdf["n"], pdf["s"])
+                    ],
+                }
+            )
+
+    media = ev.mapInPandas(enc, "media_id long, payload binary")
+    return pitch_estimate(media, max_lag=6)
+
+
 def _q_dsir256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (mixing.dsir_scores): hashed unigram+bigram
     features (portable hash, 256 buckets), add-0.5-smoothed bucket models
@@ -3754,6 +3895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pixels": _q_jpeg_pixels,
         "video_frames": _q_video_frames,
         "resize16": _q_resize16,
+        "patches16": _q_patches16,
+        "frame_diffs": _q_frame_diffs,
+        "pitch6": _q_pitch6,
         "freq_seq3": _q_freq_seq3,
         "treach4": _q_treach4,
         "holes": _q_holes,
@@ -7212,6 +7356,97 @@ SELECT media_id,
        CAST((SUM(vout) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
          AS mean_e6
 FROM px GROUP BY media_id""",
+        "patches16": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         16 * (1 + event_id % 3) AS w,
+         16 * (1 + (event_id * 7) % 3) AS h,
+         event_id % 59 AS s
+  FROM events WHERE event_id % 127 = 0),
+opx AS (
+  SELECT m.media_id, m.w, m.h, m.s, gx.x AS gx, gy.y AS gy
+  FROM m
+  JOIN range(0, 3) gx(x) ON gx.x < m.w // 16
+  JOIN range(0, 3) gy(y) ON gy.y < m.h // 16),
+quads AS (
+  SELECT media_id, gx, gy,
+         ((2 * gx + dx.d) * 7 + (2 * gy + dy.d) * 13 + s) % 256 AS p
+  FROM opx
+  CROSS JOIN range(0, 2) dx(d)
+  CROSS JOIN range(0, 2) dy(d)),
+tv AS (
+  -- constant 8x8 tile => DC-only DCT; decoded value closed form
+  SELECT media_id, gx, gy,
+         LEAST(255, GREATEST(0,
+           CASE WHEN p % 2 = 0 THEN p
+                WHEN p > 128 THEN p + 1 ELSE p - 1 END)) AS v
+  FROM quads)
+SELECT media_id,
+       CAST(gy AS INT) AS py,
+       CAST(gx AS INT) AS px,
+       CAST(64 * SUM(v) AS BIGINT) AS patch_sum,
+       CAST(MIN(v) AS INT) AS patch_min,
+       CAST(MAX(v) AS INT) AS patch_max,
+       CAST((64 * SUM(v) * 1000000 + 128) // 256 AS BIGINT) AS mean_e6
+FROM tv GROUP BY media_id, gy, gx""",
+        "frame_diffs": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         8 * (1 + event_id % 3) AS w,
+         8 * (1 + (event_id * 5) % 3) AS h,
+         2 + event_id % 3 AS nf,
+         event_id % 43 AS s
+  FROM events WHERE event_id % 223 = 0),
+fr AS (
+  SELECT m.*, CAST(f.f AS INT) AS frame_idx
+  FROM m JOIN range(1, 4) f(f) ON f.f < m.nf),
+tiles AS (
+  SELECT fr.media_id, fr.frame_idx, tx.x AS tx, ty.y AS ty,
+         (tx.x * 7 + ty.y * 13 + fr.s + 17 * (fr.frame_idx - 1)) % 256 AS pp,
+         (tx.x * 7 + ty.y * 13 + fr.s + 17 * fr.frame_idx) % 256 AS pc
+  FROM fr
+  JOIN range(0, 3) tx(x) ON tx.x < fr.w // 8
+  JOIN range(0, 3) ty(y) ON ty.y < fr.h // 8),
+tv AS (
+  SELECT media_id, frame_idx,
+         LEAST(255, GREATEST(0,
+           CASE WHEN pp % 2 = 0 THEN pp
+                WHEN pp > 128 THEN pp + 1 ELSE pp - 1 END)) AS vp,
+         LEAST(255, GREATEST(0,
+           CASE WHEN pc % 2 = 0 THEN pc
+                WHEN pc > 128 THEN pc + 1 ELSE pc - 1 END)) AS vc
+  FROM tiles)
+SELECT media_id, frame_idx,
+       CAST(64 * SUM(ABS(vc - vp)) AS BIGINT) AS diff_sum,
+       CAST(64 * SUM(CASE WHEN vc <> vp THEN 1 ELSE 0 END) AS BIGINT)
+         AS changed_px,
+       CAST(MAX(ABS(vc - vp)) AS INT) AS max_px_diff
+FROM tv GROUP BY media_id, frame_idx""",
+        "pitch6": """WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id,
+         1 + event_id % 2 AS ch,
+         128 + event_id % 64 AS n,
+         event_id % 29 AS s
+  FROM events WHERE event_id % 149 = 0),
+r AS (
+  SELECT m.media_id, k.k AS lag,
+         SUM( ((t.t * 37 + c.c * 1009 + m.s * 131) % 4001 - 2000)
+            * (((t.t + k.k) * 37 + c.c * 1009 + m.s * 131) % 4001 - 2000))
+           AS r
+  FROM m
+  CROSS JOIN range(0, 7) k(k)
+  JOIN range(0, 192) t(t) ON t.t < m.n - k.k
+  JOIN range(0, 2) c(c) ON c.c < m.ch
+  GROUP BY m.media_id, k.k),
+best AS (
+  SELECT media_id, lag, r,
+         ROW_NUMBER() OVER (PARTITION BY media_id
+                            ORDER BY r DESC, lag ASC) AS rn
+  FROM r WHERE lag >= 1),
+r0 AS (SELECT media_id, r AS r0 FROM r WHERE lag = 0)
+SELECT b.media_id,
+       CAST(b.lag AS INT) AS pitch_lag,
+       CAST(b.r AS BIGINT) AS r_peak,
+       CAST(r0.r0 AS BIGINT) AS r0
+FROM best b JOIN r0 USING (media_id) WHERE rn = 1""",
         "video_frames": """WITH m AS (
   SELECT CAST(event_id AS BIGINT) AS media_id,
          8 * (1 + event_id % 3) AS w,

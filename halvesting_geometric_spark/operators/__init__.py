@@ -122,6 +122,12 @@ from halvesting_geometric_spark.operators.embeddings import (
     pca_project,
 )
 from halvesting_geometric_spark.operators.kcore import coreness, kcore_members
+from halvesting_geometric_spark.operators.media_analysis import (
+    audio_autocorr,
+    frame_diff_stats,
+    patchify,
+    pitch_estimate,
+)
 from halvesting_geometric_spark.operators.mis import maximal_independent_set
 from halvesting_geometric_spark.operators.multimodal import (
     audio_stats,
@@ -358,6 +364,10 @@ __all__ = [
     "gif_pixel_stats",
     "jpeg_pixel_stats",
     "video_frame_stats",
+    "patchify",
+    "frame_diff_stats",
+    "audio_autocorr",
+    "pitch_estimate",
     "pixel_stats",
     "metapath_walks",
     "node2vec_walks",

@@ -64,6 +64,11 @@ KERNELS = {
     # resize16: JPEG synthesis (enc) + decode→box-resize→PNG re-encode
     # (resize_images) + independent PNG decode (pixel_stats), all Arrow
     "resize16": "media",
+    # media-analysis gates: synthesis kernel + real-decode analysis kernel
+    # (patchify / frame_diff_stats / audio_autocorr), all Arrow-batched
+    "patches16": "media",
+    "frame_diffs": "media",
+    "pitch6": "media",
     # semdedup95: IVF Arrow matmul assignment kernel; the pair scan itself
     # is pure Catalyst (unrolled cosine)
     "semdedup95": "ivf",
