@@ -786,6 +786,13 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
                 break
     if cur is not None:
         emit(cur, width)
+        # the decoder appends one entry for EVERY code after the first, so
+        # processing this final code grows its table to nxt even though the
+        # encoder adds nothing — if that lands exactly on 1 << width the
+        # decoder bumps before reading EOI, and the EOI must be written at
+        # the bumped width
+        if nxt == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

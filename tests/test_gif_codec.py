@@ -107,6 +107,25 @@ def test_lzw_roundtrip_forces_full_table_reset():
     assert idx.size > 4096
 
 
+def test_lzw_final_code_width_bump_before_eoi():
+    # Regression: when the decoder's dictionary reaches exactly 1 << width
+    # while processing the FINAL data code (the decoder appends an entry for
+    # every code, even though the encoder adds none after its loop ends),
+    # the decoder bumps the code width before reading EOI — the encoder must
+    # write EOI at the bumped width. The 64x48 gradient image hit this:
+    # its 249th (last) code grew the decoder table to 256 == 1 << 8.
+    px = decode_gif(gif_full_bytes(64, 48, seed=0))
+    assert np.array_equal(px, _expected(64, 48, 0))
+    # raw-codec fuzz across lengths straddling power-of-two table sizes
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        mcs = int(rng.integers(2, 9))
+        ln = int(rng.integers(200, 5000))
+        idx = rng.integers(0, 1 << mcs, size=ln, dtype=np.int64)
+        out = _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, ln)
+        assert np.array_equal(out, idx)
+
+
 def test_lzw_roundtrip_repetitive_stream():
     # highly compressible input drives deep dictionary phrases (cScSc hits)
     idx = np.tile(np.array([0, 0, 1, 0, 0, 1, 1]), 3000)
