@@ -52,7 +52,8 @@ def gen_media(n: int, kind: str, parts: int = 64):
                 i = int(i)
                 if kind == "image":
                     # rotate through the three real image codecs
-                    w, h = 48 + (i % 3) * 16, 48 + (i % 5) * 8
+                    # multiples of 16 so the ViT patchify stage accepts them
+                    w, h = 48 + (i % 3) * 16, 48 + (i % 5) * 16
                     fmt = i % 3
                     if fmt == 0:
                         p = MM.png_full_bytes(w, h, seed=i % 251, color_type=2)
