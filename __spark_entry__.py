@@ -3868,6 +3868,71 @@ def _q_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_rate_matrix(cmp_df)
 
 
+def _q_rankcent5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank Centrality (preference.rank_centrality, Negahban–Oh–Shah walk),
+    5 power-iteration steps over the cited-wins comparison log; mean-1
+    scores at e6 fixed point — same rounding contract as bt5/pagerank5."""
+    from halvesting_geometric_spark.operators.preference import (
+        rank_centrality,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    cmp_df = edges.select(
+        F.col("dst").alias("winner"), F.col("src").alias("loser")
+    )
+    res = rank_centrality(cmp_df, fixed_iters=5)
+    return res.select(
+        F.col("item").alias("vertex_id"),
+        F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_e6"),
+    )
+
+
+def _q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO chosen/rejected construction (preference.dpo_pairs) by per-pair
+    strict majority over the cited-wins log; exact integers end to end."""
+    from halvesting_geometric_spark.operators.preference import dpo_pairs
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    cmp_df = edges.select(
+        F.col("dst").alias("winner"), F.col("src").alias("loser")
+    )
+    return dpo_pairs(cmp_df)
+
+
+def _q_pref_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-tournament 3-cycle count (preference.tournament_cycles) —
+    the rock-paper-scissors inconsistency audit, default degree cap."""
+    from halvesting_geometric_spark.operators.preference import (
+        tournament_cycles,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    cmp_df = edges.select(
+        F.col("dst").alias("winner"), F.col("src").alias("loser")
+    )
+    return tournament_cycles(cmp_df)
+
+
+def _q_spearman_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (evalmetrics.spearman_correlation)
+    between per-vertex in-degree and out-degree — midrank ties, two-phase
+    scalable rank assignment, exact integer moments."""
+    from halvesting_geometric_spark.operators.evalmetrics import (
+        spearman_correlation,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    indeg = edges.groupBy(F.col("dst").alias("item")).agg(
+        F.count("*").alias("value")
+    )
+    outdeg = edges.groupBy(F.col("src").alias("item")).agg(
+        F.count("*").alias("value")
+    )
+    return spearman_correlation(indeg, outdeg)
+
+
 # Driver-capture rotation: the correctness gate records only the FIRST ~50
 # entries of queries() per round (observed cap, CORRECTNESS_r02.json), so
 # gates never hash-matched by any official CORRECTNESS_r0N.json round come
@@ -3928,6 +3993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JPEG and AVI/MJPEG decode paths, the most load-bearing additions)
         "bt5": _q_bt5,
         "win_rates": _q_win_rates,
+        "rankcent5": _q_rankcent5,
+        "dpo_pairs": _q_dpo_pairs,
+        "pref_cycles": _q_pref_cycles,
+        "spearman_deg": _q_spearman_deg,
         "jpeg_pixels": _q_jpeg_pixels,
         "video_frames": _q_video_frames,
         "resize16": _q_resize16,
@@ -4248,6 +4317,55 @@ btp{k} AS MATERIALIZED (
         f"SELECT i AS vertex_id, "
         f"CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS strength_e6 "
         f"FROM btp{iters}"
+    )
+
+
+def _rankcent_sql(iters: int) -> str:
+    """Rank Centrality twin: the Negahban–Oh–Shah walk unrolled — move
+    fractions (wins of j over i)/n_ij, d_max row normalization, self-loop
+    remainder, uniform start, mean-1 rescale at the end — mirrors
+    operators/preference.py:rank_centrality expression for expression."""
+    parts = [
+        _BASE,
+        """rcc AS (SELECT dst AS w, src AS l FROM edges WHERE src <> dst),
+rcu AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+               CAST(SUM(CASE WHEN w = least(w, l) THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS wa,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM rcc GROUP BY 1, 2),
+rce AS MATERIALIZED (
+  SELECT a AS i, b AS j, (n - wa) / n AS aij FROM rcu
+  UNION ALL SELECT b AS i, a AS j, wa / n AS aij FROM rcu),
+rco AS MATERIALIZED (
+  SELECT i, SUM(aij) AS omass, CAST(COUNT(*) AS DOUBLE) AS deg
+  FROM rce GROUP BY i),
+rcd AS MATERIALIZED (SELECT MAX(deg) AS dmax FROM rco),
+rci AS MATERIALIZED (
+  SELECT i, 1.0 - omass / (SELECT dmax FROM rcd) AS self_p FROM rco),
+rcn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM rci),
+rcp0 AS MATERIALIZED (
+  SELECT i, 1.0 / (SELECT n FROM rcn) AS p FROM rci)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""rcm{k} AS (
+  SELECT e.j AS i, SUM(pp.p * e.aij) AS m
+  FROM rce e JOIN rcp{p} pp ON e.i = pp.i GROUP BY e.j),
+rcp{k} AS MATERIALIZED (
+  SELECT it.i,
+         COALESCE(m.m, 0.0) / (SELECT dmax FROM rcd) + it.self_p * pp.p AS p
+  FROM rci it JOIN rcp{p} pp ON it.i = pp.i
+  LEFT JOIN rcm{k} m ON it.i = m.i)"""
+        )
+    parts.append(f"rcs AS (SELECT SUM(p) AS s FROM rcp{iters})")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT i AS vertex_id, "
+        f"CAST(floor(p * (SELECT n FROM rcn) / (SELECT s FROM rcs) "
+        f"* 1000000 + 0.5) AS BIGINT) AS score_e6 "
+        f"FROM rcp{iters}"
     )
 
 
@@ -6709,6 +6827,75 @@ FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
         "bt5": _bt_sql(5),
+        "rankcent5": _rankcent_sql(5),
+        # DPO chosen/rejected by strict per-pair majority; ties dropped,
+        # exact integer votes/margins
+        "dpo_pairs": f"""WITH {_BASE},
+dc AS (SELECT dst AS w, src AS l FROM edges WHERE src <> dst),
+dg AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+              CAST(SUM(CASE WHEN w = least(w, l) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wa,
+              COUNT(*) AS n
+       FROM dc GROUP BY 1, 2)
+SELECT CASE WHEN wa * 2 > n THEN a ELSE b END AS chosen,
+       CASE WHEN wa * 2 > n THEN b ELSE a END AS rejected,
+       n AS n_votes, abs(wa * 2 - n) AS margin
+FROM dg WHERE wa * 2 <> n AND abs(wa * 2 - n) >= 1""",
+        # majority-tournament directed 3-cycles, degree cap 1024 replicated;
+        # each cycle matches once per rotation -> exact //3
+        "pref_cycles": f"""WITH {_BASE},
+dc AS (SELECT dst AS w, src AS l FROM edges WHERE src <> dst),
+dg AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+              CAST(SUM(CASE WHEN w = least(w, l) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wa,
+              COUNT(*) AS n
+       FROM dc GROUP BY 1, 2),
+pm0 AS (SELECT CASE WHEN wa * 2 > n THEN a ELSE b END AS u,
+               CASE WHEN wa * 2 > n THEN b ELSE a END AS v
+        FROM dg WHERE wa * 2 <> n),
+pmd AS (SELECT u, COUNT(*) AS outd FROM pm0 GROUP BY u),
+pm AS MATERIALIZED (
+  SELECT p.u, p.v FROM pm0 p JOIN pmd d ON p.u = d.u AND d.outd <= 1024)
+SELECT CAST(COUNT(*) // 3 AS BIGINT) AS n_cycles,
+       CAST((SELECT COUNT(*) FROM pm) AS BIGINT) AS n_majority_edges
+FROM pm ab JOIN pm bc ON ab.v = bc.u AND ab.u <> bc.v
+WHERE EXISTS (SELECT 1 FROM pm ca WHERE ca.u = bc.v AND ca.v = ab.u)""",
+        # Spearman(in-degree, out-degree): doubled midranks via prefix
+        # sums over distinct values, exact long moments, float only in the
+        # final ratio — mirrors evalmetrics.spearman_correlation
+        "spearman_deg": f"""WITH {_BASE},
+sia AS (SELECT dst AS item, CAST(COUNT(*) AS BIGINT) AS va
+        FROM edges GROUP BY dst),
+sib AS (SELECT src AS item, CAST(COUNT(*) AS BIGINT) AS vb
+        FROM edges GROUP BY src),
+sj AS MATERIALIZED (
+  SELECT s.item, s.va, t.vb FROM sia s JOIN sib t ON s.item = t.item),
+sca AS (SELECT va, CAST(COUNT(*) AS BIGINT) AS c FROM sj GROUP BY va),
+sra AS (SELECT va,
+               2 * COALESCE(SUM(c) OVER (ORDER BY va
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2a
+        FROM sca),
+scb AS (SELECT vb, CAST(COUNT(*) AS BIGINT) AS c FROM sj GROUP BY vb),
+srb AS (SELECT vb,
+               2 * COALESCE(SUM(c) OVER (ORDER BY vb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2b
+        FROM scb),
+sm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(r2a) AS DOUBLE) AS sx,
+              CAST(SUM(r2b) AS DOUBLE) AS sy,
+              CAST(SUM(r2a * r2b) AS DOUBLE) AS sxy,
+              CAST(SUM(r2a * r2a) AS DOUBLE) AS sxx,
+              CAST(SUM(r2b * r2b) AS DOUBLE) AS syy
+       FROM sj JOIN sra ON sj.va = sra.va JOIN srb ON sj.vb = srb.vb)
+SELECT CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN CAST(floor((n * sxy - sx * sy) * 1000000.0
+                            / (sqrt(n * sxx - sx * sx)
+                               * sqrt(n * syy - sy * sy)) + 0.5) AS BIGINT)
+            ELSE 0 END AS spearman_e6,
+       CAST(n AS BIGINT) AS n_items
+FROM sm""",
         # pairwise win-rate matrix over the cited-wins comparison log;
         # SUM cast to BIGINT (DuckDB SUM(int) is HUGEINT), round-half-up
         # fixed point on values inside the 2^53 double-exact window

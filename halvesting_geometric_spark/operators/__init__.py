@@ -8,6 +8,7 @@ from halvesting_geometric_spark.operators.evalmetrics import (
     calibration_error,
     classification_report,
     ranking_metrics,
+    spearman_correlation,
 )
 from halvesting_geometric_spark.operators.betweenness import betweenness_sampled
 from halvesting_geometric_spark.operators.components import connected_components
@@ -61,6 +62,13 @@ from halvesting_geometric_spark.operators.layout import (
     zorder_value,
 )
 from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.preference import (
+    bradley_terry,
+    dpo_pairs,
+    rank_centrality,
+    tournament_cycles,
+    win_rate_matrix,
+)
 from halvesting_geometric_spark.operators.pq import (
     pq_adc_rerank_topk,
     pq_adc_topk,

@@ -299,3 +299,128 @@ def classification_report(
     out = out.localCheckpoint(eager=True)
     conf.unpersist()
     return out
+
+
+def _avg_rank2(df: DataFrame, value_col: str, num_partitions: int | None = None) -> DataFrame:
+    """Doubled average ranks per distinct value of ``value_col``, exactly.
+
+    Returns ``(value_col, r2)`` where ``r2 = 2 * average ascending rank``
+    of rows holding that value (ties share the mean of their rank block:
+    ``r2 = 2*cnt_less + cnt_eq + 1``) — doubled so the result is an exact
+    integer even when a tie block has even size.
+
+    At-scale path, same two-phase shape as ids.dense_ids_scalable: the
+    distinct-value table (already one groupBy smaller than the input) is
+    range-partitioned and sorted within partitions; per-partition count
+    SUMS (not row counts) are collected — ``num_partitions`` longs — and a
+    mapInPandas pass emits each value's exclusive prefix. No global sort,
+    no single-partition window.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark import StorageLevel, TaskContext
+
+    spark = df.sparkSession
+    num_partitions = (
+        num_partitions or spark.sparkContext.defaultParallelism
+    )
+    counts = (
+        df.groupBy(value_col)
+        .agg(F.count("*").alias("cnt"))
+        .repartitionByRange(num_partitions, F.col(value_col).asc())
+        .sortWithinPartitions(F.col(value_col).asc())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_part = {
+        row["pid"]: row["s"]
+        for row in counts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in range(num_partitions):
+        offsets[pid] = running
+        running += per_part.get(pid, 0)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        less = b_offsets.value.get(pid, 0)
+        for pdf in batches:
+            cnt = pdf["cnt"].to_numpy()
+            cum = cnt.cumsum()
+            r2 = 2 * (less + cum - cnt) + cnt + 1
+            out = pd.DataFrame(
+                {value_col: pdf[value_col].to_numpy(), "r2": r2.astype("int64")}
+            )
+            less += int(cum[-1]) if len(cnt) else 0
+            yield out
+
+    vtype = dict(counts.dtypes)[value_col]
+    return counts.mapInPandas(assign, schema=f"{value_col} {vtype}, r2 long")
+
+
+def spearman_correlation(
+    scores_a: DataFrame,
+    scores_b: DataFrame,
+    item_col: str = "item",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact Spearman rank correlation between two per-item score tables.
+
+    Inner-joins on ``item_col``, assigns exact average (midrank) ascending
+    ranks to each side independently over the joined population, and
+    returns one row ``(spearman_e6, n_items)`` — the Pearson correlation of
+    the rank vectors, round-half-up e6 fixed point.
+
+    Cross-engine exactness: ranks are exact integers (doubled midranks),
+    the five Pearson moments are exact long sums, and the only float step
+    is the final ratio — each moment is cast to double before combining so
+    Spark and any ANSI-SQL oracle round the >2^53 intermediate products
+    identically (IEEE product of identical doubles).
+
+    Scale: one item-key shuffle for the join, one groupBy per side for the
+    distinct-value count tables, the two-phase prefix pass of
+    :func:`_avg_rank2` (bounded ``num_partitions``-long collect), two
+    value-key joins to pull ranks back, then a single 1-row aggregation.
+    Nothing global-sorts the full input.
+    """
+    a = scores_a.select(
+        F.col(item_col).alias("item"), F.col(value_col).alias("va")
+    )
+    b = scores_b.select(
+        F.col(item_col).alias("item"), F.col(value_col).alias("vb")
+    )
+    j = a.join(b, "item")
+    from pyspark import StorageLevel
+
+    j = j.persist(StorageLevel.MEMORY_AND_DISK)
+    ra = _avg_rank2(j, "va").withColumnRenamed("r2", "r2a")
+    rb = _avg_rank2(j, "vb").withColumnRenamed("r2", "r2b")
+    ranked = j.join(ra, "va").join(rb, "vb")
+    mom = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r2a").alias("sx"),
+        F.sum("r2b").alias("sy"),
+        F.sum(F.col("r2a") * F.col("r2b")).alias("sxy"),
+        F.sum(F.col("r2a") * F.col("r2a")).alias("sxx"),
+        F.sum(F.col("r2b") * F.col("r2b")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    res = mom.select(
+        F.when(den > 0, F.floor(num * F.lit(1_000_000.0) / den + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("spearman_e6"),
+        F.col("n").cast("long").alias("n_items"),
+    )
+    return res

@@ -342,3 +342,4 @@ def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     te.unpersist()
     return out
+

@@ -43,7 +43,14 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BradleyTerryResult", "bradley_terry", "win_rate_matrix"]
+__all__ = [
+    "BradleyTerryResult",
+    "bradley_terry",
+    "win_rate_matrix",
+    "rank_centrality",
+    "dpo_pairs",
+    "tournament_cycles",
+]
 
 E6 = 1_000_000
 
@@ -177,3 +184,203 @@ def win_rate_matrix(
         .cast("long")
         .alias("a_winrate_e6"),
     )
+
+
+def rank_centrality(
+    comparisons: DataFrame,
+    fixed_iters: int = 5,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Rank Centrality (Negahban–Oh–Shah 2012): spectral ranking from a
+    pairwise-comparison log as the stationary distribution of a random walk
+    on the comparison graph.
+
+    For each compared unordered pair {i, j} the walk moves i -> j with
+    probability ``a_ij / d_max`` where ``a_ij`` is the empirical fraction of
+    the n_ij comparisons that j won, and ``d_max`` is the maximum number of
+    distinct opponents any item has (which makes every row of the transition
+    matrix sub-stochastic; the remainder is the self-loop). ``fixed_iters``
+    power-iteration steps from the uniform vector, then a mean-1 rescale —
+    the same deterministic unrolled-expression contract as
+    :func:`bradley_terry` (no convergence probe, so an external SQL engine
+    replays the float chain exactly; the e6 gate rounding absorbs
+    partition-order ulp).
+
+    Returns ``(item, score)`` doubles with mean 1 over compared items.
+
+    Dataflow per superstep — identical shape to one PageRank iteration
+    (operators/pagerank.py): gather (equi-join pulling pi onto the a_ij edge
+    rows), scatter (map-side-combined groupBy(j) sum), plus the self-loop
+    term as a V-row join with the precomputed out-mass column; lineage
+    truncated with a lazy ``localCheckpoint`` each step. The raw comparison
+    log is shuffled once to build the (i, j, a_ij) edge table; iterations
+    touch only V- and E-row loop invariants. d_max enters the plan as a
+    1-row broadcast cross join — no driver scalar.
+    """
+    if fixed_iters < 1:
+        raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
+    c = comparisons.select(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).where(F.col("w") != F.col("l"))
+
+    und = (
+        c.select(
+            F.least("w", "l").alias("a"),
+            F.greatest("w", "l").alias("b"),
+            (F.col("w") == F.least("w", "l")).cast("double").alias("a_win"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("a_win").alias("wa"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    # Directed move fractions: i -> j with weight (wins of j over i) / n_ij.
+    edges = (
+        und.select(
+            F.col("a").alias("i"),
+            F.col("b").alias("j"),
+            ((F.col("n") - F.col("wa")) / F.col("n")).alias("aij"),
+        )
+        .unionByName(
+            und.select(
+                F.col("b").alias("i"),
+                F.col("a").alias("j"),
+                (F.col("wa") / F.col("n")).alias("aij"),
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Out-mass and degree per item; d_max via a 1-row broadcast aggregate.
+    out = edges.groupBy("i").agg(
+        F.sum("aij").alias("omass"), F.count("*").cast("double").alias("deg")
+    )
+    dmax = out.agg(F.max("deg").alias("dmax"))
+    items = out.crossJoin(F.broadcast(dmax)).select(
+        "i", (F.lit(1.0) - F.col("omass") / F.col("dmax")).alias("self_p"),
+        "dmax",
+    )
+    items = items.persist(StorageLevel.MEMORY_AND_DISK)
+    num_items = items.count()
+
+    pi = items.select("i", F.lit(1.0 / num_items).alias("p"))
+    for _ in range(fixed_iters):
+        moved = (
+            edges.join(pi.select(F.col("i"), F.col("p").alias("pv")), "i")
+            .groupBy(F.col("j").alias("i"))
+            .agg(F.sum(F.col("pv") * F.col("aij")).alias("m"))
+        )
+        pi = (
+            items.join(pi, "i")
+            .join(moved, "i", "left")
+            .select(
+                "i",
+                (
+                    F.coalesce(F.col("m"), F.lit(0.0)) / F.col("dmax")
+                    + F.col("self_p") * F.col("p")
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    # Mean-1 rescale (in-plan 1-row broadcast, same contract as BT).
+    tot = pi.agg(F.sum("p").alias("s"))
+    res = pi.crossJoin(F.broadcast(tot)).select(
+        F.col("i").alias("item"),
+        (F.col("p") * F.lit(float(num_items)) / F.col("s")).alias("score"),
+    )
+    edges.unpersist()
+    items.unpersist()
+    return res
+
+
+def dpo_pairs(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    min_votes: int = 1,
+    min_margin: int = 1,
+) -> DataFrame:
+    """DPO-style (chosen, rejected) pair construction by per-pair majority.
+
+    Aggregates the raw judgment log per unordered pair, keeps pairs with a
+    strict majority (ties dropped — no usable training signal), and emits
+    ``(chosen, rejected, n_votes, margin)`` where ``margin`` is the vote
+    surplus ``|wins_a - wins_b|``. ``min_votes`` / ``min_margin`` filter
+    thinly- or weakly-judged pairs, the standard RLHF data-QA knobs.
+
+    Scale: one shuffle (canonical-pair groupBy with map-side combine);
+    output bounded by distinct compared pairs. Integer arithmetic end to
+    end — exact under any ANSI-SQL oracle.
+    """
+    c = comparisons.select(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).where(F.col("w") != F.col("l"))
+    g = (
+        c.select(
+            F.least("w", "l").alias("a"),
+            F.greatest("w", "l").alias("b"),
+            (F.col("w") == F.least("w", "l")).cast("long").alias("a_win"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("a_win").alias("wa"), F.count("*").alias("n"))
+        .where(
+            (F.col("n") >= F.lit(int(min_votes)))
+            & (F.col("wa") * 2 != F.col("n"))
+        )
+    )
+    return g.select(
+        F.when(F.col("wa") * 2 > F.col("n"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("chosen"),
+        F.when(F.col("wa") * 2 > F.col("n"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("rejected"),
+        F.col("n").alias("n_votes"),
+        F.abs(F.col("wa") * 2 - F.col("n")).alias("margin"),
+    ).where(F.col("margin") >= F.lit(int(min_margin)))
+
+
+def tournament_cycles(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    max_degree: int | None = 1024,
+) -> DataFrame:
+    """Preference-consistency audit: directed 3-cycles in the majority graph.
+
+    Builds the majority tournament (one edge chosen -> rejected per
+    strict-majority pair, via :func:`dpo_pairs` semantics) and counts its
+    directed 3-cycles a->b->c->a — each cycle is a rock-paper-scissors
+    inconsistency that no total order (and no Bradley–Terry fit) can
+    explain. Returns one row ``(n_cycles, n_majority_edges)``.
+
+    Scale: the wedge join is the triangle kernel shape
+    (operators/triangles.py) — majority edges joined to themselves on the
+    middle vertex, then a left-semi close check; ``max_degree`` caps hub
+    fan-out exactly like the triangle/linkpred machinery (``None`` opts
+    out). Each cycle is produced once per rotation, so the raw match count
+    is divided by 3 — exact integer arithmetic.
+    """
+    m = dpo_pairs(
+        comparisons, winner_col=winner_col, loser_col=loser_col
+    ).select(F.col("chosen").alias("u"), F.col("rejected").alias("v"))
+    if max_degree is not None:
+        deg = m.groupBy("u").agg(F.count("*").alias("outd"))
+        keep = deg.where(F.col("outd") <= F.lit(int(max_degree))).select("u")
+        m = m.join(keep, "u", "left_semi")
+    m = m.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = m.count()
+
+    ab = m.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = m.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ca = m.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    wedges = ab.join(bc, "b").where(F.col("a") != F.col("c"))
+    closed = wedges.join(ca, ["c", "a"], "left_semi")
+    res = closed.agg(
+        (F.count("*") / F.lit(3)).cast("long").alias("n_cycles"),
+        F.lit(n_edges).cast("long").alias("n_majority_edges"),
+    )
+    m.unpersist()
+    return res
