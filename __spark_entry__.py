@@ -359,6 +359,43 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.mine_hard_negatives):
+    per-anchor top-5 most-cosine-similar vectors whose label DIFFERS from
+    the anchor's — same e4 rounding + tie-break contract as knn_cosine."""
+    from halvesting_geometric_spark.functions import cosine_similarity
+    from halvesting_geometric_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = q.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        F.col("neighbor_id") != F.col("query_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(cosine_similarity("qv", "cv", dim=64) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("sim_e4"),
+    )
+    positives = q.select("query_id", "qlabel").join(
+        emb.select(
+            F.col("vec_id").alias("positive_id"), F.col("label").alias("qlabel")
+        ),
+        "qlabel",
+    ).select("query_id", "positive_id")
+    return mine_hard_negatives(cand, positives, k=5, score_col="sim_e4")
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from halvesting_geometric_spark.operators.skew import degree_histogram
 
@@ -3997,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": _q_dpo_pairs,
         "pref_cycles": _q_pref_cycles,
         "spearman_deg": _q_spearman_deg,
+        "hard_negs": _q_hard_negs,
         "jpeg_pixels": _q_jpeg_pixels,
         "video_frames": _q_video_frames,
         "resize16": _q_resize16,
@@ -8115,6 +8153,26 @@ sims AS (
   FROM d a JOIN d b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 3)
 SELECT query_id, neighbor_id, sim_e4 FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim_e4 DESC, neighbor_id ASC) <= 5""",
+        # hard-negative mining: knn candidates anti-joined against the
+        # same-label positive set, then per-query top-5 re-rank
+        "hard_negs": """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS query_id, a.label AS qlabel,
+         b.vec_id AS neighbor_id, b.label AS nlabel,
+         CAST(floor(
+           CASE WHEN sqrt(list_dot_product(a.e, a.e)) = 0
+                  OR sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+                ELSE list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)))
+           END * 10000 + 0.5) AS BIGINT) AS sim_e4
+  FROM d a JOIN d b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 3)
+SELECT query_id, neighbor_id, sim_e4 FROM sims
+WHERE nlabel <> qlabel
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY sim_e4 DESC, neighbor_id ASC) <= 5""",
         # -- hash-dependent operators (portable-hash twins) -------------------

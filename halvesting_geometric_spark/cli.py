@@ -40,7 +40,7 @@ ALGORITHMS = (
     "distinct", "zorder", "auroc", "simrank", "graphlets",
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
     "support", "conductance", "freqseq", "treach", "holes", "pack",
-    "assoc", "nibble", "substrdedup", "dsir",
+    "assoc", "nibble", "substrdedup", "dsir", "rank",
 )
 
 
@@ -740,6 +740,38 @@ def main(argv: list[str] | None = None) -> int:
         ).first()
         summary["docs"] = agg["d"]
         summary["max_llr_e4"] = int(agg["mx"] or 0)
+    elif args.algorithm == "rank":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.evalmetrics import (
+            spearman_correlation,
+        )
+        from halvesting_geometric_spark.operators.preference import (
+            bradley_terry,
+            rank_centrality,
+        )
+
+        # being cited is a win: the citation edge table read as a
+        # pairwise-outcome log (winner = cited, loser = citing)
+        cmp_df = g.edges.select(
+            F.col("dst").alias("winner"), F.col("src").alias("loser")
+        )
+        bt = bradley_terry(cmp_df, fixed_iters=args.iters)
+        rc = rank_centrality(cmp_df, fixed_iters=args.iters)
+        out = (
+            bt.strengths.withColumnRenamed("strength", "bt_strength")
+            .join(
+                rc.withColumnRenamed("score", "rc_score"), "item", "outer"
+            )
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        rho = spearman_correlation(
+            bt.strengths.select("item", F.col("strength").alias("value")),
+            rc.select("item", F.col("score").alias("value")),
+        ).first()
+        summary["items"] = bt.num_items
+        summary["pairs"] = bt.num_pairs
+        summary["bt_rc_spearman_e6"] = int(rho["spearman_e6"])
 
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))

@@ -400,13 +400,19 @@ def spearman_correlation(
     ra = _avg_rank2(j, "va").withColumnRenamed("r2", "r2a")
     rb = _avg_rank2(j, "vb").withColumnRenamed("r2", "r2b")
     ranked = j.join(ra, "va").join(rb, "vb")
+    # Moments accumulate as decimal(38,0): still EXACT integers (the
+    # double-cast happens once, after the sum), but overflow-safe far past
+    # long — sum(r2^2) already exceeds 2^63 at ~2M items, and decimal(38,0)
+    # holds 10^12-row corpora (r2 <= 2e12 -> sum of squares <= 4e36 < 1e38).
+    da = F.col("r2a").cast("decimal(19,0)")
+    db_ = F.col("r2b").cast("decimal(19,0)")
     mom = ranked.agg(
         F.count("*").alias("n"),
         F.sum("r2a").alias("sx"),
         F.sum("r2b").alias("sy"),
-        F.sum(F.col("r2a") * F.col("r2b")).alias("sxy"),
-        F.sum(F.col("r2a") * F.col("r2a")).alias("sxx"),
-        F.sum(F.col("r2b") * F.col("r2b")).alias("syy"),
+        F.sum(da * db_).alias("sxy"),
+        F.sum(da * da).alias("sxx"),
+        F.sum(db_ * db_).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -376,3 +376,41 @@ def kcenter_select(
     return spark.createDataFrame(
         [(i, s) for i, s in enumerate(selected)], "sel_order long, id long"
     )
+
+
+def mine_hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Contrastive hard-negative mining over any retriever's candidates.
+
+    ``candidates``: (query_id, neighbor_id, <score_col>) rows from any
+    retrieval path — :func:`cosine_topk_bruteforce` with an over-fetched k
+    at validation scale, :func:`lsh_ann_topk` / IVF at corpus scale.
+    ``positives``: (query_id, positive_id) known-true pairs to exclude
+    (same-label items, actually-cited papers, gold duplicates). Returns the
+    per-query top-``k`` highest-scoring survivors — the "hard" negatives a
+    contrastive trainer wants: maximally similar yet known-unrelated.
+
+    Scale: one left_anti shuffle join on the composite (query, neighbor)
+    key, then the per-query top-k window over an already per-query-bounded
+    candidate set — the window never sees the raw corpus. Deterministic
+    ties: (score desc, neighbor_id asc), same contract as the ANN top-ks.
+    """
+    neg = candidates.join(
+        positives.select(
+            F.col("query_id"), F.col("positive_id").alias("neighbor_id")
+        ),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -296,3 +296,24 @@ def test_cli_substrdedup_dsir(spark, tmp_path, capsys):
     assert summary["algorithm"] == "dsir"
     assert summary["docs"] >= 1
     assert spark.read.parquet(out2).count() == summary["docs"]
+
+
+def test_cli_rank(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_rank")
+    generate_transcripts(spark, 40, seed=11).write.parquet(tr_dir)
+    out_dir = str(tmp_path / "out_rank")
+    rc = cli.main(
+        ["rank", "--transcripts", tr_dir, "--output", out_dir,
+         "--iters", "3"]
+    )
+    assert rc == 0
+    import json as _json
+
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["items"] > 0 and summary["pairs"] > 0
+    assert -1_000_000 <= summary["bt_rc_spearman_e6"] <= 1_000_000
+    # BT and Rank Centrality broadly agree on a citation graph
+    assert summary["bt_rc_spearman_e6"] > 0
+    out = spark.read.parquet(out_dir)
+    assert {"item", "bt_strength", "rc_score"} <= set(out.columns)
+    assert out.count() == summary["items"]

@@ -142,3 +142,40 @@ def test_spearman_perfect_and_inverse(spark):
     assert (
         spearman_correlation(da, db).first()["spearman_e6"] == -1_000_000
     )
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    from halvesting_geometric_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    cand = spark.createDataFrame(
+        [
+            (1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6),
+            (2, 10, 0.5), (2, 11, 0.4),
+        ],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    pos = spark.createDataFrame(
+        [(1, 10), (2, 11)], "query_id long, positive_id long"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in mine_hard_negatives(cand, pos, k=2).collect()
+    }
+    # q1: 10 is positive -> hardest negatives are 11, 12; q2: 11 is positive
+    assert got == {(1, 11), (1, 12), (2, 10)}
+
+
+def test_mine_hard_negatives_tie_break_deterministic(spark):
+    from halvesting_geometric_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 30, 0.5), (1, 20, 0.5), (1, 10, 0.5)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    pos = spark.createDataFrame([(9, 9)], "query_id long, positive_id long")
+    rows = mine_hard_negatives(cand, pos, k=2).collect()
+    assert [r["neighbor_id"] for r in rows] == [10, 20]
