@@ -3952,6 +3952,39 @@ def _q_pref_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tournament_cycles(cmp_df)
 
 
+def _q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n reward selection (preference.best_of_n) reading events as
+    a reward-model log: prompt = user, response = event, reward = value;
+    deterministic tie-breaks, e6 fixed-point rewards."""
+    from halvesting_geometric_spark.operators.preference import best_of_n
+
+    ev = load_table(spark, sf_dir, "events")
+    rewards = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.col("value").alias("reward"),
+    )
+    return best_of_n(rewards)
+
+
+def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry reliability table (preference.bt_calibration): BT(5)
+    strengths over the cited-wins log scored against the same log, 10
+    probability buckets — per-row e6 quantization before bucket means, so
+    every output column is exact integer arithmetic."""
+    from halvesting_geometric_spark.operators.preference import (
+        bradley_terry,
+        bt_calibration,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    cmp_df = edges.select(
+        F.col("dst").alias("winner"), F.col("src").alias("loser")
+    )
+    st = bradley_terry(cmp_df, fixed_iters=5).strengths
+    return bt_calibration(cmp_df, st, buckets=10)
+
+
 def _q_spearman_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Spearman rank correlation (evalmetrics.spearman_correlation)
     between per-vertex in-degree and out-degree — midrank ties, two-phase
@@ -4035,6 +4068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_cycles": _q_pref_cycles,
         "spearman_deg": _q_spearman_deg,
         "hard_negs": _q_hard_negs,
+        "best_of_n": _q_best_of_n,
+        "bt_cal10": _q_bt_cal10,
         "jpeg_pixels": _q_jpeg_pixels,
         "video_frames": _q_video_frames,
         "resize16": _q_resize16,
@@ -4314,10 +4349,11 @@ r{k} AS (
     )
 
 
-def _bt_sql(iters: int) -> str:
-    """Bradley–Terry MM twin: wins/pair tables from the cited-wins log,
-    ``iters`` unrolled MM steps, mean-1 rescale each step — mirrors
-    operators/preference.py expression for expression."""
+def _bt_parts(iters: int) -> list:
+    """The Bradley–Terry MM CTE chain (shared by the bt5 and bt_cal10
+    twins): wins/pair tables from the cited-wins log, ``iters`` unrolled MM
+    steps with the mean-1 rescale — final strengths land in ``btp{iters}``,
+    mirroring operators/preference.py expression for expression."""
     parts = [
         _BASE,
         """btc AS MATERIALIZED (
@@ -4349,12 +4385,49 @@ btp{k} AS MATERIALIZED (
   SELECT i, p * (SELECT n FROM btn) / (SELECT s FROM bts{k}) AS p
   FROM btraw{k})"""
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def _bt_sql(iters: int) -> str:
+    body = ",\n".join(_bt_parts(iters))
     return (
         f"WITH {body}\n"
         f"SELECT i AS vertex_id, "
         f"CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS strength_e6 "
         f"FROM btp{iters}"
+    )
+
+
+def _bt_cal_sql(iters: int, buckets: int) -> str:
+    """bt_calibration twin: BT strengths from :func:`_bt_parts`, canonical
+    orientation, P(a wins) = pa/(pa+pb), e6 row quantization BEFORE the
+    bucket means — mirrors operators/preference.py:bt_calibration."""
+    parts = _bt_parts(iters)
+    parts.append(
+        f"""calo AS (
+  SELECT least(dst, src) AS a, greatest(dst, src) AS b,
+         CAST(CASE WHEN dst = least(dst, src) THEN 1 ELSE 0 END AS BIGINT)
+           AS a_win
+  FROM edges WHERE src <> dst),
+calp AS (
+  SELECT o.a_win,
+         least(CAST(floor(pa.p / (pa.p + pb.p) * {buckets}) AS BIGINT),
+               {buckets - 1}) AS bucket,
+         CAST(floor(pa.p / (pa.p + pb.p) * 1000000 + 0.5) AS BIGINT)
+           AS pr_e6
+  FROM calo o JOIN btp{iters} pa ON o.a = pa.i
+              JOIN btp{iters} pb ON o.b = pb.i)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT bucket, COUNT(*) AS n,\n"
+        f"       CAST(SUM(a_win) AS BIGINT) AS a_wins,\n"
+        f"       CAST(floor((SUM(a_win) * 2000000 + COUNT(*))"
+        f" / (2.0 * COUNT(*))) AS BIGINT) AS emp_winrate_e6,\n"
+        f"       CAST(floor((SUM(pr_e6) * 2 + COUNT(*))"
+        f" / (2.0 * COUNT(*))) AS BIGINT) AS mean_pred_e6\n"
+        f"FROM calp GROUP BY bucket"
     )
 
 
@@ -6866,6 +6939,28 @@ ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
         "bt5": _bt_sql(5),
         "rankcent5": _rankcent_sql(5),
+        "bt_cal10": _bt_cal_sql(5, 10),
+        # best-of-n reward selection over events-as-reward-log; both window
+        # orderings are fully deterministic (reward, response_id) and the
+        # rewards are e6-quantized so no raw doubles cross the gate
+        "best_of_n": """
+WITH r AS (SELECT user_id AS prompt_id, event_id AS response_id,
+                  CAST(value AS DOUBLE) AS reward FROM events),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY prompt_id
+                                 ORDER BY reward DESC, response_id ASC) rb,
+              row_number() OVER (PARTITION BY prompt_id
+                                 ORDER BY reward ASC, response_id ASC) rw,
+              COUNT(*) OVER (PARTITION BY prompt_id) AS n
+       FROM r)
+SELECT b.prompt_id, b.response_id AS best_response,
+       CAST(floor(b.reward * 1000000 + 0.5) AS BIGINT) AS best_reward_e6,
+       w.response_id AS worst_response,
+       CAST(floor(w.reward * 1000000 + 0.5) AS BIGINT) AS worst_reward_e6,
+       b.n AS n_responses,
+       CAST(floor((b.reward - w.reward) * 1000000 + 0.5) AS BIGINT) AS gap_e6
+FROM (SELECT * FROM rk WHERE rb = 1) b
+JOIN (SELECT * FROM rk WHERE rw = 1) w USING (prompt_id)""",
         # DPO chosen/rejected by strict per-pair majority; ties dropped,
         # exact integer votes/margins
         "dpo_pairs": f"""WITH {_BASE},

@@ -50,6 +50,8 @@ __all__ = [
     "rank_centrality",
     "dpo_pairs",
     "tournament_cycles",
+    "best_of_n",
+    "bt_calibration",
 ]
 
 E6 = 1_000_000
@@ -384,3 +386,147 @@ def tournament_cycles(
     )
     m.unpersist()
     return res
+
+
+def best_of_n(
+    rewards: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Best-of-n selection over reward-model scores.
+
+    One row per prompt: the top- and bottom-scored response, the response
+    count, and the reward gap — the standard rejection-sampling / DPO-from-
+    rewards construction (keep the argmax as the SFT target, or the
+    (best, worst) pair as a preference example). Deterministic ties: equal
+    rewards break toward the smaller response id on BOTH ends, so the
+    output is engine-independent. Rewards are exported as round-half-up e6
+    fixed point (no raw doubles in the contract).
+
+    Scale: one shuffle on the prompt key; the two windows share the
+    partitioning (one exchange, two in-partition sorts), state bounded by
+    the per-prompt response count. Prompts with a single response yield
+    best == worst and gap 0 — filter upstream if unwanted.
+    """
+    from pyspark.sql import Window
+
+    r = rewards.select(
+        F.col(prompt_col).alias("prompt_id"),
+        F.col(response_col).alias("response_id"),
+        F.col(reward_col).cast("double").alias("reward"),
+    )
+    w_best = Window.partitionBy("prompt_id").orderBy(
+        F.col("reward").desc(), F.col("response_id").asc()
+    )
+    w_worst = Window.partitionBy("prompt_id").orderBy(
+        F.col("reward").asc(), F.col("response_id").asc()
+    )
+    w_all = Window.partitionBy("prompt_id")
+    ranked = r.select(
+        "prompt_id",
+        "response_id",
+        "reward",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+        F.count("*").over(w_all).alias("n_responses"),
+    )
+    best = ranked.where(F.col("rb") == 1).select(
+        "prompt_id",
+        F.col("response_id").alias("best_response"),
+        F.col("reward").alias("best_reward"),
+        "n_responses",
+    )
+    worst = ranked.where(F.col("rw") == 1).select(
+        "prompt_id",
+        F.col("response_id").alias("worst_response"),
+        F.col("reward").alias("worst_reward"),
+    )
+    e6 = lambda c: F.floor(F.col(c) * E6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return best.join(worst, "prompt_id").select(
+        "prompt_id",
+        "best_response",
+        e6("best_reward").alias("best_reward_e6"),
+        "worst_response",
+        e6("worst_reward").alias("worst_reward_e6"),
+        "n_responses",
+        F.floor((F.col("best_reward") - F.col("worst_reward")) * E6 + F.lit(0.5))
+        .cast("long")
+        .alias("gap_e6"),
+    )
+
+
+def bt_calibration(
+    comparisons: DataFrame,
+    strengths: DataFrame,
+    buckets: int = 10,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    item_col: str = "item",
+    strength_col: str = "strength",
+) -> DataFrame:
+    """Reliability table for a strength table against the judgment log.
+
+    For every comparison, orient to the canonical (a, b) = (least,
+    greatest) pair and predict P(a wins) = p_a / (p_a + p_b) (the
+    Bradley–Terry link; any strength table with non-negative scores
+    works). Rows land in ``buckets`` equal-width probability buckets;
+    per bucket the output carries n, a-wins, the empirical a-win rate and
+    the mean predicted probability (both round-half-up e6) — the ECE /
+    reliability-diagram input for preference-model QA.
+
+    Cross-engine exactness: the prediction is a single float division on
+    strengths both engines already agree on (the bt5 contract); each row's
+    prediction is quantized to e6 BEFORE averaging, so bucket means are
+    exact integer arithmetic — no partition-order float sums. Division is
+    safe on compared pairs (the winner of any comparison has strength > 0
+    after one MM step; see :func:`bradley_terry`).
+
+    Scale: two V-row joins to pull strengths onto the log, one groupBy on
+    the bucket id — B-bounded output state.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    c = comparisons.select(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).where(F.col("w") != F.col("l"))
+    st = strengths.select(
+        F.col(item_col).alias("it"), F.col(strength_col).alias("p")
+    )
+    oriented = c.select(
+        F.least("w", "l").alias("a"),
+        F.greatest("w", "l").alias("b"),
+        (F.col("w") == F.least("w", "l")).cast("long").alias("a_win"),
+    )
+    pred = (
+        oriented.join(st.select(F.col("it").alias("a"), F.col("p").alias("pa")), "a")
+        .join(st.select(F.col("it").alias("b"), F.col("p").alias("pb")), "b")
+        .select(
+            "a_win",
+            (F.col("pa") / (F.col("pa") + F.col("pb"))).alias("pr"),
+        )
+        .select(
+            "a_win",
+            F.least(
+                F.floor(F.col("pr") * F.lit(float(buckets))).cast("long"),
+                F.lit(buckets - 1),
+            ).alias("bucket"),
+            F.floor(F.col("pr") * E6 + F.lit(0.5)).cast("long").alias("pr_e6"),
+        )
+    )
+    g = pred.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("a_win").alias("a_wins"),
+        F.sum("pr_e6").alias("sp"),
+    )
+    return g.select(
+        "bucket",
+        "n",
+        "a_wins",
+        F.floor((F.col("a_wins") * F.lit(2 * E6) + F.col("n")) / (F.lit(2.0) * F.col("n")))
+        .cast("long")
+        .alias("emp_winrate_e6"),
+        F.floor((F.col("sp") * 2 + F.col("n")) / (F.lit(2.0) * F.col("n")))
+        .cast("long")
+        .alias("mean_pred_e6"),
+    )

@@ -179,3 +179,60 @@ def test_mine_hard_negatives_tie_break_deterministic(spark):
     pos = spark.createDataFrame([(9, 9)], "query_id long, positive_id long")
     rows = mine_hard_negatives(cand, pos, k=2).collect()
     assert [r["neighbor_id"] for r in rows] == [10, 20]
+
+
+def test_best_of_n_selection(spark):
+    from halvesting_geometric_spark.operators.preference import best_of_n
+
+    rewards = [
+        ("p1", "r1", 0.5), ("p1", "r2", 0.9), ("p1", "r3", 0.1),
+        ("p2", "r4", 0.7), ("p2", "r5", 0.7),  # tie -> smaller id both ends
+        ("p3", "r6", 0.3),
+    ]
+    df = spark.createDataFrame(
+        rewards, "prompt_id string, response_id string, reward double"
+    )
+    got = {r["prompt_id"]: r for r in best_of_n(df).collect()}
+    assert got["p1"]["best_response"] == "r2"
+    assert got["p1"]["worst_response"] == "r3"
+    assert got["p1"]["gap_e6"] == 800_000
+    assert got["p1"]["n_responses"] == 3
+    assert got["p2"]["best_response"] == "r4"
+    assert got["p2"]["worst_response"] == "r4"
+    assert got["p2"]["gap_e6"] == 0
+    assert got["p3"]["best_response"] == "r6" == got["p3"]["worst_response"]
+
+
+def test_bt_calibration_buckets(spark):
+    from halvesting_geometric_spark.operators.preference import (
+        bt_calibration,
+    )
+
+    comps = [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c")]
+    strengths = [("a", 2.0), ("b", 1.0), ("c", 1.0)]
+    cdf = spark.createDataFrame(comps, "winner string, loser string")
+    sdf = spark.createDataFrame(strengths, "item string, strength double")
+    rows = {r["bucket"]: r for r in bt_calibration(cdf, sdf, buckets=10).collect()}
+    # (a,b) pred P(a wins) = 2/3 and (a,c) pred = 2/3 both land in bucket 6:
+    # 4 rows total, a wins 3 of them
+    assert set(rows) == {6}
+    assert rows[6]["n"] == 4 and rows[6]["a_wins"] == 3
+    assert rows[6]["emp_winrate_e6"] == 750_000
+    assert rows[6]["mean_pred_e6"] == 666_667
+
+
+def test_bt_calibration_fold_and_clamp(spark):
+    from halvesting_geometric_spark.operators.preference import (
+        bt_calibration,
+    )
+
+    comps = [("a", "b"), ("a", "c")]
+    strengths = [("a", 1.0), ("b", 0.0), ("c", 1.0)]
+    cdf = spark.createDataFrame(comps, "winner string, loser string")
+    sdf = spark.createDataFrame(strengths, "item string, strength double")
+    rows = {r["bucket"]: r for r in bt_calibration(cdf, sdf, buckets=10).collect()}
+    # (a,b): pred = 1/(1+0) = 1.0 -> clamped to bucket 9
+    assert rows[9]["n"] == 1 and rows[9]["a_wins"] == 1
+    assert rows[9]["mean_pred_e6"] == 1_000_000
+    # (a,c): pred = 0.5 -> bucket 5
+    assert rows[5]["n"] == 1 and rows[5]["emp_winrate_e6"] == 1_000_000

@@ -30,6 +30,7 @@ sys.path.insert(0, "/root/repo")
 #   ivf       = IVF Arrow matmul assignment + probe kernels
 #   emb       = embeddings Arrow moments / projection kernel
 #   skyline   = skyline.py per-partition sorted-scan frontier kernel
+#   rank-prefix = evalmetrics._avg_rank2 two-phase midrank prefix kernel
 KERNELS = {
     # Round 4: the shared pipeline tables (and skyline2/conductance8 results)
     # are localCheckpointed, so the dense-id / per-op Arrow kernels no longer
@@ -39,6 +40,9 @@ KERNELS = {
 
     "sage2": "sage",
     "snm_pairs": "dense-id",
+    # spearman_deg: the two _avg_rank2 prefix-offset passes (one per rank
+    # side) — same two-phase mapInPandas shape as the dense-id kernel
+    "spearman_deg": "rank-prefix",
     # robustness3 consumes its CC runs EAGERLY while building (per-cap
     # stats collects) and returns a local relation — Python-free plan
     "media_meta": "media",
