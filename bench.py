@@ -229,6 +229,18 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
         .first()[0],
     )
 
+    def run_bt():
+        from halvesting_geometric_spark.operators.preference import (
+            bradley_terry,
+        )
+
+        cmp_df = g.edges.select(
+            F.col("dst").alias("winner"), F.col("src").alias("loser")
+        )
+        return bradley_terry(cmp_df, fixed_iters=5).strengths.count()
+
+    out["bt5_items"] = timed_median("bt5", run_bt)
+
     _aqe.__exit__(None, None, None)
     spark.stop()
     out["loadavg_after"] = list(os.getloadavg())
@@ -387,6 +399,7 @@ def main() -> None:
             "linkpred": r["linkpred_sec"],
             "betweenness4": r["betweenness_sec"],
             "coloring6": r["coloring_sec"],
+            "bt5": r["bt5_sec"],
         },
         "detail": r,
     }
