@@ -3985,6 +3985,65 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_ks_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance (stats.two_sample_ks,
+    scalable two-phase prefix path) between the integer quantity
+    distributions of returned ('R') vs accepted ('A') lineitems — the
+    cross-multiplied |cum_a*n_b - cum_b*n_a| max is exact decimal, one
+    scalar division to e6."""
+    from halvesting_geometric_spark.operators.stats import two_sample_ks
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        "l_returnflag",
+    )
+    return two_sample_ks(
+        li, "qty", "l_returnflag", "A", "R", scalable=True
+    )
+
+
+def _q_mwu_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U with midrank ties (stats.mann_whitney_u) on integer
+    order-price cents between open ('O') and finished ('F') orders —
+    doubled-rank exact BIGINT U plus tie-corrected z in e6."""
+    from halvesting_geometric_spark.operators.stats import mann_whitney_u
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "o_orderstatus",
+    )
+    return mann_whitney_u(o, "cents", "o_orderstatus", "O", "F")
+
+
+def _q_chi2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic (stats.chi2_independence) over
+    the (l_returnflag, l_linestatus) contingency grid — per-cell e6
+    quantization so the statistic is an order-free sum of longs."""
+    from halvesting_geometric_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return chi2_independence(li, "l_returnflag", "l_linestatus")
+
+
+def _q_welch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t statistic (stats.welch_ttest) on integer
+    extended-price cents between 'O' and 'F' lineitem statuses — exact
+    decimal moments, one scalar double chain to e6."""
+    from halvesting_geometric_spark.operators.stats import welch_ttest
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "l_linestatus",
+    )
+    return welch_ttest(li, "cents", "l_linestatus", "O", "F")
+
+
 def _q_spearman_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Spearman rank correlation (evalmetrics.spearman_correlation)
     between per-vertex in-degree and out-degree — midrank ties, two-phase
@@ -4061,6 +4120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- queries new this session: front of the capture window --
         # (the real-codec gates lead: they certify the round's pure-stdlib
         # JPEG and AVI/MJPEG decode paths, the most load-bearing additions)
+        "ks_qty": _q_ks_qty,
+        "mwu_price": _q_mwu_price,
+        "chi2_flags": _q_chi2_flags,
+        "welch_price": _q_welch_price,
         "bt5": _q_bt5,
         "win_rates": _q_win_rates,
         "rankcent5": _q_rankcent5,
@@ -6937,6 +7000,134 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # two-sample KS: exact integer cross-multiplied ECDF max, one
+        # scalar double chain mirrored op-for-op from stats.two_sample_ks
+        "ks_qty": """WITH
+kh AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+  GROUP BY 1),
+kc AS (
+  SELECT ca, cb,
+         SUM(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM kh),
+kt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+              CAST(SUM(cb) AS BIGINT) AS n_b FROM kh),
+km AS (SELECT MAX(abs(cum_a * n_b - cum_b * n_a)) AS num,
+              MAX(n_a) AS n_a, MAX(n_b) AS n_b
+       FROM kc CROSS JOIN kt)
+SELECT CAST(floor(CAST(num AS DOUBLE) * 1000000.0
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) + 0.5)
+            AS BIGINT) AS d_e6,
+       n_a, n_b
+FROM km""",
+        # Mann-Whitney: doubled midranks over the pooled histogram,
+        # exact-integer doubled U, tie-corrected z — same op order as
+        # stats.mann_whitney_u
+        "mwu_price": """WITH
+mp AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         o_orderstatus AS g
+  FROM orders
+  WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL),
+mh AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM mp GROUP BY 1),
+mc AS (
+  SELECT ca, ca + cb AS cnt,
+         SUM(ca + cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt
+  FROM mh),
+mr AS (SELECT ca, cnt, 2 * (cumcnt - cnt) + cnt + 1 AS r2 FROM mc),
+ma AS (SELECT SUM(ca * r2) AS r2a,
+              SUM(cnt * cnt * cnt - cnt) AS ties,
+              (SELECT CAST(SUM(ca) AS BIGINT) FROM mh) AS n_a,
+              (SELECT CAST(SUM(cb) AS BIGINT) FROM mh) AS n_b
+       FROM mr),
+ms AS (SELECT CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2a,
+              CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+              CAST(ties AS DOUBLE) AS tiesd, n_a, n_b
+       FROM ma),
+mz AS (SELECT u2a, n_a, n_b, nad * nbd AS mean2,
+              nad * nbd / 3.0 * (((nad + nbd) + 1)
+                  - tiesd / ((nad + nbd) * ((nad + nbd) - 1))) AS var4
+       FROM ms)
+SELECT u2a AS u2_a,
+       CASE WHEN var4 > 0
+            THEN CAST(floor((CAST(u2a AS DOUBLE) - mean2) / sqrt(var4)
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE 0 END AS z_e6,
+       n_a, n_b
+FROM mz""",
+        # chi-square: full margin grid incl. zero cells, per-cell e6
+        # quantization (double square AFTER the exact-int subtraction) —
+        # mirrors stats.chi2_independence
+        "chi2_flags": """WITH
+xb AS (SELECT l_returnflag AS a, l_linestatus AS b2
+       FROM lineitem
+       WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+xo AS (SELECT a, b2, CAST(COUNT(*) AS BIGINT) AS o FROM xb GROUP BY 1, 2),
+xr AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS r FROM xb GROUP BY 1),
+xc AS (SELECT b2, CAST(COUNT(*) AS BIGINT) AS c FROM xb GROUP BY 1),
+xn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xb),
+xg AS (SELECT xr.a, xc.b2, xr.r, xc.c, xn.n, COALESCE(xo.o, 0) AS o
+       FROM xr CROSS JOIN xc CROSS JOIN xn
+       LEFT JOIN xo ON xo.a = xr.a AND xo.b2 = xc.b2),
+xe AS (SELECT CAST(o * n - r * c AS DOUBLE) AS numd,
+              CAST(n * r * c AS DOUBLE) AS dend
+       FROM xg)
+SELECT CAST(SUM(CAST(floor(numd * numd / dend * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS chi2_e6,
+       CAST(((SELECT COUNT(DISTINCT a) FROM xb) - 1)
+            * ((SELECT COUNT(DISTINCT b2) FROM xb) - 1) AS BIGINT) AS dof,
+       (SELECT n FROM xn) AS n
+FROM xe""",
+        # Welch t: exact integer moments, one scalar double chain —
+        # mirrors stats.welch_ttest including division order
+        "welch_price": """WITH
+wv AS (SELECT CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS ia,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS vv
+       FROM lineitem
+       WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL),
+ws AS (SELECT ia, CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(vv) AS s1, SUM(vv * vv) AS s2
+       FROM wv GROUP BY 1),
+ww AS (SELECT
+  MAX(CASE WHEN ia = 1 THEN n END) AS n_a,
+  MAX(CASE WHEN ia = 1 THEN CAST(s1 AS DOUBLE) END) AS s1a,
+  MAX(CASE WHEN ia = 1 THEN CAST(s2 AS DOUBLE) END) AS s2a,
+  MAX(CASE WHEN ia = 0 THEN n END) AS n_b,
+  MAX(CASE WHEN ia = 0 THEN CAST(s1 AS DOUBLE) END) AS s1b,
+  MAX(CASE WHEN ia = 0 THEN CAST(s2 AS DOUBLE) END) AS s2b
+  FROM ws),
+wm AS (SELECT n_a, n_b,
+              CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+              s1a / CAST(n_a AS DOUBLE) AS ma,
+              s1b / CAST(n_b AS DOUBLE) AS mb,
+              ((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1)) / CAST(n_a AS DOUBLE) AS van,
+              ((s2b - s1b * s1b / CAST(n_b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) - 1)) / CAST(n_b AS DOUBLE) AS vbn
+       FROM ww)
+SELECT CAST(floor((ma - mb) / sqrt(van + vbn) * 1000000 + 0.5)
+            AS BIGINT) AS t_e6,
+       CAST(floor((van + vbn) * (van + vbn)
+                  / (van * van / (nad - 1) + vbn * vbn / (nbd - 1))
+                  * 1000000 + 0.5) AS BIGINT) AS dof_e6,
+       CAST(floor(ma * 1000000 + 0.5) AS BIGINT) AS mean_a_e6,
+       CAST(floor(mb * 1000000 + 0.5) AS BIGINT) AS mean_b_e6,
+       n_a, n_b
+FROM wm""",
         "bt5": _bt_sql(5),
         "rankcent5": _rankcent_sql(5),
         "bt_cal10": _bt_cal_sql(5, 10),

@@ -180,6 +180,12 @@ from halvesting_geometric_spark.operators.sampling import (
     weighted_sample,
 )
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
+from halvesting_geometric_spark.operators.stats import (
+    chi2_independence,
+    mann_whitney_u,
+    two_sample_ks,
+    welch_ttest,
+)
 from halvesting_geometric_spark.operators.events import (
     burst_windows,
     burstiness,
@@ -308,6 +314,10 @@ __all__ = [
     "funnel_steps",
     "fuzzy_pairs",
     "group_quantiles",
+    "two_sample_ks",
+    "mann_whitney_u",
+    "chi2_independence",
+    "welch_ttest",
     "hitting_probability",
     "session_paths",
     "snapshot_diff",

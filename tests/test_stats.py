@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import collections
+import math
+
+import numpy as np
+import pytest
+
+from halvesting_geometric_spark.operators.stats import (
+    chi2_independence,
+    mann_whitney_u,
+    two_sample_ks,
+    welch_ttest,
+)
+
+
+@pytest.fixture(scope="module")
+def two_groups(spark):
+    rng = np.random.RandomState(7)
+    xa = rng.randint(0, 50, 400)
+    xb = rng.randint(5, 60, 300)
+    rows = [(int(v), "A") for v in xa] + [(int(v), "B") for v in xb]
+    return spark.createDataFrame(rows, "v int, g string"), xa, xb
+
+
+@pytest.mark.parametrize("scalable", [False, True])
+def test_ks_matches_bruteforce(two_groups, scalable):
+    df, xa, xb = two_groups
+    vals = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(np.sort(xa), vals, side="right") / len(xa)
+    fb = np.searchsorted(np.sort(xb), vals, side="right") / len(xb)
+    d_true = float(np.abs(fa - fb).max())
+    r = two_sample_ks(df, "v", "g", "A", "B", scalable=scalable).first()
+    assert r.d_e6 == math.floor(d_true * 1e6 + 0.5)
+    assert (r.n_a, r.n_b) == (400, 300)
+
+
+def test_ks_identical_distributions(spark):
+    rows = [(i % 10, g) for i in range(100) for g in ("A", "B")]
+    df = spark.createDataFrame(rows, "v int, g string")
+    assert two_sample_ks(df, "v", "g", "A", "B").first().d_e6 == 0
+
+
+@pytest.mark.parametrize("scalable", [False, True])
+def test_mwu_matches_bruteforce(two_groups, scalable):
+    df, xa, xb = two_groups
+    pooled = np.concatenate([xa, xb])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sp = pooled[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    na, nb = len(xa), len(xb)
+    n = na + nb
+    ua = ranks[:na].sum() - na * (na + 1) / 2
+    _, cnts = np.unique(pooled, return_counts=True)
+    ties = float((cnts.astype(float) ** 3 - cnts).sum())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (ua - na * nb / 2.0) / math.sqrt(var)
+    r = mann_whitney_u(df, "v", "g", "A", "B", scalable=scalable).first()
+    assert r.u2_a == int(round(2 * ua))
+    assert r.z_e6 == math.floor(z * 1e6 + 0.5)
+
+
+def test_mwu_auroc_identity(two_groups):
+    # U_a / (n_a * n_b) == P(a > b) + 0.5 P(a == b): the AUROC identity.
+    df, xa, xb = two_groups
+    r = mann_whitney_u(df, "v", "g", "A", "B").first()
+    wins = (xa[:, None] > xb[None, :]).sum()
+    ties = (xa[:, None] == xb[None, :]).sum()
+    assert r.u2_a == 2 * wins + ties
+
+
+def test_chi2_matches_bruteforce(spark):
+    rng = np.random.RandomState(11)
+    ca = rng.choice(["x", "y", "z"], 500)
+    cb = rng.choice(["p", "q"], 500)
+    df = spark.createDataFrame(
+        list(zip(ca.tolist(), cb.tolist())), "a string, b string"
+    )
+    obs = collections.Counter(zip(ca, cb))
+    ra = collections.Counter(ca)
+    cm = collections.Counter(cb)
+    n = 500
+    tot = 0
+    for av in ra:
+        for bv in cm:
+            o = obs.get((av, bv), 0)
+            num = (o * n - ra[av] * cm[bv]) ** 2
+            tot += math.floor(float(num) / float(n * ra[av] * cm[bv]) * 1e6 + 0.5)
+    r = chi2_independence(df, "a", "b").first()
+    assert r.chi2_e6 == tot
+    assert r.dof == (len(ra) - 1) * (len(cm) - 1)
+    assert r.n == n
+
+
+def test_chi2_zero_cells_counted(spark):
+    # (x, q) never observed: the grid must still include its expected mass.
+    rows = [("x", "p")] * 30 + [("y", "p")] * 10 + [("y", "q")] * 20
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").first()
+    # brute force including the zero cell
+    tot = 0
+    margins_a = {"x": 30, "y": 30}
+    margins_b = {"p": 40, "q": 20}
+    obs = {("x", "p"): 30, ("y", "p"): 10, ("y", "q"): 20}
+    for av, rv in margins_a.items():
+        for bv, cv in margins_b.items():
+            o = obs.get((av, bv), 0)
+            tot += math.floor(
+                float((o * 60 - rv * cv) ** 2) / float(60 * rv * cv) * 1e6 + 0.5
+            )
+    assert r.chi2_e6 == tot
+    assert r.dof == 1
+
+
+def test_welch_matches_bruteforce(two_groups):
+    df, xa, xb = two_groups
+    na, nb = len(xa), len(xb)
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    t = (xa.mean() - xb.mean()) / math.sqrt(va / na + vb / nb)
+    dof = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    r = welch_ttest(df, "v", "g", "A", "B").first()
+    assert abs(r.t_e6 - math.floor(t * 1e6 + 0.5)) <= 1
+    assert abs(r.dof_e6 - math.floor(dof * 1e6 + 0.5)) <= 1
+    assert r.mean_a_e6 == math.floor(xa.mean() * 1e6 + 0.5)
+
+
+def test_welch_symmetric_sign(two_groups):
+    df, _, _ = two_groups
+    fwd = welch_ttest(df, "v", "g", "A", "B").first()
+    rev = welch_ttest(df, "v", "g", "B", "A").first()
+    assert fwd.t_e6 == -rev.t_e6 or abs(fwd.t_e6 + rev.t_e6) <= 1
+    assert fwd.dof_e6 == rev.dof_e6
