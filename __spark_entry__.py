@@ -3985,6 +3985,54 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_distinct_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distinct-n diversity (diversity.distinct_ngrams) for n=1..3
+    over the documents table — in-array n-gram construction, vocabulary-
+    bounded aggregation, exact type/token ratios in e6."""
+    from halvesting_geometric_spark.operators.diversity import (
+        distinct_ngrams,
+    )
+
+    return distinct_ngrams(
+        load_table(spark, sf_dir, "documents"), ns=(1, 2, 3)
+    )
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS slope (diversity.zipf_slope, scalable
+    two-phase rank path) — e9-quantized logs so the moments are exact
+    decimal sums."""
+    from halvesting_geometric_spark.operators.diversity import zipf_slope
+
+    return zipf_slope(
+        load_table(spark, sf_dir, "documents"), scalable=True
+    )
+
+
+def _q_entropy1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram entropy in bits (diversity.unigram_entropy) —
+    per-term e9-quantized log2 before the order-free integer sum."""
+    from halvesting_geometric_spark.operators.diversity import (
+        unigram_entropy,
+    )
+
+    return unigram_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def _q_heaps5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at five checkpoints
+    (diversity.heaps_checkpoints) — global token positions from a
+    two-phase prefix over per-document counts, no global sort."""
+    from halvesting_geometric_spark.operators.diversity import (
+        heaps_checkpoints,
+    )
+
+    return heaps_checkpoints(
+        load_table(spark, sf_dir, "documents"),
+        checkpoints=(50, 100, 200, 500, 1000),
+    )
+
+
 def _q_ks_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance (stats.two_sample_ks,
     scalable two-phase prefix path) between the integer quantity
@@ -4121,6 +4169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the real-codec gates lead: they certify the round's pure-stdlib
         # JPEG and AVI/MJPEG decode paths, the most load-bearing additions)
         "ks_qty": _q_ks_qty,
+        "distinct_n3": _q_distinct_n3,
+        "zipf_fit": _q_zipf_fit,
+        "entropy1": _q_entropy1,
+        "heaps5": _q_heaps5,
         "mwu_price": _q_mwu_price,
         "chi2_flags": _q_chi2_flags,
         "welch_price": _q_welch_price,
@@ -7000,6 +7052,107 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # distinct-n diversity: in-list n-gram construction mirrored
+        # from diversity.distinct_ngrams (1-based inclusive list slices)
+        "distinct_n3": r"""WITH
+da AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          x -> x <> '') AS a
+       FROM documents),
+dg AS (
+  SELECT 1 AS n, u.g
+  FROM da, UNNEST(list_transform(generate_series(1, len(a)),
+                  i -> array_to_string(a[i:i], ' '))) AS u(g)
+  WHERE len(a) >= 1
+  UNION ALL
+  SELECT 2 AS n, u.g
+  FROM da, UNNEST(list_transform(generate_series(1, len(a) - 1),
+                  i -> array_to_string(a[i:i+1], ' '))) AS u(g)
+  WHERE len(a) >= 2
+  UNION ALL
+  SELECT 3 AS n, u.g
+  FROM da, UNNEST(list_transform(generate_series(1, len(a) - 2),
+                  i -> array_to_string(a[i:i+2], ' '))) AS u(g)
+  WHERE len(a) >= 3),
+ds AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams
+       FROM dg GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n, total_ngrams, distinct_ngrams,
+       CAST(floor(CAST(distinct_ngrams AS DOUBLE) * 1000000
+                  / CAST(total_ngrams AS DOUBLE) + 0.5) AS BIGINT)
+           AS ratio_e6
+FROM ds""",
+        # Zipf OLS over e9-quantized logs: exact HUGEINT moments, one
+        # scalar double chain — mirrors diversity.zipf_slope
+        "zipf_fit": r"""WITH
+za AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          x -> x <> '') AS a
+       FROM documents),
+ztc AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM za, UNNEST(a) AS u(t) GROUP BY 1),
+zrk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rnk
+        FROM ztc),
+zq AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000 + 0.5)
+                   AS HUGEINT) AS x,
+              CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000 + 0.5)
+                   AS HUGEINT) AS y
+       FROM zrk),
+zm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(x * y) AS DOUBLE) AS sxy,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx,
+              CAST(SUM(y * y) AS DOUBLE) AS syy,
+              CAST(COUNT(*) AS BIGINT) AS n_terms
+       FROM zq)
+SELECT CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000
+                  + 0.5) AS BIGINT) AS slope_e6,
+       CAST(floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  * 1000000 + 0.5) AS BIGINT) AS r2_e6,
+       n_terms
+FROM zm""",
+        # unigram entropy in bits, per-term e9-quantized log2 — mirrors
+        # diversity.unigram_entropy
+        "entropy1": r"""WITH
+ea AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          x -> x <> '') AS a
+       FROM documents),
+etc AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ea, UNNEST(a) AS u(t) GROUP BY 1),
+eg AS (SELECT SUM(c * CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000000
+                                 + 0.5) AS HUGEINT)) AS s,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS vocab
+       FROM etc)
+SELECT CAST(floor((log2(CAST(n_tokens AS DOUBLE))
+                   - CAST(s AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * 1000000000.0))
+                  * 1000000 + 0.5) AS BIGINT) AS entropy_e6,
+       n_tokens, vocab
+FROM eg""",
+        # Heaps' growth: exclusive doc-order prefix offsets + in-doc
+        # ordinality — mirrors diversity.heaps_checkpoints
+        "heaps5": r"""WITH
+ha AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          x -> x <> '') AS a
+       FROM documents),
+hc AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS tc FROM ha),
+ho AS (SELECT doc_id,
+              COALESCE(SUM(tc) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+       FROM hc),
+hp AS (SELECT unnest(a) AS term,
+              off + unnest(generate_series(1, len(a))) AS gpos
+       FROM ha JOIN ho USING (doc_id)),
+hf AS (SELECT term, MIN(gpos) AS fp FROM hp GROUP BY 1),
+hk AS (SELECT * FROM (VALUES (50), (100), (200), (500), (1000))
+       AS v(tokens))
+SELECT CAST(tokens AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN fp <= tokens THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab
+FROM hf CROSS JOIN hk
+GROUP BY tokens""",
         # two-sample KS: exact integer cross-multiplied ECDF max, one
         # scalar double chain mirrored op-for-op from stats.two_sample_ks
         "ks_qty": """WITH

@@ -180,6 +180,13 @@ from halvesting_geometric_spark.operators.sampling import (
     weighted_sample,
 )
 from halvesting_geometric_spark.operators.quantiles import group_quantiles
+from halvesting_geometric_spark.operators.diversity import (
+    compression_ratio,
+    distinct_ngrams,
+    heaps_checkpoints,
+    unigram_entropy,
+    zipf_slope,
+)
 from halvesting_geometric_spark.operators.stats import (
     chi2_independence,
     mann_whitney_u,
@@ -318,6 +325,11 @@ __all__ = [
     "mann_whitney_u",
     "chi2_independence",
     "welch_ttest",
+    "distinct_ngrams",
+    "zipf_slope",
+    "unigram_entropy",
+    "heaps_checkpoints",
+    "compression_ratio",
     "hitting_probability",
     "session_paths",
     "snapshot_diff",
