@@ -3985,6 +3985,17 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_plaw_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent MLE (metrics.powerlaw_alpha, Clauset
+    approx) over the citation graph's in-degree distribution — per-degree
+    e9-quantized logs on the degree histogram, one scalar double chain."""
+    from halvesting_geometric_spark.operators.metrics import powerlaw_alpha
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("value"))
+    return powerlaw_alpha(indeg, "value", xmin=1)
+
+
 def _q_distinct_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus distinct-n diversity (diversity.distinct_ngrams) for n=1..3
     over the documents table — in-array n-gram construction, vocabulary-
@@ -4169,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the real-codec gates lead: they certify the round's pure-stdlib
         # JPEG and AVI/MJPEG decode paths, the most load-bearing additions)
         "ks_qty": _q_ks_qty,
+        "plaw_deg": _q_plaw_deg,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7052,6 +7064,27 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # power-law MLE over the in-degree histogram, per-degree e9 logs
+        # — mirrors metrics.powerlaw_alpha (xmin=1 => denom 0.5)
+        "plaw_deg": f"""WITH {_BASE},
+pd AS (SELECT CAST(COUNT(*) AS BIGINT) AS x
+       FROM edges GROUP BY dst),
+ph AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pd WHERE x >= 1 GROUP BY 1),
+pa AS (SELECT SUM(c * CAST(floor(ln(CAST(x AS DOUBLE) / 0.5)
+                                 * 1000000000 + 0.5) AS HUGEINT)) AS s,
+              CAST(SUM(c) AS BIGINT) AS n_tail
+       FROM ph),
+pz AS (SELECT 1 + CAST(n_tail AS DOUBLE)
+                  / (CAST(s AS DOUBLE) / 1000000000.0) AS alpha,
+              CAST(n_tail AS DOUBLE) AS nd, n_tail
+       FROM pa)
+SELECT CAST(floor(alpha * 1000000 + 0.5) AS BIGINT) AS alpha_e6,
+       CAST(floor((alpha - 1) / sqrt(nd) * 1000000 + 0.5) AS BIGINT)
+           AS sigma_e6,
+       n_tail,
+       CAST(1 AS BIGINT) AS xmin
+FROM pz""",
         # distinct-n diversity: in-list n-gram construction mirrored
         # from diversity.distinct_ngrams (1-based inclusive list slices)
         "distinct_n3": r"""WITH

@@ -226,6 +226,7 @@ from halvesting_geometric_spark.operators.centrality import (
 )
 from halvesting_geometric_spark.operators.influence import linear_threshold
 from halvesting_geometric_spark.operators.metrics import (
+    powerlaw_alpha,
     reciprocity,
     rich_club,
     triangle_significance,
@@ -471,6 +472,7 @@ __all__ = [
     "salsa",
     "reciprocity",
     "rich_club",
+    "powerlaw_alpha",
     "double_sweep_diameter",
     "linear_threshold",
     "prefix_filter_pairs",

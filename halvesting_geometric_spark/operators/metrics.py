@@ -343,3 +343,57 @@ def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     te.unpersist()
     return out
 
+
+
+def powerlaw_alpha(
+    values: DataFrame, value_col: str = "value", xmin: int = 1
+) -> DataFrame:
+    """Discrete power-law exponent MLE (Clauset-Shalizi-Newman approx).
+
+    ``alpha = 1 + n / sum_i ln(x_i / (xmin - 0.5))`` over the tail ``x >=
+    xmin``, with standard error ``sigma = (alpha - 1) / sqrt(n)`` — the
+    standard scale-free-degree-distribution fit (Clauset et al. 2009,
+    eq. 3.7), applied to the citation graph's degree table. The
+    reference's HAL graphs are power-law by construction (SURVEY §1);
+    this makes the exponent a first-class one-row aggregate.
+
+    Cross-engine exactness: the log is quantized PER DISTINCT VALUE to an
+    e9 BIGINT on the value histogram, so the sum is order-free exact
+    integer arithmetic and alpha/sigma are one scalar double chain (the
+    evalmetrics.dcg_discounts precedent).
+
+    Scale: one shuffle to the value histogram (state = distinct values),
+    then a single-row aggregate.
+
+    Returns one row ``(alpha_e6, sigma_e6, n_tail, xmin)``.
+    """
+    hist = (
+        values.select(F.col(value_col).cast("long").alias("_x"))
+        .filter(F.col("_x") >= xmin)
+        .groupBy("_x")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    denom = float(xmin) - 0.5
+    le9 = F.floor(
+        F.log(F.col("_x").cast("double") / F.lit(denom)) * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    agg = hist.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * le9).alias("_s"),
+        F.sum("c").cast("long").alias("n_tail"),
+    )
+    n_d = F.col("n_tail").cast("double")
+    alpha = 1 + n_d / (
+        F.col("_s").cast("double") / F.lit(1_000_000_000.0)
+    )
+    sigma = (alpha - 1) / F.sqrt(n_d)
+    return agg.select(
+        F.floor(alpha * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "alpha_e6"
+        ),
+        F.floor(sigma * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "sigma_e6"
+        ),
+        "n_tail",
+        F.lit(int(xmin)).cast("long").alias("xmin"),
+    )

@@ -139,3 +139,34 @@ def test_welch_symmetric_sign(two_groups):
     rev = welch_ttest(df, "v", "g", "B", "A").first()
     assert fwd.t_e6 == -rev.t_e6 or abs(fwd.t_e6 + rev.t_e6) <= 1
     assert fwd.dof_e6 == rev.dof_e6
+
+
+def test_powerlaw_alpha_bruteforce(spark):
+    from halvesting_geometric_spark.operators.metrics import powerlaw_alpha
+
+    rng = np.random.RandomState(3)
+    # discrete power-law-ish degrees via inverse transform
+    deg = np.clip((1.0 / rng.uniform(0.001, 1.0, 2000)).astype(int), 1, None)
+    df = spark.createDataFrame([(int(d),) for d in deg], "value int")
+    hist = collections.Counter(int(d) for d in deg)
+    s = sum(
+        c * math.floor(math.log(x / 0.5) * 1e9 + 0.5)
+        for x, c in hist.items()
+    )
+    n = float(len(deg))
+    alpha = 1 + n / (float(s) / 1e9)
+    sigma = (alpha - 1) / math.sqrt(n)
+    r = powerlaw_alpha(df, "value", xmin=1).first()
+    assert r.alpha_e6 == math.floor(alpha * 1e6 + 0.5)
+    assert r.sigma_e6 == math.floor(sigma * 1e6 + 0.5)
+    assert r.n_tail == 2000
+
+
+def test_powerlaw_alpha_xmin_filters_tail(spark):
+    from halvesting_geometric_spark.operators.metrics import powerlaw_alpha
+
+    df = spark.createDataFrame(
+        [(1,)] * 50 + [(5,)] * 10 + [(50,)] * 2, "value int"
+    )
+    r = powerlaw_alpha(df, "value", xmin=5).first()
+    assert r.n_tail == 12 and r.xmin == 5
