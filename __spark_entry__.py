@@ -3985,6 +3985,29 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_gini_indeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of citation in-degrees
+    (metrics.gini_coefficient) — doubled-midrank identity, two-phase
+    ranks, decimal-exact moments."""
+    from halvesting_geometric_spark.operators.metrics import (
+        gini_coefficient,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("value"))
+    return gini_coefficient(indeg, "value")
+
+
+def _q_acf24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count autocorrelation at six lags
+    (anomaly.acf_counts) — densified bucket axis, lead() pairs, exact
+    decimal Pearson moments."""
+    from halvesting_geometric_spark.operators.anomaly import acf_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf_counts(ev, "ts", 3600, lags=(1, 2, 3, 6, 12, 24))
+
+
 def _q_plaw_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete power-law exponent MLE (metrics.powerlaw_alpha, Clauset
     approx) over the citation graph's in-degree distribution — per-degree
@@ -4181,6 +4204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JPEG and AVI/MJPEG decode paths, the most load-bearing additions)
         "ks_qty": _q_ks_qty,
         "plaw_deg": _q_plaw_deg,
+        "gini_indeg": _q_gini_indeg,
+        "acf24": _q_acf24,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7064,6 +7089,57 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # Gini via the doubled-midrank identity on the in-degree
+        # histogram — mirrors metrics.gini_coefficient
+        "gini_indeg": f"""WITH {_BASE},
+gd AS (SELECT CAST(COUNT(*) AS BIGINT) AS x FROM edges GROUP BY dst),
+gh AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+       FROM gd WHERE x >= 0 GROUP BY 1),
+gr AS (SELECT x, c,
+              2 * COALESCE(SUM(c) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS r2
+       FROM gh),
+ga AS (SELECT SUM(c * x * r2) AS s2, CAST(SUM(c) AS BIGINT) AS n,
+              SUM(c * x) AS tot
+       FROM gr)
+SELECT CAST(floor((CAST(s2 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS gini_e6,
+       n, CAST(tot AS BIGINT) AS total
+FROM ga""",
+        # hourly-count ACF: densified bucket axis, join-shifted pairs
+        # (== lead(c, k)), exact integer moments — mirrors
+        # anomaly.acf_counts
+        "acf24": """WITH
+ab AS (SELECT CAST(floor(CAST(floor(epoch(ts)) AS DOUBLE) / 3600)
+              AS BIGINT) AS b,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM events GROUP BY 1),
+abb AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ab),
+ad AS (SELECT u.b, COALESCE(ab.c, 0) AS c
+       FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM abb) u
+       LEFT JOIN ab ON ab.b = u.b),
+al AS (SELECT * FROM (VALUES (1), (2), (3), (6), (12), (24)) v(k)),
+ap AS (SELECT al.k, d1.c AS x, d2.c AS y
+       FROM al, ad d1 JOIN ad d2 ON d2.b = d1.b + al.k),
+am AS (SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(x * y) AS DOUBLE) AS sxy,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx,
+              CAST(SUM(y * y) AS DOUBLE) AS syy,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM ap GROUP BY k)
+SELECT CAST(k AS BIGINT) AS lag,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(floor((n * sxy - sx * sy)
+                            / sqrt((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS r_e6,
+       n_pairs
+FROM am""",
         # power-law MLE over the in-degree histogram, per-degree e9 logs
         # — mirrors metrics.powerlaw_alpha (xmin=1 => denom 0.5)
         "plaw_deg": f"""WITH {_BASE},

@@ -1,6 +1,7 @@
 """Operator surface (SURVEY.md §2 inventory → Spark-first implementations)."""
 
 from halvesting_geometric_spark.operators.anomaly import (
+    acf_counts,
     cusum_changepoints,
     robust_anomalies,
 )
@@ -226,6 +227,7 @@ from halvesting_geometric_spark.operators.centrality import (
 )
 from halvesting_geometric_spark.operators.influence import linear_threshold
 from halvesting_geometric_spark.operators.metrics import (
+    gini_coefficient,
     powerlaw_alpha,
     reciprocity,
     rich_club,
@@ -473,6 +475,8 @@ __all__ = [
     "reciprocity",
     "rich_club",
     "powerlaw_alpha",
+    "gini_coefficient",
+    "acf_counts",
     "double_sweep_diameter",
     "linear_threshold",
     "prefix_filter_pairs",

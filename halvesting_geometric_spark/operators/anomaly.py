@@ -142,3 +142,97 @@ def cusum_changepoints(
             (F.col("_p") - F.least(F.col("_pmin"), F.lit(0))) > h_e6
         ).alias("alarm"),
     )
+
+
+def acf_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24),
+) -> DataFrame:
+    """Autocorrelation of the event-count time series at fixed lags —
+    the periodicity detector (a daily cycle shows as a peak at lag 24 on
+    hourly buckets; its absence in machine-generated traffic is itself a
+    signal).
+
+    Events reduce to per-bucket counts (one shuffle, state = bucket
+    cardinality); the axis is DENSIFIED over [min, max] so silent
+    buckets count as zero (sequence + explode — bounded by the time
+    span, which is calendar-bounded no matter the row count). Lagged
+    pairs come from ``lead(c, k)`` over the bucket order — a single
+    ordered window whose partition is the bucket axis, never the raw
+    events. Pearson moments are exact decimal integer sums; one scalar
+    double chain per lag.
+
+    Returns one row per lag: ``(lag, r_e6, n_pairs)`` (``r_e6`` NULL
+    for degenerate/zero-variance windows).
+    """
+    from pyspark.sql import Window
+
+    b = (
+        events.select(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
+            )
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    span = b.agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    ).first()
+    dense = (
+        events.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(span["lo"]), F.lit(span["hi"]))
+            ).alias("b")
+        )
+        .join(b, "b", "left")
+        .select("b", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.orderBy("b")
+    led = dense.select(
+        "c",
+        *[F.lead("c", k).over(w).alias(f"c{k}") for k in lags],
+    )
+    outs = []
+    for k in lags:
+        pairs = led.filter(F.col(f"c{k}").isNotNull()).select(
+            F.col("c").cast("decimal(38,0)").alias("x"),
+            F.col(f"c{k}").cast("decimal(38,0)").alias("y"),
+        )
+        m = pairs.agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        n_d = F.col("n").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+        cov = n_d * sxy - sx * sy
+        varx = n_d * sxx - sx * sx
+        vary = n_d * syy - sy * sy
+        outs.append(
+            m.select(
+                F.lit(int(k)).cast("long").alias("lag"),
+                F.when(
+                    (varx > 0) & (vary > 0),
+                    F.floor(
+                        cov / F.sqrt(varx * vary) * 1_000_000
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("r_e6"),
+                F.col("n").cast("long").alias("n_pairs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
