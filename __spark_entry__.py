@@ -3985,6 +3985,29 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_boot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson-bootstrap CI for the per-event-type mean value
+    (stats.bootstrap_mean_ci, portable hash) — deterministic integer
+    resampling weights, map-side-combined replicate sums."""
+    from halvesting_geometric_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v_bp"),
+    )
+    return bootstrap_mean_ci(
+        ev,
+        "v_bp",
+        ("event_id",),
+        ("event_type",),
+        replicates=64,
+        hash_method="portable",
+    )
+
+
 def _q_gini_indeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini concentration of citation in-degrees
     (metrics.gini_coefficient) — doubled-midrank identity, two-phase
@@ -4206,6 +4229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plaw_deg": _q_plaw_deg,
         "gini_indeg": _q_gini_indeg,
         "acf24": _q_acf24,
+        "boot_mean": _q_boot_mean,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -6804,6 +6828,44 @@ GROUP BY l.x, r.x
 HAVING COUNT(*) >= {min_count}"""
 
 
+def _boot_mean_sql(portable_hash64_sql) -> str:
+    """DuckDB twin of the boot_mean gate: replays the Poisson bootstrap
+    end to end — same portable hash, same quantized thresholds, same
+    integer replicate sums and percentile indices."""
+    from halvesting_geometric_spark.operators.stats import POISSON_CUM60
+
+    w_expr = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in POISSON_CUM60
+    )
+    h_expr = portable_hash64_sql("event_id", "r")
+    return f"""WITH
+bv AS (SELECT event_type, event_id,
+              CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+       FROM events),
+br AS (SELECT unnest(generate_series(0, 63)) AS r),
+bu AS (SELECT bv.event_type, bv.v, br.r, {h_expr} AS u
+       FROM bv CROSS JOIN br),
+bw AS (SELECT event_type, v, r, ({w_expr}) AS w FROM bu),
+bm AS (SELECT event_type, r, SUM(v * w) AS swx, SUM(w) AS sw
+       FROM bw GROUP BY 1, 2),
+bmm AS (SELECT event_type, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+        FROM bm WHERE sw > 0),
+bl AS (SELECT event_type, list(m ORDER BY m) AS ms,
+              CAST(COUNT(*) AS BIGINT) AS b
+       FROM bmm GROUP BY 1),
+bo AS (SELECT event_type, SUM(v) AS sx, CAST(COUNT(v) AS BIGINT) AS n
+       FROM bv GROUP BY 1)
+SELECT bl.event_type,
+       CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1000000
+                  + 0.5) AS BIGINT) AS mean_e6,
+       CAST(floor(ms[CAST(floor(CAST(b AS DOUBLE) * 0.025) AS INT) + 1]
+                  * 1000000 + 0.5) AS BIGINT) AS lo_e6,
+       CAST(floor(ms[CAST(ceil(CAST(b AS DOUBLE) * 0.975) AS INT)]
+                  * 1000000 + 0.5) AS BIGINT) AS hi_e6,
+       n, CAST(64 AS BIGINT) AS replicates
+FROM bl JOIN bo ON bl.event_type = bo.event_type"""
+
+
 def oracle_sql() -> dict[str, str]:
     from halvesting_geometric_spark.functions import portable_hash64_sql
     from halvesting_geometric_spark.operators.layout import zorder_sql
@@ -7089,6 +7151,10 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # Poisson bootstrap: full cross-engine replication — portable
+        # hash, quantized 60-bit Poisson thresholds (stats.POISSON_CUM60
+        # inlined), exact integer replicate sums, type-1 percentile CI
+        "boot_mean": _boot_mean_sql(portable_hash64_sql),
         # Gini via the doubled-midrank identity on the in-degree
         # histogram — mirrors metrics.gini_coefficient
         "gini_indeg": f"""WITH {_BASE},

@@ -39,6 +39,7 @@ __all__ = [
     "mann_whitney_u",
     "chi2_independence",
     "welch_ttest",
+    "bootstrap_mean_ci",
 ]
 
 
@@ -356,4 +357,128 @@ def welch_ttest(
         F.floor(mb * E6 + F.lit(0.5)).cast("long").alias("mean_b_e6"),
         "n_a",
         "n_b",
+    )
+
+
+# cumulative Poisson(1) CDF quantized to 60-bit integer thresholds: a
+# bootstrap weight is w = #{k : u60 >= T_k}, an EXACT integer comparison
+# against the hash value — no floats anywhere in the resampling path.
+# Computed once here and inlined verbatim into the SQL oracle
+# (evalmetrics.dcg_discounts precedent). Tail truncated at w=8
+# (P(w>8) < 1.1e-7).
+def _poisson_cum60() -> list[int]:
+    import math
+
+    cum, out, p = 0.0, [], math.exp(-1.0)
+    for k in range(9):
+        cum += p
+        out.append(min(int(cum * (1 << 60)), (1 << 60)))
+        p /= k + 1
+    return out
+
+
+POISSON_CUM60 = _poisson_cum60()
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_cols: tuple[str, ...],
+    group_cols: tuple[str, ...] = (),
+    replicates: int = 64,
+    alpha: float = 0.05,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Distributed Poisson bootstrap CI for the mean.
+
+    The classic scalable bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): instead of
+    resampling n rows with replacement (which needs global coordination),
+    each row enters replicate ``r`` with weight ``w ~ Poisson(1)``,
+    derived DETERMINISTICALLY from ``hash(id_cols, r)`` compared against
+    pre-quantized 60-bit CDF thresholds — integer comparisons only, so
+    the whole resampling is exact and engine-portable under
+    ``hash_method='portable'`` (functions.portable_hash64; the default
+    xxhash64 is the faster in-engine path).
+
+    Scale: the replicate explosion happens map-side and collapses
+    immediately into per-(group, replicate) partial sums (map-side
+    combine), so the shuffle carries ``|groups| * replicates`` rows, not
+    ``n * replicates``. Replicate means are exact-integer ratios
+    (values are integer-cast; pre-scale floats to fixed point). The CI
+    is a type-1 percentile over the B-bounded sorted replicate means:
+    ``lo = m_(floor(B*alpha/2)+1)``, ``hi = m_(ceil(B*(1-alpha/2)))``.
+
+    Returns one row per group:
+    ``(group..., mean_e6, lo_e6, hi_e6, n, replicates)``.
+    """
+    from halvesting_geometric_spark.functions import portable_hash64
+
+    if hash_method == "portable":
+        u = portable_hash64(*id_cols, "_r").alias("_u")
+    elif hash_method == "xxhash64":
+        # fold the signed 64-bit hash into the [0, 2^60) domain the
+        # quantized thresholds assume
+        u = F.pmod(
+            F.xxhash64(*id_cols, "_r"), F.lit(1 << 60)
+        ).alias("_u")
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(replicates) - 1))
+    ).alias("_r")
+    base = df.select(
+        *group_cols,
+        F.col(value_col).cast("decimal(38,0)").alias("_x"),
+        *id_cols,
+        reps,
+    ).select(*group_cols, "_x", "_r", u)
+    w = sum(
+        F.when(F.col("_u") >= F.lit(t), 1).otherwise(0)
+        for t in POISSON_CUM60
+    ).alias("_w")
+    per_rep = (
+        base.select(*group_cols, "_r", "_x", w)
+        .groupBy(*group_cols, "_r")
+        .agg(
+            F.sum(F.col("_x") * F.col("_w")).alias("_swx"),
+            F.sum("_w").cast("long").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            *group_cols,
+            (
+                F.col("_swx").cast("double") / F.col("_sw").cast("double")
+            ).alias("_m"),
+        )
+    )
+    means = per_rep.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_m")).alias("_ms")
+    )
+    b_eff = F.size("_ms")
+    lo_i = (
+        F.floor(b_eff.cast("double") * F.lit(alpha / 2.0)) + 1
+    ).cast("int")
+    hi_i = F.ceil(
+        b_eff.cast("double") * F.lit(1.0 - alpha / 2.0)
+    ).cast("int")
+    overall = df.groupBy(*group_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("_sx"),
+        F.count(value_col).cast("long").alias("n"),
+    )
+    joined = (
+        means.join(overall, list(group_cols))
+        if group_cols
+        else means.crossJoin(overall)
+    )
+    e6 = lambda c: F.floor(c * E6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return joined.select(
+        *group_cols,
+        e6(F.col("_sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_e6"
+        ),
+        e6(F.element_at("_ms", lo_i)).alias("lo_e6"),
+        e6(F.element_at("_ms", hi_i)).alias("hi_e6"),
+        "n",
+        F.lit(int(replicates)).cast("long").alias("replicates"),
     )

@@ -170,3 +170,75 @@ def test_powerlaw_alpha_xmin_filters_tail(spark):
     )
     r = powerlaw_alpha(df, "value", xmin=5).first()
     assert r.n_tail == 12 and r.xmin == 5
+
+
+def test_bootstrap_mean_ci_matches_bruteforce(spark):
+    import hashlib
+
+    from halvesting_geometric_spark.operators.stats import (
+        POISSON_CUM60,
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, "g%d" % (i % 2), (i * 37) % 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid long, grp string, v int")
+
+    def phash(*vals):
+        s = "\x1f".join(str(v) for v in vals)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    reps = 32
+    acc: dict = collections.defaultdict(lambda: [0, 0])
+    for rid, grp, v in rows:
+        for r in range(reps):
+            u = phash(rid, r)
+            w = sum(1 for t in POISSON_CUM60 if u >= t)
+            acc[(grp, r)][0] += v * w
+            acc[(grp, r)][1] += w
+    means: dict = collections.defaultdict(list)
+    for (grp, r), (swx, sw) in acc.items():
+        if sw > 0:
+            means[grp].append(float(swx) / float(sw))
+    want = {}
+    for grp, ms in means.items():
+        ms.sort()
+        b = len(ms)
+        lo = ms[int(math.floor(b * 0.025))]
+        hi = ms[int(math.ceil(b * 0.975)) - 1]
+        xs = [v for _, g, v in rows if g == grp]
+        want[grp] = (
+            math.floor(sum(xs) / len(xs) * 1e6 + 0.5),
+            math.floor(lo * 1e6 + 0.5),
+            math.floor(hi * 1e6 + 0.5),
+            len(xs),
+        )
+    got = {
+        r.grp: (r.mean_e6, r.lo_e6, r.hi_e6, r.n)
+        for r in bootstrap_mean_ci(
+            df,
+            "v",
+            ("rid",),
+            ("grp",),
+            replicates=reps,
+            hash_method="portable",
+        ).collect()
+    }
+    assert got == want
+    for _, (m, lo, hi, _n) in got.items():
+        assert lo < m < hi
+
+
+def test_bootstrap_ci_narrows_with_n(spark):
+    from halvesting_geometric_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    small = spark.createDataFrame(
+        [(i, (i * 13) % 50) for i in range(100)], "rid long, v int"
+    )
+    big = spark.createDataFrame(
+        [(i, (i * 13) % 50) for i in range(10_000)], "rid long, v int"
+    )
+    rs = bootstrap_mean_ci(small, "v", ("rid",), replicates=32).first()
+    rb = bootstrap_mean_ci(big, "v", ("rid",), replicates=32).first()
+    assert (rb.hi_e6 - rb.lo_e6) < (rs.hi_e6 - rs.lo_e6)
