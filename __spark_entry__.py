@@ -3985,6 +3985,36 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_jsd_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    document corpora (diversity.js_divergence) — vocabulary-bounded
+    full-outer histogram join, per-term e12-quantized contributions."""
+    from halvesting_geometric_spark.operators.diversity import (
+        js_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
+def _q_xent_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy of non-English docs under the English
+    corpus's Laplace-smoothed model (diversity.unigram_cross_entropy) —
+    bits/token plus OOV rate, per-term e12 quantization."""
+    from halvesting_geometric_spark.operators.diversity import (
+        unigram_cross_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
 def _q_boot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Poisson-bootstrap CI for the per-event-type mean value
     (stats.bootstrap_mean_ci, portable hash) — deterministic integer
@@ -4230,6 +4260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_indeg": _q_gini_indeg,
         "acf24": _q_acf24,
         "boot_mean": _q_boot_mean,
+        "jsd_lang": _q_jsd_lang,
+        "xent_lang": _q_xent_lang,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7151,6 +7183,82 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # JSD between en / non-en unigram distributions — per-term e12
+        # quantization, mirrors diversity.js_divergence
+        "jsd_lang": r"""WITH
+jta AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text),
+                     '\s+'), x -> x <> '') AS a
+              FROM documents WHERE lang = 'en') d,
+             UNNEST(a) AS u(t) GROUP BY 1),
+jtb AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text),
+                     '\s+'), x -> x <> '') AS a
+              FROM documents WHERE lang <> 'en') d,
+             UNNEST(a) AS u(t) GROUP BY 1),
+jh AS (SELECT COALESCE(jta.term, jtb.term) AS term,
+              COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       FROM jta FULL OUTER JOIN jtb ON jta.term = jtb.term),
+jt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+              CAST(SUM(cb) AS BIGINT) AS n_b FROM jh),
+jq AS (SELECT
+  CAST(floor((CASE WHEN ca > 0
+       THEN (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+            * log2((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   / ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2))
+       ELSE 0.0 END
+       + CASE WHEN cb > 0
+       THEN (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+            * log2((CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2))
+       ELSE 0.0 END) * 1e12 + 0.5) AS BIGINT) AS c12,
+  n_a, n_b
+  FROM jh CROSS JOIN jt),
+ja AS (SELECT SUM(c12) AS s, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+              CAST(COUNT(*) AS BIGINT) AS vocab FROM jq)
+SELECT CAST(floor(CAST(s AS DOUBLE) / 2000000.0 + 0.5) AS BIGINT)
+           AS jsd_e6,
+       n_a, n_b, vocab
+FROM ja""",
+        # cross-entropy of non-en under the en Laplace unigram model —
+        # mirrors diversity.unigram_cross_entropy (k = 1.0)
+        "xent_lang": r"""WITH
+xta AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text),
+                     '\s+'), x -> x <> '') AS a
+              FROM documents WHERE lang = 'en') d,
+             UNNEST(a) AS u(t) GROUP BY 1),
+xtb AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text),
+                     '\s+'), x -> x <> '') AS a
+              FROM documents WHERE lang <> 'en') d,
+             UNNEST(a) AS u(t) GROUP BY 1),
+xh AS (SELECT COALESCE(xta.term, xtb.term) AS term,
+              COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       FROM xta FULL OUTER JOIN xtb ON xta.term = xtb.term),
+xt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+              CAST(SUM(cb) AS BIGINT) AS n_b,
+              CAST(COUNT(*) AS BIGINT) AS v FROM xh),
+xq AS (SELECT
+  CAST(floor((CASE WHEN cb > 0
+       THEN -(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+            * log2((CAST(ca AS DOUBLE) + 1.0)
+                   / (CAST(n_a AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)))
+       ELSE 0.0 END) * 1e12 + 0.5) AS BIGINT) AS c12,
+  CASE WHEN cb > 0 AND ca = 0 THEN cb ELSE 0 END AS oov,
+  n_b, v
+  FROM xh CROSS JOIN xt),
+xa AS (SELECT SUM(c12) AS s, CAST(SUM(oov) AS BIGINT) AS oov,
+              MAX(n_b) AS n_eval_tokens, MAX(v) AS vocab FROM xq)
+SELECT CAST(floor(CAST(s AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)
+           AS ce_bits_e6,
+       CAST(floor(CAST(oov AS DOUBLE) * 1000000.0
+                  / CAST(n_eval_tokens AS DOUBLE) + 0.5) AS BIGINT)
+           AS oov_rate_e6,
+       n_eval_tokens, vocab
+FROM xa""",
         # Poisson bootstrap: full cross-engine replication — portable
         # hash, quantized 60-bit Poisson thresholds (stats.POISSON_CUM60
         # inlined), exact integer replicate sums, type-1 percentile CI

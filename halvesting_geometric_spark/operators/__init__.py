@@ -185,10 +185,13 @@ from halvesting_geometric_spark.operators.diversity import (
     compression_ratio,
     distinct_ngrams,
     heaps_checkpoints,
+    js_divergence,
+    unigram_cross_entropy,
     unigram_entropy,
     zipf_slope,
 )
 from halvesting_geometric_spark.operators.stats import (
+    bootstrap_mean_ci,
     chi2_independence,
     mann_whitney_u,
     two_sample_ks,
@@ -328,11 +331,14 @@ __all__ = [
     "mann_whitney_u",
     "chi2_independence",
     "welch_ttest",
+    "bootstrap_mean_ci",
     "distinct_ngrams",
     "zipf_slope",
     "unigram_entropy",
     "heaps_checkpoints",
     "compression_ratio",
+    "js_divergence",
+    "unigram_cross_entropy",
     "hitting_probability",
     "session_paths",
     "snapshot_diff",

@@ -44,6 +44,8 @@ __all__ = [
     "unigram_entropy",
     "heaps_checkpoints",
     "compression_ratio",
+    "js_divergence",
+    "unigram_cross_entropy",
 ]
 
 
@@ -342,4 +344,139 @@ def compression_ratio(
         )
         .cast("long")
         .alias("ratio_e6"),
+    )
+
+
+def _term_hist2(
+    docs_a: DataFrame, docs_b: DataFrame, text_col: str
+) -> DataFrame:
+    """Full-outer joined term histograms ``(term, ca, cb)``."""
+    ta = _term_counts(docs_a, text_col).withColumnRenamed("c", "ca")
+    tb = _term_counts(docs_b, text_col).withColumnRenamed("c", "cb")
+    return ta.join(tb, "term", "full_outer").select(
+        "term",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+
+
+def js_divergence(
+    docs_a: DataFrame, docs_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between two corpora's unigram
+    distributions — the standard bounded-[0,1] "how different are these
+    two data mixes" measure (symmetric, defined even on disjoint
+    vocabularies, unlike KL).
+
+    ``JSD = 0.5*sum_t pa*log2(pa/m) + 0.5*sum_t pb*log2(pb/m)`` with
+    ``m = (pa+pb)/2``, computed per term with a fixed chain of correctly-
+    rounded double ops and quantized PER TERM to an e12 BIGINT before the
+    order-free integer sum (floor bias < |vocab| * 1e-12, invisible at
+    the e6 output). State is vocabulary-bounded: one full-outer join of
+    the two term histograms.
+
+    Returns one row ``(jsd_e6, n_a, n_b, vocab)``.
+    """
+    h = _term_hist2(docs_a, docs_b, text_col)
+    totals = h.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    j = h.crossJoin(F.broadcast(totals))
+    pa = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    m = (pa + pb) / 2
+    contrib = F.when(F.col("ca") > 0, pa * F.log2(pa / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, pb * F.log2(pb / m)).otherwise(F.lit(0.0))
+    q = j.select(
+        F.floor(contrib * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("c12"),
+        "n_a",
+        "n_b",
+    )
+    agg = q.agg(
+        F.sum("c12").alias("_s"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    return agg.select(
+        F.floor(
+            F.col("_s").cast("double") / F.lit(2e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jsd_e6"),
+        "n_a",
+        "n_b",
+        "vocab",
+    )
+
+
+def unigram_cross_entropy(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k_smooth_e6: int = 1_000_000,
+) -> DataFrame:
+    """Cross-entropy (bits/token) of the eval corpus under the train
+    corpus's add-k-smoothed unigram model — the cheap "how surprised is
+    a model of mix A by mix B" score (perplexity = 2^H) used to rank
+    candidate data sources against a target distribution.
+
+    ``H = -sum_t (cb_t/n_b) * log2((ca_t + k) / (n_a + k*V))`` over the
+    UNION vocabulary V (eval-only terms hit the smoothed floor), with
+    ``k = k_smooth_e6/1e6`` (default 1.0 = Laplace). Per-term e12
+    quantization before the integer sum, vocabulary-bounded state.
+
+    Returns one row ``(ce_bits_e6, oov_rate_e6, n_eval_tokens, vocab)``.
+    """
+    h = _term_hist2(train_docs, eval_docs, text_col)
+    totals = h.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("v"),
+    )
+    j = h.crossJoin(F.broadcast(totals))
+    k = F.lit(k_smooth_e6 / 1e6)
+    p_smooth = (F.col("ca").cast("double") + k) / (
+        F.col("n_a").cast("double") + k * F.col("v").cast("double")
+    )
+    qb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    contrib = F.when(
+        F.col("cb") > 0, -qb * F.log2(p_smooth)
+    ).otherwise(F.lit(0.0))
+    q = j.select(
+        F.floor(contrib * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("c12"),
+        F.when((F.col("cb") > 0) & (F.col("ca") == 0), F.col("cb"))
+        .otherwise(F.lit(0))
+        .alias("oov"),
+        "n_b",
+        "v",
+    )
+    agg = q.agg(
+        F.sum("c12").alias("_s"),
+        F.sum("oov").cast("long").alias("_oov"),
+        F.max("n_b").alias("n_eval_tokens"),
+        F.max("v").alias("vocab"),
+    )
+    return agg.select(
+        F.floor(
+            F.col("_s").cast("double") / F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ce_bits_e6"),
+        F.floor(
+            F.col("_oov").cast("double")
+            * F.lit(1e6)
+            / F.col("n_eval_tokens").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("oov_rate_e6"),
+        "n_eval_tokens",
+        "vocab",
     )

@@ -140,3 +140,70 @@ def test_compression_ratio_flags_repetition(spark):
     )
     got = {r.doc_id: r.ratio_e6 for r in compression_ratio(df).collect()}
     assert got[0] > 3 * got[1]
+
+
+def test_js_divergence_bruteforce(spark):
+    from halvesting_geometric_spark.operators.diversity import js_divergence
+
+    a_docs = [(0, "a a b c"), (1, "a b d")]
+    b_docs = [(0, "a c c e"), (1, "e e")]
+    da = spark.createDataFrame(a_docs, "doc_id long, text string")
+    db = spark.createDataFrame(b_docs, "doc_id long, text string")
+    ca = collections.Counter("a a b c a b d".split())
+    cb = collections.Counter("a c c e e e".split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    s = 0
+    for t in vocab:
+        pa = ca.get(t, 0) / na
+        pb = cb.get(t, 0) / nb
+        m = (pa + pb) / 2
+        c = 0.0
+        if ca.get(t, 0) > 0:
+            c += pa * math.log2(pa / m)
+        if cb.get(t, 0) > 0:
+            c += pb * math.log2(pb / m)
+        s += math.floor(c * 1e12 + 0.5)
+    want = math.floor(float(s) / 2e6 + 0.5)
+    r = js_divergence(da, db).first()
+    assert (r.jsd_e6, r.n_a, r.n_b, r.vocab) == (want, na, nb, len(vocab))
+
+
+def test_js_divergence_bounds(spark):
+    from halvesting_geometric_spark.operators.diversity import js_divergence
+
+    same = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    assert js_divergence(same, same).first().jsd_e6 == 0
+    da = spark.createDataFrame([(0, "p q r")], "doc_id long, text string")
+    db = spark.createDataFrame([(0, "s t u")], "doc_id long, text string")
+    # disjoint vocabularies -> exactly 1 bit
+    assert js_divergence(da, db).first().jsd_e6 == 1_000_000
+
+
+def test_unigram_cross_entropy_bruteforce(spark):
+    from halvesting_geometric_spark.operators.diversity import (
+        unigram_cross_entropy,
+    )
+
+    train = [(0, "a a b c"), (1, "a b")]
+    evald = [(0, "a b z z")]
+    dt = spark.createDataFrame(train, "doc_id long, text string")
+    de = spark.createDataFrame(evald, "doc_id long, text string")
+    ca = collections.Counter("a a b c a b".split())
+    cb = collections.Counter("a b z z".split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    v = len(vocab)
+    s = 0
+    for t in vocab:
+        if cb.get(t, 0) == 0:
+            continue
+        qb = cb[t] / nb
+        p = (ca.get(t, 0) + 1.0) / (na + 1.0 * v)
+        s += math.floor(-qb * math.log2(p) * 1e12 + 0.5)
+    want_ce = math.floor(float(s) / 1e6 + 0.5)
+    oov = cb["z"]
+    r = unigram_cross_entropy(dt, de).first()
+    assert r.ce_bits_e6 == want_ce
+    assert r.oov_rate_e6 == math.floor(oov * 1e6 / nb + 0.5)
+    assert (r.n_eval_tokens, r.vocab) == (nb, v)
