@@ -3985,6 +3985,16 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_decay7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay activity score
+    (events.decayed_counts, halflife 168h, hourly buckets) — per-distinct-
+    age e9-quantized weights, exact decimal sums."""
+    from halvesting_geometric_spark.operators.events import decayed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_counts(ev, "user_id", "ts", halflife_hours=168.0)
+
+
 def _q_jsd_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between the English and non-English
     document corpora (diversity.js_divergence) — vocabulary-bounded
@@ -4262,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boot_mean": _q_boot_mean,
         "jsd_lang": _q_jsd_lang,
         "xent_lang": _q_xent_lang,
+        "decay7": _q_decay7,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7183,6 +7194,24 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # exponential time-decay score: per-distinct-age e9 weights,
+        # exact decimal sums — mirrors events.decayed_counts
+        # (halflife 168h = 168 hourly buckets; reference epoch max(ts))
+        "decay7": """WITH
+dt AS (SELECT CAST(MAX(floor(epoch(ts))) AS BIGINT) AS tmax FROM events),
+dp AS (SELECT user_id,
+              CAST(floor((tmax - CAST(floor(epoch(ts)) AS BIGINT))
+                         / 3600) AS BIGINT) AS age,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM events CROSS JOIN dt GROUP BY 1, 2),
+dw AS (SELECT user_id, c,
+              CAST(floor(power(2, -(CAST(age AS DOUBLE) / 168.0))
+                         * 1000000000 + 0.5) AS HUGEINT) AS w9
+       FROM dp)
+SELECT user_id,
+       CAST(SUM(c * w9) AS BIGINT) AS score_e9,
+       CAST(SUM(c) AS BIGINT) AS n_events
+FROM dw GROUP BY user_id""",
         # JSD between en / non-en unigram distributions — per-term e12
         # quantization, mirrors diversity.js_divergence
         "jsd_lang": r"""WITH

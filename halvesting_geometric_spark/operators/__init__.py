@@ -200,6 +200,7 @@ from halvesting_geometric_spark.operators.stats import (
 from halvesting_geometric_spark.operators.events import (
     burst_windows,
     burstiness,
+    decayed_counts,
     gap_memory,
 )
 from halvesting_geometric_spark.operators.relational import (
@@ -318,6 +319,7 @@ __all__ = [
     "bipartite_project",
     "burst_windows",
     "burstiness",
+    "decayed_counts",
     "gap_memory",
     "cohort_retention",
     "engagement_gini",

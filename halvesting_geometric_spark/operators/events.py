@@ -218,3 +218,65 @@ def gap_memory(
             F.floor(m * 1_000_000 + F.lit(0.5)),
         ).cast("long").alias("m_e6"),
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    halflife_hours: float = 168.0,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Exponential time-decay activity score per group — the standard
+    "hotness" aggregate (an event ``halflife_hours`` old counts half):
+    ``score = sum_e 2^(-age_e / halflife)`` with ages bucketed to
+    ``bucket_seconds`` so the decay weight is computed once PER DISTINCT
+    AGE BUCKET (bounded by the time span) and quantized to an e9 BIGINT —
+    the per-group score is then an exact decimal sum of
+    ``count * weight``, order-free across engines (the
+    evalmetrics.dcg_discounts precedent).
+
+    The reference epoch is ``max(ts)`` over the input (deterministic, no
+    wall clock). Scale: one groupBy to (group, age-bucket) counts, one
+    map-side-combined sum per group; the weight is a scalar expression,
+    no join against a weight table needed.
+
+    Returns ``(group_col, score_e9, n_events)``.
+    """
+    tmax = events.agg(
+        F.max(F.unix_timestamp(F.col(ts_col)).cast("long"))
+    ).first()[0]
+    per = (
+        events.select(
+            F.col(group_col),
+            F.floor(
+                (
+                    F.lit(int(tmax))
+                    - F.unix_timestamp(F.col(ts_col)).cast("long")
+                )
+                / F.lit(int(bucket_seconds))
+            )
+            .cast("long")
+            .alias("_age"),
+        )
+        .groupBy(group_col, "_age")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hl_buckets = halflife_hours * 3600.0 / float(bucket_seconds)
+    w9 = F.floor(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("_age").cast("double") / F.lit(hl_buckets)),
+        )
+        * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    agg = per.groupBy(group_col).agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * w9).alias("_s"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+    return agg.select(
+        group_col,
+        F.col("_s").cast("long").alias("score_e9"),
+        "n_events",
+    )

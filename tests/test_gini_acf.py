@@ -98,3 +98,30 @@ def test_acf_constant_series_is_null(spark):
     ev = spark.createDataFrame(rows, "ts timestamp")
     for r in acf_counts(ev, lags=(1, 2)).collect():
         assert r.r_e6 is None
+
+
+def test_decayed_counts_bruteforce(spark):
+    from halvesting_geometric_spark.operators.events import decayed_counts
+
+    rows = []
+    base = datetime(2026, 1, 10)
+    for u, offs in [(1, [0, 1, 2]), (2, [0, 48]), (3, [200])]:
+        for h in offs:
+            rows.append((u, base - timedelta(hours=h)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    tmax = max(int(t.timestamp()) for _, t in rows)
+    want = {}
+    for u, t in rows:
+        age = (tmax - int(t.timestamp())) // 3600
+        w9 = math.floor(2 ** (-(float(age) / 24.0)) * 1e9 + 0.5)
+        s, n = want.get(u, (0, 0))
+        want[u] = (s + w9, n + 1)
+    got = {
+        r.user_id: (r.score_e9, r.n_events)
+        for r in decayed_counts(
+            ev, "user_id", "ts", halflife_hours=24.0
+        ).collect()
+    }
+    assert got == want
+    # a 24h-old event is worth exactly half a fresh one
+    assert got[2][0] == 1_000_000_000 + 250_000_000  # 0h + 48h = 1 + 1/4
