@@ -3985,6 +3985,19 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_dbscan35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embeddings table (clustering.dbscan_embeddings,
+    exact pairs, cosine sim_e4 >= 3500, min_pts=4) — core/border/noise
+    roles with min-id deterministic cluster labels; clusters are the
+    scalable CC driver over the core-core eps-graph."""
+    from halvesting_geometric_spark.operators.clustering import (
+        dbscan_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dbscan_embeddings(emb, dim=64, eps_e4=3500, min_pts=4)
+
+
 def _q_decay7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential time-decay activity score
     (events.decayed_counts, halflife 168h, hourly buckets) — per-distinct-
@@ -4273,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_lang": _q_jsd_lang,
         "xent_lang": _q_xent_lang,
         "decay7": _q_decay7,
+        "dbscan35": _q_dbscan35,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7194,6 +7208,47 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # DBSCAN: e4-cosine eps-graph, recursive-CTE CC over core-core
+        # edges, min-cluster border attachment — mirrors
+        # clustering.dbscan_embeddings (eps_e4=3500, min_pts=4)
+        "dbscan35": """WITH RECURSIVE
+dbe AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dbp AS (SELECT a.vec_id AS a, b.vec_id AS b
+        FROM dbe a JOIN dbe b ON a.vec_id < b.vec_id
+        WHERE CAST(floor(
+          CASE WHEN sqrt(list_dot_product(a.e, a.e)) = 0
+                 OR sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+               ELSE list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e)))
+          END * 10000 + 0.5) AS BIGINT) >= 3500),
+dbs AS (SELECT a AS u, b AS v FROM dbp
+        UNION ALL SELECT b, a FROM dbp),
+dbd AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS nb FROM dbs GROUP BY 1),
+dbc AS (SELECT vec_id AS id, COALESCE(nb, 0) + 1 >= 4 AS is_core
+        FROM embeddings LEFT JOIN dbd ON vec_id = u),
+dbce AS (SELECT u, v FROM dbs
+         JOIN dbc cu ON dbs.u = cu.id AND cu.is_core
+         JOIN dbc cv ON dbs.v = cv.id AND cv.is_core),
+dbreach AS (
+  SELECT id AS a, id AS b FROM dbc WHERE is_core
+  UNION
+  SELECT r.a, e.v FROM dbreach r JOIN dbce e ON r.b = e.u),
+dbcomp AS (SELECT a AS id, MIN(b) AS cl FROM dbreach GROUP BY 1),
+dbbor AS (SELECT s.u AS id, MIN(c.cl) AS cl
+          FROM dbs s
+          JOIN dbc cu ON s.u = cu.id AND NOT cu.is_core
+          JOIN dbcomp c ON s.v = c.id
+          GROUP BY 1)
+SELECT dbc.id AS vec_id,
+       CASE WHEN dbc.is_core THEN 'core'
+            WHEN dbbor.cl IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(CASE WHEN dbc.is_core THEN dbcomp.cl
+                 ELSE dbbor.cl END AS BIGINT) AS cluster
+FROM dbc
+LEFT JOIN dbcomp ON dbc.id = dbcomp.id
+LEFT JOIN dbbor ON dbc.id = dbbor.id""",
         # exponential time-decay score: per-distinct-age e9 weights,
         # exact decimal sums — mirrors events.decayed_counts
         # (halflife 168h = 168 hourly buckets; reference epoch max(ts))

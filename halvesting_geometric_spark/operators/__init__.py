@@ -123,6 +123,9 @@ from halvesting_geometric_spark.operators.linkpred import (
     modularity,
     neighborhood_scores,
 )
+from halvesting_geometric_spark.operators.clustering import (
+    dbscan_embeddings,
+)
 from halvesting_geometric_spark.operators.coloring import greedy_coloring
 from halvesting_geometric_spark.operators.embeddings import (
     covariance_matrix,
@@ -334,6 +337,7 @@ __all__ = [
     "chi2_independence",
     "welch_ttest",
     "bootstrap_mean_ci",
+    "dbscan_embeddings",
     "distinct_ngrams",
     "zipf_slope",
     "unigram_entropy",
