@@ -3985,6 +3985,18 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (dialogue.conversation_stats) over the
+    derived transcripts: turn/role/tool counts, quantized-log role
+    entropy, text volume, epoch-second span."""
+    from halvesting_geometric_spark.operators.dialogue import (
+        conversation_stats,
+    )
+
+    tr = derived_transcripts(spark, sf_dir)
+    return conversation_stats(tr)
+
+
 def _q_dbscan35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embeddings table (clustering.dbscan_embeddings,
     exact pairs, cosine sim_e4 >= 3500, min_pts=4) — core/border/noise
@@ -4287,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xent_lang": _q_xent_lang,
         "decay7": _q_decay7,
         "dbscan35": _q_dbscan35,
+        "conv_stats": _q_conv_stats,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7208,6 +7221,49 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # per-conversation rollup over the derived transcripts — mirrors
+        # dialogue.conversation_stats (quantized-log role entropy)
+        "conv_stats": """WITH
+ct AS (SELECT 'c' || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0')
+              AS conv_id,
+              event_type AS role,
+              length('turn of c'
+                     || lpad(CAST(user_id % 53 AS VARCHAR), 6, '0')
+                     || ' see [[ref:c'
+                     || lpad(CAST(event_id % 211 AS VARCHAR), 6, '0')
+                     || ']] end') AS tlen,
+              CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS has_tool,
+              ts
+       FROM events),
+crc AS (SELECT conv_id, role, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ct GROUP BY 1, 2),
+cent AS (SELECT conv_id,
+                SUM(c * CAST(floor(log2(CAST(c AS DOUBLE))
+                                   * 1000000000 + 0.5) AS HUGEINT)) AS s,
+                CAST(SUM(c) AS BIGINT) AS n_turns,
+                CAST(COUNT(*) AS BIGINT) AS n_roles
+         FROM crc GROUP BY 1),
+cbase AS (SELECT conv_id,
+                 CAST(SUM(has_tool) AS BIGINT) AS n_tool_turns,
+                 CAST(SUM(tlen) AS BIGINT) AS total_chars,
+                 CAST(MAX(floor(epoch(ts))) - MIN(floor(epoch(ts)))
+                      AS BIGINT) AS duration_s
+          FROM ct GROUP BY 1)
+SELECT cent.conv_id, n_turns, n_roles,
+       CAST(floor((log2(CAST(n_turns AS DOUBLE))
+                   - CAST(s AS DOUBLE)
+                     / (CAST(n_turns AS DOUBLE) * 1000000000.0))
+                  * 1000000 + 0.5) AS BIGINT) AS role_entropy_e6,
+       n_tool_turns,
+       CAST(floor(CAST(n_tool_turns AS DOUBLE) * 1000000.0
+                  / CAST(n_turns AS DOUBLE) + 0.5) AS BIGINT)
+           AS tool_rate_e6,
+       total_chars,
+       CAST(floor(CAST(total_chars AS DOUBLE) * 1000000.0
+                  / CAST(n_turns AS DOUBLE) + 0.5) AS BIGINT)
+           AS mean_chars_e6,
+       duration_s
+FROM cent JOIN cbase ON cent.conv_id = cbase.conv_id""",
         # DBSCAN: e4-cosine eps-graph, recursive-CTE CC over core-core
         # edges, min-cluster border attachment — mirrors
         # clustering.dbscan_embeddings (eps_e4=3500, min_pts=4)

@@ -38,6 +38,7 @@ from halvesting_geometric_spark.operators.cooccur import (
 )
 from halvesting_geometric_spark.operators.dialogue import (
     context_windows,
+    conversation_stats,
     role_transitions,
     tool_runs,
     tool_sequences,
@@ -309,6 +310,7 @@ __all__ = [
     "calibration_error",
     "classification_report",
     "context_windows",
+    "conversation_stats",
     "cusum_changepoints",
     "grouped_linregress",
     "kcenter_select",

@@ -292,3 +292,90 @@ def context_windows(
         "text",
         F.array_join(F.collect_list("text").over(w), sep).alias("context"),
     )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation rollup — the first table any transcript pipeline
+    materializes: turn/role/tool counts, role entropy, text volume,
+    wall-clock span.
+
+    Role entropy (bits) uses the engine's quantized-log convention
+    (diversity.unigram_entropy): per-(conv, role) counts, ``log2(c)``
+    e9-quantized per count before the order-free integer sum, one scalar
+    double chain per conversation. Everything else is exact integers
+    (chars, tool turns, epoch-second spans). Two shuffles, both keyed on
+    conv_id — state per group is role-cardinality-bounded.
+
+    Returns ``(conv_id, n_turns, n_roles, role_entropy_e6,
+    n_tool_turns, tool_rate_e6, total_chars, mean_chars_e6,
+    duration_s)``.
+    """
+    rc = transcripts.groupBy("conv_id", "role").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ent = rc.groupBy("conv_id").agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.floor(
+                F.log2(F.col("c").cast("double")) * 1_000_000_000
+                + F.lit(0.5)
+            ).cast("decimal(38,0)")
+        ).alias("_s"),
+        F.sum("c").cast("long").alias("n_turns"),
+        F.count("*").cast("long").alias("n_roles"),
+    )
+    n_d = F.col("n_turns").cast("double")
+    ent = ent.select(
+        "conv_id",
+        "n_turns",
+        "n_roles",
+        F.floor(
+            (
+                F.log2(n_d)
+                - F.col("_s").cast("double") / (n_d * F.lit(1e9))
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("role_entropy_e6"),
+    )
+    base = transcripts.groupBy("conv_id").agg(
+        F.sum(
+            F.when(F.col("tool") != "", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tool_turns"),
+        F.sum(F.length("text").cast("long")).cast("long").alias(
+            "total_chars"
+        ),
+        (
+            F.max(F.unix_timestamp("ts").cast("long"))
+            - F.min(F.unix_timestamp("ts").cast("long"))
+        ).alias("duration_s"),
+    )
+    return ent.join(base, "conv_id").select(
+        "conv_id",
+        "n_turns",
+        "n_roles",
+        "role_entropy_e6",
+        "n_tool_turns",
+        F.floor(
+            F.col("n_tool_turns").cast("double")
+            * F.lit(1e6)
+            / F.col("n_turns").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tool_rate_e6"),
+        "total_chars",
+        F.floor(
+            F.col("total_chars").cast("double")
+            * F.lit(1e6)
+            / F.col("n_turns").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_chars_e6"),
+        "duration_s",
+    )
