@@ -3985,6 +3985,26 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_wq_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price-cents quantiles per return flag
+    (quantiles.weighted_quantiles) — 'the median cent BY QUANTITY MASS',
+    exact integer cumulative weights."""
+    from halvesting_geometric_spark.operators.quantiles import (
+        weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    return weighted_quantiles(
+        li, "l_returnflag", "cents", "qty", ps=(0.5, 0.9, 0.99)
+    )
+
+
 def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup (dialogue.conversation_stats) over the
     derived transcripts: turn/role/tool counts, quantized-log role
@@ -4300,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay7": _q_decay7,
         "dbscan35": _q_dbscan35,
         "conv_stats": _q_conv_stats,
+        "wq_price": _q_wq_price,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7221,6 +7242,33 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # weighted type-1 quantiles: smallest value whose cumulative
+        # integer weight reaches ceil(p*W) — mirrors
+        # quantiles.weighted_quantiles
+        "wq_price": """WITH
+wqv AS (SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS cents,
+               SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND floor(l_quantity + 0.5) > 0
+        GROUP BY 1, 2),
+wqc AS (SELECT l_returnflag, cents,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY l_returnflag) AS w_total
+        FROM wqv)
+SELECT l_returnflag,
+       CAST(MAX(w_total) AS BIGINT) AS w_total,
+       MIN(CASE WHEN cum >= CAST(ceil(CAST(w_total AS DOUBLE) * 0.5)
+                            AS BIGINT) THEN cents END) AS q_50,
+       MIN(CASE WHEN cum >= CAST(ceil(CAST(w_total AS DOUBLE) * 0.9)
+                            AS BIGINT) THEN cents END) AS q_90,
+       MIN(CASE WHEN cum >= CAST(ceil(CAST(w_total AS DOUBLE) * 0.99)
+                            AS BIGINT) THEN cents END) AS q_99
+FROM wqc GROUP BY l_returnflag""",
         # per-conversation rollup over the derived transcripts — mirrors
         # dialogue.conversation_stats (quantized-log role entropy)
         "conv_stats": """WITH

@@ -184,7 +184,10 @@ from halvesting_geometric_spark.operators.sampling import (
     stratified_sample,
     weighted_sample,
 )
-from halvesting_geometric_spark.operators.quantiles import group_quantiles
+from halvesting_geometric_spark.operators.quantiles import (
+    group_quantiles,
+    weighted_quantiles,
+)
 from halvesting_geometric_spark.operators.diversity import (
     compression_ratio,
     distinct_ngrams,
@@ -334,6 +337,7 @@ __all__ = [
     "funnel_steps",
     "fuzzy_pairs",
     "group_quantiles",
+    "weighted_quantiles",
     "two_sample_ks",
     "mann_whitney_u",
     "chi2_independence",

@@ -67,3 +67,62 @@ def group_quantiles(
             F.min(F.when(F.col("cum") >= rank, F.col(value_col))).alias(label)
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact weighted type-1 quantiles per group: the smallest value
+    whose cumulative INTEGER weight reaches ``ceil(p * W)`` — the
+    token-weighted percentile a data-mixing pipeline needs ("the median
+    document BY TOKEN MASS", not by document count).
+
+    Weights must be non-negative integers (cast enforced; pre-scale
+    fractional weights to fixed point). Same cardinality-bounded shape
+    as :func:`group_quantiles`: one shuffle to (group, value) weight
+    sums, per-group windows over distinct values. Rank arithmetic is
+    exact decimal/BIGINT; the only float is the ``p * W`` product,
+    identical cross-engine.
+
+    Returns one row per group: ``(group_col, w_total, q_<p> ...)``.
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    vc = (
+        df.select(
+            group_col,
+            value_col,
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .filter(F.col(value_col).isNotNull() & (F.col("_w") > 0))
+        .groupBy(group_col, value_col)
+        .agg(F.sum("_w").alias("c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = vc.select(
+        group_col,
+        value_col,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("w_total"),
+    )
+    aggs = [F.max("w_total").alias("w_total")]
+    for p in ps:
+        rank = F.ceil(
+            F.col("w_total").cast("double") * F.lit(float(p))
+        ).cast("long")
+        label = f"q_{int(round(p * 100))}"
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, F.col(value_col))
+            ).alias(label)
+        )
+    return cum.groupBy(group_col).agg(*aggs)
