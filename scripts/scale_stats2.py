@@ -4,8 +4,10 @@ Poisson bootstrap at 10M rows x 64 replicates (640M weighted
 observations folded map-side to |groups|*64 shuffle rows), JSD /
 cross-entropy over two 500k-doc corpora (~40M tokens), Gini + power-law
 MLE over 20M-edge degree tables, time-decay scores at 50M events,
-DBSCAN-LSH over 500k 16-dim vectors (bucket-capped candidate pairs +
-the scalable CC driver).
+DBSCAN-LSH over 200k 16-dim vectors (bucket-capped candidate pairs +
+the scalable CC driver; 14 hyperplanes keep bucket cohorts small —
+measured: 12 planes over random vectors gives ~670-vector buckets and
+a quadratic pair scan).
 
 Usage: python scripts/scale_stats2.py
 Writes BENCH/raw/scale_stats2.json.
@@ -61,6 +63,8 @@ def run(name: str, fn, base: int):
         "rows_per_s": int(base / wall),
     }
     print(name, results["ops"][name], flush=True)
+    with open("BENCH/raw/scale_stats2.json", "w") as f:
+        json.dump(results, f, indent=1)
 
 
 # -- bootstrap: 10M rows, 8 groups, 64 replicates ------------------------
@@ -152,7 +156,7 @@ run(
 ev.unpersist()
 
 # -- DBSCAN-LSH over 500k 16-dim vectors ---------------------------------
-vecs = spark.range(500_000).select(
+vecs = spark.range(200_000).select(
     F.col("id").alias("vec_id"),
     F.transform(
         F.sequence(F.lit(1), F.lit(16)),
@@ -165,16 +169,16 @@ vecs = spark.range(500_000).select(
 ).persist()
 vecs.count()
 run(
-    "dbscan_lsh_500k",
+    "dbscan_lsh_200k",
     lambda: dbscan_embeddings(
         vecs,
         dim=16,
         eps_e4=9000,
         min_pts=4,
         pairs="lsh",
-        n_planes=12,
+        n_planes=14,
     ),
-    500_000,
+    200_000,
 )
 vecs.unpersist()
 
