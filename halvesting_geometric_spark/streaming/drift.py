@@ -32,8 +32,10 @@ E6 = 1_000_000
 
 __all__ = [
     "windowed_value_hist",
+    "windowed_category_hist",
     "hist_available_now",
     "ks_vs_reference",
+    "chi2_vs_reference",
 ]
 
 
@@ -175,5 +177,107 @@ def ks_vs_reference(
             ).cast("long"),
         ).alias("d_e6"),
         "n_win",
+        F.lit(int(n_ref)).cast("long").alias("n_ref"),
+    )
+
+
+def windowed_category_hist(
+    stream: DataFrame,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Categorical counterpart of :func:`windowed_value_hist`: per-
+    (event-time window, category) counts, append-once after watermark.
+    Returns (window_start, window_end, k, c)."""
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.col(cat_col).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "k")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "k",
+        "c",
+    )
+
+
+def chi2_vs_reference(
+    win_hist: DataFrame, ref_hist: DataFrame
+) -> DataFrame:
+    """Chi-square drift of each finalized window's categorical
+    distribution vs a reference histogram — the categorical counterpart
+    of :func:`ks_vs_reference` (language mix shifted? role balance
+    moved? a bot's event types arrived?).
+
+    Treats (window, reference) as a 2 x K contingency table over the
+    UNION of categories and computes the independence statistic with the
+    engine's per-cell e6 quantization (stats.chi2_independence math:
+    ``floor(dbl(o*N - r*c)^2 / dbl(N*r*c) * 1e6 + 0.5)`` per cell,
+    summed as longs). dof = K - 1.
+
+    Returns (window_start, window_end, chi2_e6, dof, n_win, n_ref).
+    """
+    ref = ref_hist.select(
+        F.col("k"), F.col("c").cast("long").alias("cr")
+    )
+    n_ref = ref.agg(F.sum("cr").cast("long")).first()[0] or 0
+    wins = win_hist.select("window_start", "window_end").distinct()
+    grid = (
+        wins.crossJoin(F.broadcast(ref))
+        .join(
+            win_hist.withColumnRenamed("c", "cw"),
+            ["window_start", "window_end", "k"],
+            "full_outer",
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "k",
+            F.coalesce("cw", F.lit(0)).alias("cw"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    w_all = Window.partitionBy("window_start", "window_end")
+    g = grid.select(
+        "window_start",
+        "window_end",
+        "cw",
+        "cr",
+        F.sum("cw").over(w_all).alias("n_win"),
+    ).withColumn("n_ref", F.lit(int(n_ref)))
+
+    def cell(o, row_tot):
+        col_tot = F.col("cw") + F.col("cr")
+        n_tot = F.col("n_win") + F.col("n_ref")
+        num = (
+            o.cast("decimal(38,0)") * n_tot
+            - row_tot.cast("decimal(38,0)") * col_tot
+        ).cast("double")
+        den = (
+            n_tot.cast("decimal(38,0)") * row_tot * col_tot
+        ).cast("double")
+        return F.when(
+            (row_tot > 0) & (col_tot > 0),
+            F.floor(num * num / den * E6 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0))
+
+    per_cell = g.select(
+        "window_start",
+        "window_end",
+        (
+            cell(F.col("cw"), F.col("n_win"))
+            + cell(F.col("cr"), F.col("n_ref"))
+        ).alias("c6"),
+        "n_win",
+    )
+    return per_cell.groupBy("window_start", "window_end").agg(
+        F.sum("c6").alias("chi2_e6"),
+        (F.count("*") - 1).cast("long").alias("dof"),
+        F.max("n_win").cast("long").alias("n_win"),
         F.lit(int(n_ref)).cast("long").alias("n_ref"),
     )

@@ -93,3 +93,48 @@ def test_drift_window_emits_once_and_drops_late(spark, tmp_path):
     # identical distribution -> zero drift; disjoint support -> max drift
     assert scored[0].d_e6 == 0
     assert scored[9].d_e6 == 1_000_000
+
+
+def test_chi2_drift_matches_batch_chi2(spark):
+    from halvesting_geometric_spark.operators.stats import chi2_independence
+    from halvesting_geometric_spark.streaming.drift import chi2_vs_reference
+
+    win_counts = {"click": 30, "view": 10, "error": 5}
+    ref_counts = {"click": 20, "view": 25, "purchase": 3}
+    win = spark.createDataFrame(
+        [
+            (datetime(2026, 1, 1), datetime(2026, 1, 1, 1), k, c)
+            for k, c in win_counts.items()
+        ],
+        "window_start timestamp, window_end timestamp, k string, c long",
+    )
+    ref = spark.createDataFrame(
+        list(ref_counts.items()), "k string, c long"
+    )
+    r = chi2_vs_reference(win, ref).first()
+
+    # same 2xK table through the batch operator on exploded rows
+    rows = [(k, "W") for k, c in win_counts.items() for _ in range(c)] + [
+        (k, "R") for k, c in ref_counts.items() for _ in range(c)
+    ]
+    batch = chi2_independence(
+        spark.createDataFrame(rows, "k string, g string"), "k", "g"
+    ).first()
+    assert r.chi2_e6 == batch.chi2_e6
+    assert r.dof == batch.dof
+    assert (r.n_win, r.n_ref) == (45, 48)
+
+
+def test_chi2_drift_identical_distribution_is_zero(spark):
+    from halvesting_geometric_spark.streaming.drift import chi2_vs_reference
+
+    counts = {"a": 10, "b": 20}
+    win = spark.createDataFrame(
+        [
+            (datetime(2026, 1, 1), datetime(2026, 1, 1, 1), k, c)
+            for k, c in counts.items()
+        ],
+        "window_start timestamp, window_end timestamp, k string, c long",
+    )
+    ref = spark.createDataFrame(list(counts.items()), "k string, c long")
+    assert chi2_vs_reference(win, ref).first().chi2_e6 == 0
