@@ -41,6 +41,7 @@ ALGORITHMS = (
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
     "support", "conductance", "freqseq", "treach", "holes", "pack",
     "assoc", "nibble", "substrdedup", "dsir", "rank",
+    "convstats", "diversity",
 )
 
 
@@ -773,6 +774,33 @@ def main(argv: list[str] | None = None) -> int:
         summary["pairs"] = bt.num_pairs
         summary["bt_rc_spearman_e6"] = int(rho["spearman_e6"])
 
+    elif args.algorithm == "convstats":
+        from halvesting_geometric_spark.operators.dialogue import (
+            conversation_stats,
+        )
+
+        cs = conversation_stats(transcripts)
+        cs.write.mode("overwrite").parquet(args.output)
+        summary["conversations"] = cs.count()
+    elif args.algorithm == "diversity":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.diversity import (
+            distinct_ngrams,
+            unigram_entropy,
+            zipf_slope,
+        )
+
+        docs = transcripts.select(F.col("text"))
+        dn = distinct_ngrams(docs, ns=(1, 2, 3))
+        dn.write.mode("overwrite").parquet(args.output)
+        z = zipf_slope(docs, scalable=True).first()
+        h = unigram_entropy(docs).first()
+        summary["zipf_slope_e6"] = int(z["slope_e6"])
+        summary["zipf_r2_e6"] = int(z["r2_e6"])
+        summary["entropy_e6"] = int(h["entropy_e6"])
+        summary["n_tokens"] = int(h["n_tokens"])
+        summary["vocab"] = int(h["vocab"])
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))
     return 0

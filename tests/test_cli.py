@@ -317,3 +317,29 @@ def test_cli_rank(spark, tmp_path, capsys):
     out = spark.read.parquet(out_dir)
     assert {"item", "bt_strength", "rc_score"} <= set(out.columns)
     assert out.count() == summary["items"]
+
+
+def test_cli_convstats_and_diversity(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr2")
+    generate_transcripts(spark, 30, seed=5).write.parquet(tr_dir)
+
+    rc = cli.main(
+        ["convstats", "--transcripts", tr_dir,
+         "--output", str(tmp_path / "cs")]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cs = spark.read.parquet(str(tmp_path / "cs"))
+    assert summary["conversations"] == cs.count() > 0
+    row = cs.first()
+    assert row.n_turns > 0 and row.role_entropy_e6 >= 0
+
+    rc = cli.main(
+        ["diversity", "--transcripts", tr_dir,
+         "--output", str(tmp_path / "dn")]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["vocab"] > 0 and summary["n_tokens"] > 0
+    dn = spark.read.parquet(str(tmp_path / "dn"))
+    assert {r.n for r in dn.collect()} == {1, 2, 3}

@@ -43,6 +43,9 @@ KERNELS = {
     # spearman_deg: the two _avg_rank2 prefix-offset passes (one per rank
     # side) — same two-phase mapInPandas shape as the dense-id kernel
     "spearman_deg": "rank-prefix",
+    # gini_indeg: one _avg_rank2 prefix-offset pass (doubled midranks of
+    # the in-degree histogram) — same rank-prefix kernel as spearman_deg
+    "gini_indeg": "rank-prefix",
     # robustness3 consumes its CC runs EAGERLY while building (per-cap
     # stats collects) and returns a local relation — Python-free plan
     "media_meta": "media",
