@@ -3985,6 +3985,30 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_mix_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned joint degree-class mixing matrix of the citation graph
+    (metrics.degree_mixing_matrix) — 'do hubs cite hubs', exact counts,
+    K x K bounded output."""
+    from halvesting_geometric_spark.operators.metrics import (
+        degree_mixing_matrix,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return degree_mixing_matrix(edges)
+
+
+def _q_label_agree5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label agreement over the embeddings table
+    (clustering.knn_label_agreement, k=5) — the label-noise detector;
+    e4-cosine ranking with deterministic tie-breaks."""
+    from halvesting_geometric_spark.operators.clustering import (
+        knn_label_agreement,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_agreement(emb, dim=64, k=5)
+
+
 def _q_wq_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted price-cents quantiles per return flag
     (quantiles.weighted_quantiles) — 'the median cent BY QUANTITY MASS',
@@ -4321,6 +4345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan35": _q_dbscan35,
         "conv_stats": _q_conv_stats,
         "wq_price": _q_wq_price,
+        "mix_matrix": _q_mix_matrix,
+        "label_agree5": _q_label_agree5,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7242,6 +7268,49 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # log-binned degree-class mixing matrix — mirrors
+        # metrics.degree_mixing_matrix
+        "mix_matrix": f"""WITH {_BASE},
+mo AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+       FROM edges GROUP BY 1),
+mi AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS d
+       FROM edges GROUP BY 1),
+me AS (SELECT CAST(floor(log2(CAST(mo.d AS DOUBLE))) AS BIGINT)
+                  AS src_class,
+              CAST(floor(log2(CAST(mi.d AS DOUBLE))) AS BIGINT)
+                  AS dst_class
+       FROM edges JOIN mo ON edges.src = mo.v
+                  JOIN mi ON edges.dst = mi.v),
+mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM me)
+SELECT src_class, dst_class, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(floor(CAST(COUNT(*) AS DOUBLE) * 1000000
+                  / CAST(total AS DOUBLE) + 0.5) AS BIGINT) AS frac_e6
+FROM me CROSS JOIN mt
+GROUP BY src_class, dst_class, total""",
+        # k-NN label agreement: e4-cosine top-5 with id tie-break, then
+        # same-label fraction — mirrors clustering.knn_label_agreement
+        "label_agree5": """WITH
+ld AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+lp AS (
+  SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b, b.label AS lb,
+         CAST(floor(
+           CASE WHEN sqrt(list_dot_product(a.e, a.e)) = 0
+                  OR sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+                ELSE list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)))
+           END * 10000 + 0.5) AS BIGINT) AS sim_e4
+  FROM ld a JOIN ld b ON b.vec_id <> a.vec_id),
+lt AS (SELECT * FROM lp
+       QUALIFY row_number() OVER (PARTITION BY a
+                                  ORDER BY sim_e4 DESC, b ASC) <= 5)
+SELECT a AS vec_id, la AS label,
+       CAST(COUNT(*) AS BIGINT) AS k_eff,
+       CAST(floor(CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END)
+                       AS DOUBLE) * 1000000
+                  / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)
+           AS agree_e6
+FROM lt GROUP BY a, la""",
         # weighted type-1 quantiles: smallest value whose cumulative
         # integer weight reaches ceil(p*W) — mirrors
         # quantiles.weighted_quantiles

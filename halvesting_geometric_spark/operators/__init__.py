@@ -126,6 +126,7 @@ from halvesting_geometric_spark.operators.linkpred import (
 )
 from halvesting_geometric_spark.operators.clustering import (
     dbscan_embeddings,
+    knn_label_agreement,
 )
 from halvesting_geometric_spark.operators.coloring import greedy_coloring
 from halvesting_geometric_spark.operators.embeddings import (
@@ -238,6 +239,7 @@ from halvesting_geometric_spark.operators.centrality import (
 )
 from halvesting_geometric_spark.operators.influence import linear_threshold
 from halvesting_geometric_spark.operators.metrics import (
+    degree_mixing_matrix,
     gini_coefficient,
     powerlaw_alpha,
     reciprocity,
@@ -344,6 +346,8 @@ __all__ = [
     "welch_ttest",
     "bootstrap_mean_ci",
     "dbscan_embeddings",
+    "knn_label_agreement",
+    "degree_mixing_matrix",
     "distinct_ngrams",
     "zipf_slope",
     "unigram_entropy",

@@ -35,7 +35,7 @@ from halvesting_geometric_spark.operators.components import (
     connected_components,
 )
 
-__all__ = ["dbscan_embeddings"]
+__all__ = ["dbscan_embeddings", "knn_label_agreement"]
 
 
 def _exact_pairs(
@@ -169,3 +169,73 @@ def dbscan_embeddings(
         )
     )
     return out
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-item k-NN label agreement — the standard label-noise detector
+    (Confident-Learning flavor): for each vector, the fraction of its k
+    nearest cosine neighbors that share its label. Items whose
+    neighborhood disagrees are mislabeling / boundary candidates.
+
+    Ranking uses the engine's e4-rounded cosine with neighbor-id
+    tie-break (knn_cosine convention — bit-stable cross-engine), so the
+    neighbor set is deterministic. Exact all-pairs at validation scale;
+    at corpus scale feed the candidate pairs from the LSH/IVF paths and
+    rank within candidates (same contract as every ANN consumer).
+
+    Returns ``(id_col, label, k_eff, agree_e6)`` — ``k_eff < k`` only
+    when the corpus has fewer than ``k`` other items.
+    """
+    from pyspark.sql import Window
+
+    left = emb.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"),
+        F.col(label_col).alias("_la"),
+    )
+    right = emb.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"),
+        F.col(label_col).alias("_lb"),
+    )
+    sim = F.floor(
+        cosine_similarity(F.col("_va"), F.col("_vb"), dim=dim) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    pairs = left.join(right, F.col("a") != F.col("b")).select(
+        "a", "_la", "b", "_lb", sim.alias("sim_e4")
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("sim_e4").desc(), F.col("b").asc()
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = top.groupBy(F.col("a").alias(id_col), F.col("_la")).agg(
+        F.count("*").cast("long").alias("k_eff"),
+        F.sum(
+            F.when(F.col("_lb") == F.col("_la"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("_agree"),
+    )
+    return agg.select(
+        id_col,
+        F.col("_la").alias(label_col),
+        "k_eff",
+        F.floor(
+            F.col("_agree").cast("double")
+            * 1_000_000
+            / F.col("k_eff").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("agree_e6"),
+    )

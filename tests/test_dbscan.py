@@ -118,3 +118,38 @@ def test_dbscan_lsh_path_runs(clustered):
     ).collect()
     assert len(out) == 45
     assert {r.role for r in out} <= {"core", "border", "noise"}
+
+
+def test_knn_label_agreement_bruteforce(clustered, spark):
+    from halvesting_geometric_spark.operators.clustering import (
+        knn_label_agreement,
+    )
+
+    emb, X = clustered
+    # labels: first 20 -> 0, next 15 -> 1, noise -> 2
+    labels = [0] * 20 + [1] * 15 + [2] * 10
+    lab = spark.createDataFrame(
+        [(i, int(l)) for i, l in enumerate(labels)], "vec_id long, label int"
+    )
+    df = emb.join(lab, "vec_id")
+    got = {
+        r.vec_id: (r.label, r.k_eff, r.agree_e6)
+        for r in knn_label_agreement(df, dim=DIM, k=3).collect()
+    }
+    n = len(X)
+    Xd = X.astype(np.float64)
+    for i in range(n):
+        sims = sorted(
+            ((_cos_e4(Xd[i], Xd[j]), -j, j) for j in range(n) if j != i),
+            reverse=True,
+        )[:3]
+        agree = sum(1 for _, _, j in sims if labels[j] == labels[i])
+        assert got[i] == (
+            labels[i],
+            3,
+            math.floor(agree * 1e6 / 3 + 0.5),
+        )
+    # cluster members agree with their neighbors; noise rarely does
+    mean_cluster = np.mean([got[i][2] for i in range(35)])
+    mean_noise = np.mean([got[i][2] for i in range(35, 45)])
+    assert mean_cluster > mean_noise

@@ -125,3 +125,28 @@ def test_decayed_counts_bruteforce(spark):
     assert got == want
     # a 24h-old event is worth exactly half a fresh one
     assert got[2][0] == 1_000_000_000 + 250_000_000  # 0h + 48h = 1 + 1/4
+
+
+def test_degree_mixing_matrix_bruteforce(spark):
+    from halvesting_geometric_spark.operators.metrics import (
+        degree_mixing_matrix,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    outd = collections.Counter(s for s, _ in edges)
+    ind = collections.Counter(d for _, d in edges)
+    want = collections.Counter(
+        (
+            math.floor(math.log2(outd[s])),
+            math.floor(math.log2(ind[d])),
+        )
+        for s, d in edges
+    )
+    got = {
+        (r.src_class, r.dst_class): (r.cnt, r.frac_e6)
+        for r in degree_mixing_matrix(df).collect()
+    }
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert got[k] == (c, math.floor(c * 1e6 / len(edges) + 0.5))
