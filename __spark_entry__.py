@@ -3985,6 +3985,18 @@ def _q_bt_cal10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(cmp_df, st, buckets=10)
 
 
+def _q_hhi_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl source concentration per language
+    (metrics.herfindahl_index over documents) — exact squared-count sums,
+    one scalar division."""
+    from halvesting_geometric_spark.operators.metrics import (
+        herfindahl_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return herfindahl_index(docs, "lang", "source")
+
+
 def _q_mix_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-binned joint degree-class mixing matrix of the citation graph
     (metrics.degree_mixing_matrix) — 'do hubs cite hubs', exact counts,
@@ -4347,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wq_price": _q_wq_price,
         "mix_matrix": _q_mix_matrix,
         "label_agree5": _q_label_agree5,
+        "hhi_src": _q_hhi_src,
         "distinct_n3": _q_distinct_n3,
         "zipf_fit": _q_zipf_fit,
         "entropy1": _q_entropy1,
@@ -7268,6 +7281,21 @@ SELECT dst_conv, CAST(COUNT(*) AS BIGINT) AS n_citations
 FROM ce GROUP BY dst_conv
 ORDER BY n_citations DESC, dst_conv ASC LIMIT 20""",
         "pagerank5": _pagerank_sql(5),
+        # Herfindahl concentration per language — mirrors
+        # metrics.herfindahl_index
+        "hhi_src": """WITH
+hc AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+       FROM documents
+       WHERE source IS NOT NULL GROUP BY 1, 2),
+ha AS (SELECT lang, SUM(c * c) AS s2, CAST(SUM(c) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS n_cats
+       FROM hc GROUP BY 1)
+SELECT lang,
+       CAST(floor(CAST(s2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000
+                  + 0.5) AS BIGINT) AS hhi_e6,
+       n, n_cats
+FROM ha""",
         # log-binned degree-class mixing matrix — mirrors
         # metrics.degree_mixing_matrix
         "mix_matrix": f"""WITH {_BASE},

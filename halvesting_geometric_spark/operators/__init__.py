@@ -240,6 +240,7 @@ from halvesting_geometric_spark.operators.centrality import (
 from halvesting_geometric_spark.operators.influence import linear_threshold
 from halvesting_geometric_spark.operators.metrics import (
     degree_mixing_matrix,
+    herfindahl_index,
     gini_coefficient,
     powerlaw_alpha,
     reciprocity,
@@ -348,6 +349,7 @@ __all__ = [
     "dbscan_embeddings",
     "knn_label_agreement",
     "degree_mixing_matrix",
+    "herfindahl_index",
     "distinct_ngrams",
     "zipf_slope",
     "unigram_entropy",

@@ -508,3 +508,44 @@ def degree_mixing_matrix(edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("frac_e6"),
     )
+
+
+def herfindahl_index(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of ``cat_col`` within each
+    group — the "is this corpus slice dominated by one source/domain"
+    governance metric (HHI = sum of squared shares; 1/K uniform .. 1
+    monopoly).
+
+    Exact: shares never materialize — ``HHI = sum c_i^2 / n^2`` with
+    both sums exact decimal(38,0); one scalar double division to e6.
+    State per group is category-cardinality-bounded.
+
+    Returns ``(group_col, hhi_e6, n, n_cats)``.
+    """
+    cc = (
+        df.select(group_col, F.col(cat_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy(group_col, "_k")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = cc.groupBy(group_col).agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c")
+        ).alias("_s2"),
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cats"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        group_col,
+        F.floor(
+            F.col("_s2").cast("double") / (n_d * n_d) * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hhi_e6"),
+        "n",
+        "n_cats",
+    )

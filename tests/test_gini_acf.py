@@ -150,3 +150,21 @@ def test_degree_mixing_matrix_bruteforce(spark):
     assert set(got) == set(want)
     for k, c in want.items():
         assert got[k] == (c, math.floor(c * 1e6 / len(edges) + 0.5))
+
+
+def test_herfindahl_bruteforce(spark):
+    from halvesting_geometric_spark.operators.metrics import herfindahl_index
+
+    rows = (
+        [("en", "s1")] * 50
+        + [("en", "s2")] * 30
+        + [("en", "s3")] * 20
+        + [("fr", "s1")] * 100
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {r.lang: r for r in herfindahl_index(df, "lang", "source").collect()}
+    hhi_en = (50 * 50 + 30 * 30 + 20 * 20) / (100 * 100)
+    assert got["en"].hhi_e6 == math.floor(hhi_en * 1e6 + 0.5)
+    assert got["en"].n_cats == 3
+    # monopoly -> exactly 1.0
+    assert got["fr"].hhi_e6 == 1_000_000 and got["fr"].n_cats == 1
