@@ -3675,6 +3675,28 @@ def _q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_support(edges)
 
 
+def _q_forman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Forman–Ricci curvature per canonical edge
+    (curvature.forman_curvature): 4 − deg(u) − deg(v) + 3·support, all
+    exact longs — the discrete-geometry bridge/bottleneck detector."""
+    from halvesting_geometric_spark.operators.curvature import forman_curvature
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return forman_curvature(edges)
+
+
+def _q_sparsify2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Jaccard sparsification (sparsify.local_jaccard_sparsify,
+    SIGMOD'11): keep each vertex's top ceil(sqrt(deg)) incident edges by
+    e6-quantized endpoint Jaccard, union semantics across endpoints."""
+    from halvesting_geometric_spark.operators.sparsify import (
+        local_jaccard_sparsify,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return local_jaccard_sparsify(edges, alpha=0.5)
+
+
 def _q_conductance8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conductance of every community of a deterministic 8-way vertex
     partition (metrics.py): exact integer cut/volume counts + one e6
@@ -4397,6 +4419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "sage2": _q_sage2,
         "edge_support": _q_edge_support,
+        "forman": _q_forman,
+        "sparsify2": _q_sparsify2,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6841,6 +6865,45 @@ sup AS (
 SELECT c.a AS src, c.b AS dst, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
 FROM canon c LEFT JOIN sup s ON c.a = s.a AND c.b = s.b"""
 
+# shared CTE tail for the curvature/sparsifier twins: per-edge support +
+# undirected simple-graph degrees (same adjacency as _EDGE_SUPPORT_SQL)
+_SUPPORT_DEG_CTES = """
+adj AS (SELECT a AS v, b AS w FROM canon UNION ALL SELECT b, a FROM canon),
+deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+sup AS (
+  SELECT c.a, c.b, COUNT(*) AS s
+  FROM canon c
+  JOIN adj x ON x.v = c.a
+  JOIN adj y ON y.v = c.b AND y.w = x.w
+  GROUP BY c.a, c.b),
+es AS (
+  SELECT c.a, c.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+  FROM canon c LEFT JOIN sup s ON c.a = s.a AND c.b = s.b)"""
+
+_FORMAN_SQL = f"""WITH {_BASE},{_SUPPORT_DEG_CTES}
+SELECT e.a AS src, e.b AS dst, e.support,
+       CAST(da.d AS BIGINT) AS deg_src,
+       CAST(db.d AS BIGINT) AS deg_dst,
+       CAST(4 - da.d - db.d + 3 * e.support AS BIGINT) AS curvature
+FROM es e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v"""
+
+_SPARSIFY_SQL = f"""WITH {_BASE},{_SUPPORT_DEG_CTES},
+sim AS (
+  SELECT e.a, e.b,
+         CAST(floor(e.support * 1000000.0 / (da.d + db.d - e.support) + 0.5)
+              AS BIGINT) AS jaccard_e6
+  FROM es e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+incid AS (
+  SELECT a AS v, b AS other, a, b, jaccard_e6 FROM sim
+  UNION ALL
+  SELECT b AS v, a AS other, a, b, jaccard_e6 FROM sim),
+ranked AS (
+  SELECT i.a, i.b, i.jaccard_e6, ceil(sqrt(d.d)) AS quota,
+         ROW_NUMBER() OVER (
+           PARTITION BY i.v ORDER BY i.jaccard_e6 DESC, i.other ASC) AS rk
+  FROM incid i JOIN deg d ON i.v = d.v)
+SELECT DISTINCT a AS src, b AS dst, jaccard_e6 FROM ranked WHERE rk <= quota"""
+
 
 def _conductance_mod_sql(k: int) -> str:
     """Per-community conductance of the ``vertex_id % k`` partition:
@@ -7245,6 +7308,8 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "tpch_q5": _TPCH_Q5_SQL,
         "sage2": _sage2_sql(),
         "edge_support": _EDGE_SUPPORT_SQL,
+        "forman": _FORMAN_SQL,
+        "sparsify2": _SPARSIFY_SQL,
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

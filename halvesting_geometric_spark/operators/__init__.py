@@ -49,8 +49,13 @@ from halvesting_geometric_spark.operators.dag import (
     dag_longest_paths,
     kahn_levels,
 )
+from halvesting_geometric_spark.operators.curvature import (
+    forman_curvature,
+    forman_vertex_curvature,
+)
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
+from halvesting_geometric_spark.operators.sparsify import local_jaccard_sparsify
 from halvesting_geometric_spark.operators.ivf import (
     ivf_assign,
     ivf_topk,
@@ -390,7 +395,10 @@ __all__ = [
     "personalized_pagerank",
     "extract_conv_edges",
     "extract_features",
+    "forman_curvature",
+    "forman_vertex_curvature",
     "four_cycles",
+    "local_jaccard_sparsify",
     "graph_stats",
     "greedy_coloring",
     "harmonic_centrality_exact",

@@ -1,0 +1,106 @@
+"""Local graph sparsification by neighborhood similarity (engine-new).
+
+At 100 TB the cheapest way to speed up every downstream graph job is to
+run it on fewer edges.  Local (degree-proportional) sparsification keeps,
+for each vertex ``v``, only its top ``ceil(deg(v)^alpha)`` incident edges
+ranked by endpoint-neighborhood Jaccard similarity (Satuluri,
+Parthasarathy & Ruan, *Local graph sparsification for scalable
+clustering*, SIGMOD 2011).  Unlike global top-similarity thresholds, the
+per-vertex quota never disconnects low-degree vertices, and the union
+semantics (an edge survives if EITHER endpoint ranks it) preserves the
+community structure that clustering/label-propagation algorithms need
+while dropping a large fraction of intra-hub noise edges.
+
+Scale shape: per-edge similarity reuses the degree-oriented wedge join
+(O(√E)-bounded per edge, via
+:func:`halvesting_geometric_spark.operators.ktruss.edge_support`); the
+per-vertex ranking is a ``row_number`` window partitioned by vertex —
+a sort-based, spillable shuffle on vertex id (hub partitions sort, they
+are never buffered into memory as arrays).  No all-pairs stage anywhere.
+
+Determinism: similarity is exported as round-half-up e6 fixed point of
+``support / (deg(u) + deg(v) − support)`` (the union counts both
+endpoints), and ranking breaks ties by neighbor id ascending, so the kept
+edge set is bit-identical across engines and partitionings.  For
+``alpha = 0.5`` the quota uses ``ceil(sqrt(deg))`` — IEEE sqrt is
+correctly rounded, hence portable; other alphas go through ``pow`` and
+are documented as engine-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from halvesting_geometric_spark.operators.graph import canonical_edges
+from halvesting_geometric_spark.operators.ktruss import edge_support
+
+
+def local_jaccard_sparsify(edges: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Sparsified simple undirected graph under the local Jaccard rule.
+
+    Returns ``(src, dst, jaccard_e6)`` with ``src < dst`` — the canonical
+    edges kept because at least one endpoint ranks them within its top
+    ``ceil(deg^alpha)`` by ``jaccard_e6`` (descending, neighbor id
+    ascending on ties).  ``alpha`` in (0, 1]; ``alpha = 1`` keeps every
+    edge, smaller alphas prune harder (the SIGMOD'11 default regime is
+    0.4–0.6).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    canon = canonical_edges(edges)
+    deg = (
+        canon.select(F.col("src").alias("v"))
+        .unionByName(canon.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    sup = edge_support(edges)
+    sim = (
+        sup.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .select(
+            "src",
+            "dst",
+            # union = ds + dd - support: support counts common neighbors
+            # (excluding the endpoints); u is in N(v) and v in N(u), so the
+            # two endpoints contribute the non-shared +2 already inside
+            # ds + dd. Round-half-up e6 (den >= 2 always for an edge).
+            F.floor(
+                F.col("support")
+                * 1_000_000.0
+                / (F.col("ds") + F.col("dd") - F.col("support"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    incid = sim.select(
+        F.col("src").alias("v"), F.col("dst").alias("other"), "src", "dst", "jaccard_e6"
+    ).unionByName(
+        sim.select(
+            F.col("dst").alias("v"),
+            F.col("src").alias("other"),
+            "src",
+            "dst",
+            "jaccard_e6",
+        )
+    )
+    if alpha == 0.5:
+        quota = F.ceil(F.sqrt(F.col("deg")))
+    else:
+        quota = F.ceil(F.pow(F.col("deg"), F.lit(float(alpha))))
+    ranked = (
+        incid.join(deg, "v")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("v").orderBy(
+                    F.col("jaccard_e6").desc(), F.col("other").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= quota)
+    )
+    return ranked.select("src", "dst", "jaccard_e6").distinct()
