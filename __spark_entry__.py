@@ -3697,6 +3697,22 @@ def _q_sparsify2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_jaccard_sparsify(edges, alpha=0.5)
 
 
+def _q_scan3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering (scan.scan_clusters, KDD'07): e6
+    similarity (support+2)/sqrt((d+1)(d+1)), eps=0.6, mu=3; full
+    core/border/hub/outlier classification, min-id clusters via the
+    scalable CC driver. Unclustered cluster ids exported as -1."""
+    from halvesting_geometric_spark.operators.scan import scan_clusters
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    res = scan_clusters(edges, verts, eps_e6=600_000, mu=3)
+    return res.select(
+        "vertex_id",
+        F.coalesce("cluster", F.lit(-1)).cast("long").alias("cluster"),
+        "role",
+    )
+
+
 def _q_conductance8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conductance of every community of a deterministic 8-way vertex
     partition (metrics.py): exact integer cut/volume counts + one e6
@@ -4421,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": _q_edge_support,
         "forman": _q_forman,
         "sparsify2": _q_sparsify2,
+        "scan3": _q_scan3,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6905,6 +6922,56 @@ ranked AS (
 SELECT DISTINCT a AS src, b AS dst, jaccard_e6 FROM ranked WHERE rk <= quota"""
 
 
+def _scan_sql(eps_e6: int, mu: int) -> str:
+    """SCAN twin: e6 closed-neighborhood similarity, eps/mu thresholds,
+    recursive min-id closure over the core-core backbone, min-cluster
+    border attach, hub/outlier classification (-1 = unclustered)."""
+    return f"""WITH RECURSIVE {_BASE},{_SUPPORT_DEG_CTES},
+sim AS (
+  SELECT e.a, e.b,
+         CAST(floor((e.support + 2) * 1000000.0
+                    / sqrt(CAST((da.d + 1) * (db.d + 1) AS DOUBLE)) + 0.5)
+              AS BIGINT) AS sig
+  FROM es e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+ee AS (SELECT a, b FROM sim WHERE sig >= {eps_e6}),
+en AS (SELECT a AS v, b AS o FROM ee UNION ALL SELECT b, a FROM ee),
+cores AS (
+  SELECT v FROM (SELECT v, COUNT(*) AS nb FROM en GROUP BY v)
+  WHERE nb + 1 >= {mu}),
+bbsym AS (
+  SELECT a AS s, b AS d FROM ee
+  WHERE a IN (SELECT v FROM cores) AND b IN (SELECT v FROM cores)
+  UNION ALL
+  SELECT b, a FROM ee
+  WHERE a IN (SELECT v FROM cores) AND b IN (SELECT v FROM cores)),
+reach AS (
+  SELECT v AS x, v AS y FROM cores
+  UNION
+  SELECT r.x, s.d FROM reach r JOIN bbsym s ON r.y = s.s),
+core_rows AS (
+  SELECT x AS v, MIN(y) AS cluster, 'core' AS role FROM reach GROUP BY x),
+border_rows AS (
+  SELECT en.v, MIN(cr.cluster) AS cluster, 'border' AS role
+  FROM en JOIN core_rows cr ON en.o = cr.v
+  WHERE en.v NOT IN (SELECT v FROM cores)
+  GROUP BY en.v),
+clustered AS (
+  SELECT * FROM core_rows UNION ALL SELECT * FROM border_rows),
+adj2 AS (SELECT a AS v, b AS o FROM canon UNION ALL SELECT b, a FROM canon),
+rest AS (
+  SELECT vertex_id AS v FROM verts
+  WHERE vertex_id NOT IN (SELECT v FROM clustered)),
+touch AS (
+  SELECT r.v, COUNT(DISTINCT c.cluster) AS nc
+  FROM rest r JOIN adj2 ON r.v = adj2.v JOIN clustered c ON adj2.o = c.v
+  GROUP BY r.v)
+SELECT v AS vertex_id, CAST(cluster AS BIGINT) AS cluster, role FROM clustered
+UNION ALL
+SELECT r.v AS vertex_id, CAST(-1 AS BIGINT) AS cluster,
+       CASE WHEN COALESCE(t.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END AS role
+FROM rest r LEFT JOIN touch t ON r.v = t.v"""
+
+
 def _conductance_mod_sql(k: int) -> str:
     """Per-community conductance of the ``vertex_id % k`` partition:
     exact integer cut/volume + the engine's e6 division, op order mirrored
@@ -7310,6 +7377,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "edge_support": _EDGE_SUPPORT_SQL,
         "forman": _FORMAN_SQL,
         "sparsify2": _SPARSIFY_SQL,
+        "scan3": _scan_sql(600000, 3),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

@@ -55,6 +55,10 @@ from halvesting_geometric_spark.operators.curvature import (
 )
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
+from halvesting_geometric_spark.operators.scan import (
+    scan_clusters,
+    structural_similarity,
+)
 from halvesting_geometric_spark.operators.sparsify import local_jaccard_sparsify
 from halvesting_geometric_spark.operators.ivf import (
     ivf_assign,
@@ -399,6 +403,8 @@ __all__ = [
     "forman_vertex_curvature",
     "four_cycles",
     "local_jaccard_sparsify",
+    "scan_clusters",
+    "structural_similarity",
     "graph_stats",
     "greedy_coloring",
     "harmonic_centrality_exact",
