@@ -3697,6 +3697,26 @@ def _q_sparsify2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_jaccard_sparsify(edges, alpha=0.5)
 
 
+def _q_edge_bc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Girvan–Newman edge betweenness from sources 0,1,2 with horizon 4
+    (betweenness.edge_betweenness_sampled): per-edge Brandes credits
+    σ(v)/σ(w)·(1+δ(w)), e6-quantized; twin unrolls every level."""
+    from halvesting_geometric_spark.operators.betweenness import (
+        edge_betweenness_sampled,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return edge_betweenness_sampled(
+        edges, verts, sources=[0, 1, 2], max_depth=4
+    ).select(
+        "src",
+        "dst",
+        F.floor(F.col("betweenness") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("ebc_e6"),
+    )
+
+
 def _q_scan3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN structural clustering (scan.scan_clusters, KDD'07): e6
     similarity (support+2)/sqrt((d+1)(d+1)), eps=0.6, mu=3; full
@@ -4438,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forman": _q_forman,
         "sparsify2": _q_sparsify2,
         "scan3": _q_scan3,
+        "edge_bc4": _q_edge_bc4,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6210,6 +6231,65 @@ LEFT JOIN (SELECT v, SUM(delta) AS bc FROM bd0 WHERE v <> s GROUP BY v) agg
   ON agg.v = vv.vertex_id"""
 
 
+def _edge_betweenness_sql(sources: list[int], depth: int) -> str:
+    """Girvan–Newman edge-betweenness twin: same unrolled Brandes
+    forward/backward as _betweenness_sql, but collecting the raw
+    per-(source, edge) credit terms of every backward level and summing
+    them in ONE final aggregate — the same term multiset the engine's
+    union-then-groupBy produces (e6 rounding absorbs summation-order
+    ulps, as in the vertex gate)."""
+    src_list = ", ".join(str(s) for s in sources)
+    parts = [
+        _BASE,
+        "bde AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"bsrc AS (SELECT unnest([{src_list}]) AS s)",
+        "bst0 AS MATERIALIZED (SELECT s, CAST(s AS BIGINT) AS v, 0 AS dist, "
+        "CAST(1 AS BIGINT) AS sigma FROM bsrc)",
+    ]
+    for lvl in range(1, depth + 1):
+        p = lvl - 1
+        parts.append(
+            f"""bgr{lvl} AS (
+  SELECT st.s, e.dst AS v, SUM(st.sigma) AS sigma
+  FROM bst{p} st JOIN bde e ON st.v = e.src
+  WHERE st.dist = {p} GROUP BY st.s, e.dst),
+bst{lvl} AS MATERIALIZED (
+  SELECT * FROM bst{p}
+  UNION ALL
+  SELECT g.s, g.v, {lvl} AS dist, g.sigma FROM bgr{lvl} g
+  WHERE NOT EXISTS (SELECT 1 FROM bst{p} x WHERE x.s = g.s AND x.v = g.v))"""
+        )
+    parts.append(
+        f"bd{depth} AS MATERIALIZED "
+        f"(SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM bst{depth})"
+    )
+    for lvl in range(depth, 0, -1):
+        parts.append(
+            f"""bec{lvl} AS MATERIALIZED (
+  SELECT p.s, p.v AS a, w.v AS b,
+         CAST(p.sigma AS DOUBLE) / w.sigma * (1 + dw.delta) AS c
+  FROM bst{depth} p
+  JOIN bde e ON p.v = e.src
+  JOIN bst{depth} w ON w.s = p.s AND w.v = e.dst AND w.dist = {lvl}
+  JOIN bd{lvl} dw ON dw.s = w.s AND dw.v = w.v
+  WHERE p.dist = {lvl - 1}),
+bd{lvl - 1} AS MATERIALIZED (
+  SELECT d.s, d.v, d.delta + COALESCE(c.c, 0) AS delta
+  FROM bd{lvl} d LEFT JOIN (
+    SELECT s, a, SUM(c) AS c FROM bec{lvl} GROUP BY s, a) c
+  ON c.s = d.s AND c.a = d.v)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT a, b, c FROM bec{lvl}" for lvl in range(depth, 0, -1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT a AS src, b AS dst,
+       CAST(floor(SUM(c) * 1000000 + 0.5) AS BIGINT) AS ebc_e6
+FROM ({unions}) u
+GROUP BY a, b"""
+
+
 def _coreness_sql(rounds: int) -> str:
     """h-index coreness twin: per round, gather neighbor estimates, rank
     them descending per vertex, H = max(least(rank, est)) — mirroring
@@ -7378,6 +7458,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "forman": _FORMAN_SQL,
         "sparsify2": _SPARSIFY_SQL,
         "scan3": _scan_sql(600000, 3),
+        "edge_bc4": _edge_betweenness_sql([0, 1, 2], 4),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

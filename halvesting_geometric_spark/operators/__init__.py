@@ -11,7 +11,10 @@ from halvesting_geometric_spark.operators.evalmetrics import (
     ranking_metrics,
     spearman_correlation,
 )
-from halvesting_geometric_spark.operators.betweenness import betweenness_sampled
+from halvesting_geometric_spark.operators.betweenness import (
+    betweenness_sampled,
+    edge_betweenness_sampled,
+)
 from halvesting_geometric_spark.operators.components import connected_components
 from halvesting_geometric_spark.operators.extract import (
     extract_conv_edges,
@@ -315,6 +318,7 @@ __all__ = [
     "aggregate_neighbors",
     "aggregate_neighbors_positional",
     "betweenness_sampled",
+    "edge_betweenness_sampled",
     "association_rules",
     "frequent_sequences",
     "structural_holes",

@@ -32,17 +32,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def betweenness_sampled(
+def _brandes(
     edges: DataFrame,
     vertices: DataFrame,
     sources: list[int],
-    max_depth: int = 4,
+    max_depth: int,
+    want_edges: bool,
 ) -> DataFrame:
-    """Horizon-bounded Brandes dependency sums from the given sources.
+    """Shared Brandes forward/backward driver.
 
-    Returns (vertex_id, betweenness double) for every vertex (sources
-    score their own-path contributions from OTHER sources only, per
-    Brandes). ``max_depth`` bounds both BFS and back-propagation.
+    Returns the vertex dependency table (s, v, delta) when ``want_edges``
+    is false, else the per-edge credit table (src, dst, c) summed over
+    sources and levels — the Girvan–Newman edge score before the final
+    aggregate.  The edge credit for (p → w) with d(w) = d(p)+1 is exactly
+    the backward term σ(p)/σ(w)·(1+δ(w)); vertex δ sums the same credits
+    per predecessor, so both outputs fall out of one backward pass.
     """
     if not sources:
         raise ValueError("sources must be non-empty")
@@ -86,6 +90,7 @@ def betweenness_sampled(
 
     # backward accumulation, deepest level first
     delta = state.select("s", "v", F.lit(0.0).alias("delta"))
+    edge_credits: list[DataFrame] = []
     for level in range(max_depth, 0, -1):
         succ = (
             state.filter(F.col("dist") == level)
@@ -105,7 +110,7 @@ def betweenness_sampled(
         pred = state.filter(F.col("dist") == level - 1).select(
             "s", F.col("v").alias("p"), F.col("sigma").alias("sigma_p")
         )
-        contrib = (
+        credits = (
             pred.join(e, pred["p"] == e["src"])
             .join(
                 succ,
@@ -114,15 +119,21 @@ def betweenness_sampled(
             .select(
                 pred["s"].alias("s"),
                 F.col("p").alias("v"),
+                F.col("w"),
                 (
                     F.col("sigma_p")
                     / F.col("sigma_w")
                     * (F.lit(1.0) + F.col("delta_w"))
                 ).alias("c"),
             )
-            .groupBy("s", "v")
-            .agg(F.sum("c").alias("c"))
         )
+        if want_edges:
+            edge_credits.append(
+                credits.select(
+                    F.col("v").alias("e_src"), F.col("w").alias("e_dst"), "c"
+                ).localCheckpoint(eager=True)
+            )
+        contrib = credits.groupBy("s", "v").agg(F.sum("c").alias("c"))
         delta = (
             delta.join(contrib, ["s", "v"], "left")
             .select(
@@ -132,6 +143,23 @@ def betweenness_sampled(
             )
             .localCheckpoint(eager=True)
         )
+
+    if want_edges:
+        acc = edge_credits[0]
+        for part in edge_credits[1:]:
+            acc = acc.unionByName(part)
+        result = (
+            acc.groupBy("e_src", "e_dst")
+            .agg(F.sum("c").alias("betweenness"))
+            .select(
+                F.col("e_src").alias("src"),
+                F.col("e_dst").alias("dst"),
+                "betweenness",
+            )
+            .localCheckpoint(eager=True)
+        )
+        e.unpersist()
+        return result
 
     out = (
         delta.filter(F.col("v") != F.col("s"))
@@ -150,3 +178,36 @@ def betweenness_sampled(
     )
     e.unpersist()
     return result
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: list[int],
+    max_depth: int = 4,
+) -> DataFrame:
+    """Horizon-bounded Brandes dependency sums from the given sources.
+
+    Returns (vertex_id, betweenness double) for every vertex (sources
+    score their own-path contributions from OTHER sources only, per
+    Brandes). ``max_depth`` bounds both BFS and back-propagation.
+    """
+    return _brandes(edges, vertices, sources, max_depth, want_edges=False)
+
+
+def edge_betweenness_sampled(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: list[int],
+    max_depth: int = 4,
+) -> DataFrame:
+    """Horizon-bounded Girvan–Newman edge betweenness from the sources.
+
+    Returns (src, dst, betweenness double) for every directed edge on a
+    shortest path of length ≤ ``max_depth`` from some source — the edge
+    removal order of Girvan–Newman community detection.  Each source
+    credits an edge (v → w) with σ(v)/σ(w)·(1+δ(w)) at the single level
+    where d(w) = d(v)+1, so the accumulation is one extra select per
+    backward round over the shared Brandes pass — no additional joins.
+    """
+    return _brandes(edges, vertices, sources, max_depth, want_edges=True)
