@@ -3717,6 +3717,18 @@ def _q_edge_bc4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_configmodel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed configuration-model rewiring (nullmodel.py): exact out/in
+    degree sequences, seeded-hash stub permutation, two-phase ranks (no
+    global window); portable hash so the twin replays the permutation."""
+    from halvesting_geometric_spark.operators.nullmodel import (
+        configuration_model,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    return configuration_model(edges, seed=42, hash_method="portable")
+
+
 def _q_scan3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN structural clustering (scan.scan_clusters, KDD'07): e6
     similarity (support+2)/sqrt((d+1)(d+1)), eps=0.6, mu=3; full
@@ -4459,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify2": _q_sparsify2,
         "scan3": _q_scan3,
         "edge_bc4": _q_edge_bc4,
+        "configmodel": _q_configmodel,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6290,6 +6303,27 @@ FROM ({unions}) u
 GROUP BY a, b"""
 
 
+def _configmodel_sql(seed: int) -> str:
+    """Configuration-model twin: same occurrence numbering, portable-hash
+    stub orders, ROW_NUMBER ranks, rank equi-join."""
+    hs = _ph("src", "dst", "occ", seed=seed * 2)
+    hd = _ph("src", "dst", "occ", seed=seed * 2 + 1)
+    return f"""WITH {_BASE},
+eo AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src, dst) AS BIGINT) AS occ
+  FROM edges),
+ss AS (
+  SELECT src AS v,
+         ROW_NUMBER() OVER (ORDER BY {hs}, src, dst, occ) AS r
+  FROM eo),
+ds AS (
+  SELECT dst AS v,
+         ROW_NUMBER() OVER (ORDER BY {hd}, src, dst, occ) AS r
+  FROM eo)
+SELECT ss.v AS src, ds.v AS dst FROM ss JOIN ds ON ss.r = ds.r"""
+
+
 def _coreness_sql(rounds: int) -> str:
     """h-index coreness twin: per round, gather neighbor estimates, rank
     them descending per vertex, H = max(least(rank, est)) — mirroring
@@ -7459,6 +7493,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "sparsify2": _SPARSIFY_SQL,
         "scan3": _scan_sql(600000, 3),
         "edge_bc4": _edge_betweenness_sql([0, 1, 2], 4),
+        "configmodel": _configmodel_sql(42),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

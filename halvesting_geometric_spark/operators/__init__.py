@@ -58,6 +58,7 @@ from halvesting_geometric_spark.operators.curvature import (
 )
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
+from halvesting_geometric_spark.operators.nullmodel import configuration_model
 from halvesting_geometric_spark.operators.scan import (
     scan_clusters,
     structural_similarity,
@@ -407,6 +408,7 @@ __all__ = [
     "forman_vertex_curvature",
     "four_cycles",
     "local_jaccard_sparsify",
+    "configuration_model",
     "scan_clusters",
     "structural_similarity",
     "graph_stats",

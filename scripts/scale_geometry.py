@@ -91,13 +91,34 @@ results["ops"]["local_jaccard_sparsify"] = {
 }
 print("local_jaccard_sparsify", results["ops"]["local_jaccard_sparsify"], flush=True)
 
+# SCAN needs similarity structure to be non-degenerate at scale: a pure
+# random power-law graph has near-zero neighborhood overlap, so every
+# vertex is an outlier and the backbone CC runs on an empty set. Plant
+# 20k K8 cliques (560k edges) on top of the noise so cores/borders/hubs
+# all materialize and the CC driver does real work.
+cliq = (
+    spark.range(20_000)
+    .select(
+        F.col("id").alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("j"),
+    )
+    .select("c", "j", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"))
+    .filter(F.col("k") > F.col("j"))
+    .select(
+        (F.col("c") * 100 + F.col("j")).alias("src"),
+        (F.col("c") * 100 + F.col("k")).alias("dst"),
+    )
+)
+scan_in = edges.select("src", "dst").unionByName(cliq).persist()
+scan_in.count()
+
 t0 = time.monotonic()
 from halvesting_geometric_spark.operators.scan import scan_clusters
 
 sc_res = scan_clusters(
-    edges,
+    scan_in,
     spark.range(N_VERTS).select(F.col("id").alias("vertex_id")),
-    eps_e6=500_000,
+    eps_e6=400_000,
     mu=3,
 )
 roles = {r["role"]: r["n"] for r in sc_res.groupBy("role").agg(F.count("*").alias("n")).collect()}
