@@ -3717,6 +3717,27 @@ def _q_edge_bc4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sslp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded (clamped) label propagation, 4 rounds
+    (labelprop.seeded_label_propagation): semi-supervised classification
+    from the deterministic seed set vertex_id % 17 == 0 labeled
+    vertex_id % 4; unreachable vertices export label -1."""
+    from halvesting_geometric_spark.operators.labelprop import (
+        seeded_label_propagation,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    seeds = verts.filter(F.col("vertex_id") % 17 == 0).select(
+        "vertex_id", (F.col("vertex_id") % 4).alias("label")
+    )
+    res = seeded_label_propagation(edges, seeds, verts, rounds=4)
+    return res.select(
+        "vertex_id",
+        F.coalesce("label", F.lit(-1)).cast("long").alias("label"),
+        F.col("is_seed").cast("long").alias("is_seed"),
+    )
+
+
 def _q_configmodel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed configuration-model rewiring (nullmodel.py): exact out/in
     degree sequences, seeded-hash stub permutation, two-phase ranks (no
@@ -4472,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan3": _q_scan3,
         "edge_bc4": _q_edge_bc4,
         "configmodel": _q_configmodel,
+        "sslp4": _q_sslp4,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6303,6 +6325,43 @@ FROM ({unions}) u
 GROUP BY a, b"""
 
 
+def _sslp_sql(rounds: int) -> str:
+    """Seeded-LPA twin: clamped seeds (vertex_id%17==0 -> vertex_id%4),
+    per round majority vote over labeled neighbors with (cnt DESC, label
+    ASC) tie order, unrolled like _labelprop_parts."""
+    parts = [
+        _BASE,
+        "sd AS (SELECT vertex_id AS v, CAST(vertex_id % 4 AS BIGINT) AS lab "
+        "FROM verts WHERE vertex_id % 17 = 0)",
+        "t0 AS (SELECT vv.vertex_id AS v, sd.lab, sd.v IS NOT NULL AS seeded "
+        "FROM verts vv LEFT JOIN sd ON vv.vertex_id = sd.v)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS (
+  SELECT s.src AS v, t.lab, COUNT(*) AS cnt
+  FROM sym s JOIN t{p} t ON s.dst = t.v
+  WHERE t.lab IS NOT NULL GROUP BY s.src, t.lab),
+p{k} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+    FROM c{k}) x WHERE rn = 1),
+t{k} AS (
+  SELECT t.v,
+         CASE WHEN t.seeded THEN t.lab ELSE COALESCE(p.lab, t.lab) END AS lab,
+         t.seeded
+  FROM t{p} t LEFT JOIN p{k} p ON t.v = p.v)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(COALESCE(lab, -1) AS BIGINT) AS label, "
+        f"CAST(seeded AS BIGINT) AS is_seed FROM t{rounds}"
+    )
+
+
 def _configmodel_sql(seed: int) -> str:
     """Configuration-model twin: same occurrence numbering, portable-hash
     stub orders, ROW_NUMBER ranks, rank equi-join."""
@@ -7494,6 +7553,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "scan3": _scan_sql(600000, 3),
         "edge_bc4": _edge_betweenness_sql([0, 1, 2], 4),
         "configmodel": _configmodel_sql(42),
+        "sslp4": _sslp_sql(4),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

@@ -76,7 +76,10 @@ from halvesting_geometric_spark.operators.layout import (
     zorder_sql,
     zorder_value,
 )
-from halvesting_geometric_spark.operators.labelprop import label_propagation
+from halvesting_geometric_spark.operators.labelprop import (
+    label_propagation,
+    seeded_label_propagation,
+)
 from halvesting_geometric_spark.operators.preference import (
     bradley_terry,
     dpo_pairs,
@@ -419,6 +422,7 @@ __all__ = [
     "kcore_members",
     "ktruss",
     "label_propagation",
+    "seeded_label_propagation",
     "maximal_independent_set",
     "maximal_matching",
     "coarsen_graph",

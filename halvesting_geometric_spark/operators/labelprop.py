@@ -184,3 +184,95 @@ def label_propagation(
         num_labels=n_labels,
         metrics=all_metrics,
     )
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame | None = None,
+    rounds: int = 5,
+) -> DataFrame:
+    """Semi-supervised node classification by clamped label propagation
+    (the hard-label variant of Zhu–Ghahramani label spreading).
+
+    ``seeds`` is a (vertex_id, label) table of labeled vertices; their
+    labels are CLAMPED (never change).  Unlabeled vertices start with no
+    label and, each synchronous round, take the majority label among
+    their labeled neighbors (ties → smaller label, the same total order
+    as :func:`label_propagation`); vertices whose neighborhood is still
+    entirely unlabeled stay unlabeled.  Runs exactly ``rounds`` rounds —
+    labels spread one hop per round, so ``rounds`` bounds the
+    classification radius and the output is externally replayable
+    (the gate's DuckDB twin unrolls every round).
+
+    Returns ``(vertex_id, label, is_seed)`` over ``vertices`` (defaults
+    to the edge endpoints ∪ seeds); ``label`` is NULL where no seed is
+    reachable within ``rounds`` hops.  Scale shape: per round one
+    gather join on the cached symmetric edge table + the same
+    max(struct(cnt, −label)) single-shuffle argmax as community LPA —
+    no windows, state is one (vertex, label) row per vertex.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    seeds = seeds.select(
+        "vertex_id", F.col("label").cast("long").alias("label")
+    ).dropDuplicates(["vertex_id"])
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vertex_id"))
+            .unionByName(edges.select(F.col("dst").alias("vertex_id")))
+            .unionByName(seeds.select("vertex_id"))
+            .distinct()
+        )
+    simple = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = (
+        simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    state = (
+        vertices.select("vertex_id")
+        .join(seeds.withColumnRenamed("label", "seed_label"), "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.col("seed_label").alias("label"),
+            F.col("seed_label").isNotNull().alias("is_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                state.filter(F.col("label").isNotNull()).select(
+                    F.col("vertex_id").alias("dst"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vertex_id"), "nbr_label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("vertex_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))
+                ).alias("best")
+            )
+            .select("vertex_id", (-F.col("best.neg")).alias("new_label"))
+        )
+        state = (
+            state.join(votes, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce("new_label", "label"))
+                .alias("label"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return state
