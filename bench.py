@@ -241,6 +241,15 @@ def run_pipeline(cores: int, n_convs: int, tol: float = 1e-6) -> dict:
 
     out["bt5_items"] = timed_median("bt5", run_bt)
 
+    def run_sparsify():
+        from halvesting_geometric_spark.operators.sparsify import (
+            local_jaccard_sparsify,
+        )
+
+        return local_jaccard_sparsify(g.edges, alpha=0.5).count()
+
+    out["sparsify_kept"] = timed_median("sparsify", run_sparsify)
+
     _aqe.__exit__(None, None, None)
     spark.stop()
     out["loadavg_after"] = list(os.getloadavg())
@@ -400,6 +409,7 @@ def main() -> None:
             "betweenness4": r["betweenness_sec"],
             "coloring6": r["coloring_sec"],
             "bt5": r["bt5_sec"],
+            "sparsify": r["sparsify_sec"],
         },
         "detail": r,
     }
