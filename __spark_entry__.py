@@ -3738,6 +3738,21 @@ def _q_sslp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percolation3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness curve (robustness.bond_percolation):
+    seeded-hash Bernoulli edge retention at 250/500/750 permille, one
+    scalable-CC run per level; portable hash so the twin replays the
+    retention and the closure."""
+    from halvesting_geometric_spark.operators.robustness import (
+        bond_percolation,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return bond_percolation(
+        edges, verts, (250, 500, 750), seed=42, hash_method="portable"
+    )
+
+
 def _q_configmodel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed configuration-model rewiring (nullmodel.py): exact out/in
     degree sequences, seeded-hash stub permutation, two-phase ranks (no
@@ -4494,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_bc4": _q_edge_bc4,
         "configmodel": _q_configmodel,
         "sslp4": _q_sslp4,
+        "percolation3": _q_percolation3,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6362,6 +6378,36 @@ t{k} AS (
     )
 
 
+def _percolation_sql(permilles, seed: int) -> str:
+    """Bond-percolation twin: portable-hash retention + one recursive
+    min-id closure per level, seeded from the full vertex set."""
+    h = _ph("a", "b", seed=seed)
+    parts = [_BASE, f"phh AS (SELECT a, b, {h} % 1000 AS h FROM canon)"]
+    selects = []
+    for p in permilles:
+        parts.append(
+            f"""e{p} AS (SELECT a, b FROM phh WHERE h < {p}),
+s{p} AS (SELECT a AS x, b AS y FROM e{p} UNION ALL SELECT b, a FROM e{p}),
+r{p} AS (
+  SELECT vertex_id AS a, vertex_id AS b FROM verts
+  UNION
+  SELECT r.a, s.y FROM r{p} r JOIN s{p} s ON r.b = s.x),
+g{p} AS (
+  SELECT COUNT(*) AS n_comp, MAX(sz) AS giant FROM (
+    SELECT comp, COUNT(*) AS sz FROM (
+      SELECT a, MIN(b) AS comp FROM r{p} GROUP BY a) c GROUP BY comp) z)"""
+        )
+        selects.append(
+            f"SELECT CAST({p} AS BIGINT) AS retain_permille, "
+            f"CAST((SELECT COUNT(*) FROM e{p}) AS BIGINT) AS kept_edges, "
+            f"CAST(n_comp AS BIGINT) AS n_components, "
+            f"CAST(giant AS BIGINT) AS giant_size FROM g{p}"
+        )
+    body = ",\n".join(parts)
+    unions = "\nUNION ALL\n".join(selects)
+    return f"WITH RECURSIVE {body}\n{unions}"
+
+
 def _configmodel_sql(seed: int) -> str:
     """Configuration-model twin: same occurrence numbering, portable-hash
     stub orders, ROW_NUMBER ranks, rank equi-join."""
@@ -7554,6 +7600,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "edge_bc4": _edge_betweenness_sql([0, 1, 2], 4),
         "configmodel": _configmodel_sql(42),
         "sslp4": _sslp_sql(4),
+        "percolation3": _percolation_sql((250, 500, 750), 42),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

@@ -59,6 +59,10 @@ from halvesting_geometric_spark.operators.curvature import (
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
 from halvesting_geometric_spark.operators.nullmodel import configuration_model
+from halvesting_geometric_spark.operators.robustness import (
+    bond_percolation,
+    degree_attack_robustness,
+)
 from halvesting_geometric_spark.operators.scan import (
     scan_clusters,
     structural_similarity,
@@ -411,7 +415,9 @@ __all__ = [
     "forman_vertex_curvature",
     "four_cycles",
     "local_jaccard_sparsify",
+    "bond_percolation",
     "configuration_model",
+    "degree_attack_robustness",
     "scan_clusters",
     "structural_similarity",
     "graph_stats",

@@ -31,7 +31,7 @@ from halvesting_geometric_spark.operators.components import (
 )
 from halvesting_geometric_spark.operators.graph import canonical_edges
 
-__all__ = ["degree_attack_robustness"]
+__all__ = ["bond_percolation", "degree_attack_robustness"]
 
 
 def degree_attack_robustness(
@@ -100,4 +100,66 @@ def degree_attack_robustness(
         rows,
         "degree_cap long, kept_vertices long, kept_edges long, "
         "n_components long, giant_size long",
+    )
+
+
+def bond_percolation(
+    edges: DataFrame,
+    vertices: DataFrame,
+    retain_permille: Sequence[int] = (250, 500, 750),
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Random-failure (bond-percolation) robustness curve.
+
+    The complement of :func:`degree_attack_robustness`: instead of
+    targeted vertex removal, every canonical edge independently survives
+    with probability ``p`` — the classic random-failure model whose giant
+    component persists on power-law graphs long after targeted attack has
+    shattered them (Albert-Jeong-Barabási).  Retention is a deterministic
+    seeded-hash Bernoulli (``hash(src, dst, seed) mod 1000 < p_mill``), so
+    the curve is reproducible and, under ``hash_method="portable"``,
+    replayable by the DuckDB gate twin.
+
+    One scalable-CC run per retention level over the filtered canonical
+    edges (all vertices survive — bond percolation removes edges only);
+    returns (retain_permille, kept_edges, n_components, giant_size) with
+    isolated vertices counted as singleton components.
+    """
+    from halvesting_geometric_spark.operators.sampling import hash64
+
+    if not retain_permille:
+        raise ValueError("retain_permille must be non-empty")
+    if any(not 0 < p <= 1000 for p in retain_permille):
+        raise ValueError(
+            f"retain_permille entries must be in (0, 1000], got {retain_permille}"
+        )
+    spark = edges.sparkSession
+    canon = canonical_edges(edges).withColumn(
+        "_h", F.pmod(hash64(hash_method, "src", "dst", seed=seed), F.lit(1000))
+    ).persist()
+    verts = vertices.select("vertex_id").persist()
+    rows = []
+    for p in sorted(retain_permille, reverse=True):
+        ke = canon.filter(F.col("_h") < p).select("src", "dst")
+        res = connected_components(ke, verts)
+        stats = (
+            res.components.groupBy("component")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.count("*").alias("n_components"),
+                F.coalesce(F.max("sz"), F.lit(0)).alias("giant_size"),
+            )
+            .first()
+        )
+        rows.append(
+            (int(p), int(ke.count()), int(stats["n_components"]),
+             int(stats["giant_size"]))
+        )
+    canon.unpersist()
+    verts.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "retain_permille long, kept_edges long, n_components long, "
+        "giant_size long",
     )
