@@ -3738,6 +3738,18 @@ def _q_sslp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpart8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spinner-style balanced 8-way partitioning, 3 rounds
+    (partition.balanced_partition): capacity-constrained LPA with
+    hysteresis; the twin unrolls loads/counts/argmax per round."""
+    from halvesting_geometric_spark.operators.partition import (
+        balanced_partition,
+    )
+
+    _, verts, edges = _pipeline(spark, sf_dir)
+    return balanced_partition(edges, verts, k=8, rounds=3, slack_permille=100)
+
+
 def _q_percolation3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bond-percolation robustness curve (robustness.bond_percolation):
     seeded-hash Bernoulli edge retention at 250/500/750 permille, one
@@ -4510,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "configmodel": _q_configmodel,
         "sslp4": _q_sslp4,
         "percolation3": _q_percolation3,
+        "bpart8": _q_bpart8,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6378,6 +6391,46 @@ t{k} AS (
     )
 
 
+def _bpart_sql(k: int, rounds: int, slack: int) -> str:
+    """Balanced-partition twin: unrolled capacity-constrained LPA rounds
+    (round-start loads, under-cap candidate filter, (cnt DESC, label ASC)
+    argmax, strict-improvement hysteresis)."""
+    cap = f"((SELECT n FROM nn) * {1000 + slack} + {1000 * k - 1}) // {1000 * k}"
+    parts = [
+        _BASE,
+        "nn AS (SELECT COUNT(*) AS n FROM verts)",
+        f"q0 AS (SELECT vertex_id AS v, CAST(vertex_id % {k} AS BIGINT) AS lab "
+        "FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""ld{r} AS (SELECT lab, COUNT(*) AS load FROM q{p} GROUP BY lab),
+cn{r} AS (
+  SELECT s.src AS v, q.lab AS nl, COUNT(*) AS cnt
+  FROM sym s JOIN q{p} q ON s.dst = q.v GROUP BY s.src, q.lab),
+bs{r} AS (
+  SELECT v, cnt AS best_cnt, nl AS best_label FROM (
+    SELECT c.v, c.cnt, c.nl,
+           row_number() OVER (PARTITION BY c.v
+                              ORDER BY c.cnt DESC, c.nl ASC) AS rn
+    FROM cn{r} c JOIN ld{r} l ON c.nl = l.lab
+    WHERE l.load < {cap}) x WHERE rn = 1),
+q{r} AS (
+  SELECT q.v,
+         CASE WHEN b.best_cnt > COALESCE(cc.cnt, 0)
+              THEN b.best_label ELSE q.lab END AS lab
+  FROM q{p} q
+  LEFT JOIN bs{r} b ON q.v = b.v
+  LEFT JOIN cn{r} cc ON cc.v = q.v AND cc.nl = q.lab)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS vertex_id, CAST(lab AS BIGINT) AS label FROM q{rounds}"
+    )
+
+
 def _percolation_sql(permilles, seed: int) -> str:
     """Bond-percolation twin: portable-hash retention + one recursive
     min-id closure per level, seeded from the full vertex set."""
@@ -7601,6 +7654,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "configmodel": _configmodel_sql(42),
         "sslp4": _sslp_sql(4),
         "percolation3": _percolation_sql((250, 500, 750), 42),
+        "bpart8": _bpart_sql(8, 3, 100),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

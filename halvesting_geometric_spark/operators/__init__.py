@@ -59,6 +59,7 @@ from halvesting_geometric_spark.operators.curvature import (
 from halvesting_geometric_spark.operators.densest import densest_subgraph
 from halvesting_geometric_spark.operators.ktruss import ktruss
 from halvesting_geometric_spark.operators.nullmodel import configuration_model
+from halvesting_geometric_spark.operators.partition import balanced_partition
 from halvesting_geometric_spark.operators.robustness import (
     bond_percolation,
     degree_attack_robustness,
@@ -415,6 +416,7 @@ __all__ = [
     "forman_vertex_curvature",
     "four_cycles",
     "local_jaccard_sparsify",
+    "balanced_partition",
     "bond_percolation",
     "configuration_model",
     "degree_attack_robustness",
