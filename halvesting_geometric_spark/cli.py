@@ -41,7 +41,7 @@ ALGORITHMS = (
     "anomaly", "cusum", "tmotif", "burst", "gapmem",
     "support", "conductance", "freqseq", "treach", "holes", "pack",
     "assoc", "nibble", "substrdedup", "dsir", "rank",
-    "convstats", "diversity",
+    "convstats", "diversity", "geometry", "scan", "bpartition",
 )
 
 
@@ -801,6 +801,66 @@ def main(argv: list[str] | None = None) -> int:
         summary["entropy_e6"] = int(h["entropy_e6"])
         summary["n_tokens"] = int(h["n_tokens"])
         summary["vocab"] = int(h["vocab"])
+    elif args.algorithm == "geometry":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.curvature import (
+            forman_curvature,
+        )
+        from halvesting_geometric_spark.operators.sparsify import (
+            local_jaccard_sparsify,
+        )
+
+        fc = forman_curvature(g.edges)
+        fc.write.mode("overwrite").parquet(args.output)
+        row = fc.agg(
+            F.count("*").alias("n"),
+            F.min("curvature").alias("cmin"),
+            F.sum(F.when(F.col("curvature") < 0, 1).otherwise(0)).alias("neg"),
+        ).first()
+        kept = local_jaccard_sparsify(g.edges, alpha=0.5).count()
+        summary["canonical_edges"] = int(row["n"])
+        summary["curvature_min"] = int(row["cmin"]) if row["cmin"] is not None else 0
+        summary["negative_edges"] = int(row["neg"]) if row["neg"] is not None else 0
+        summary["sparsified_kept"] = int(kept)
+    elif args.algorithm == "scan":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.scan import scan_clusters
+
+        sc_out = scan_clusters(g.edges, g.vertices, eps_e6=600_000, mu=3)
+        sc_out.write.mode("overwrite").parquet(args.output)
+        for r in sc_out.groupBy("role").agg(F.count("*").alias("n")).collect():
+            summary[f"role_{r['role']}"] = int(r["n"])
+    elif args.algorithm == "bpartition":
+        from pyspark.sql import functions as F
+
+        from halvesting_geometric_spark.operators.partition import (
+            balanced_partition,
+        )
+
+        labels = balanced_partition(g.edges, g.vertices, k=8, rounds=3)
+        labels.write.mode("overwrite").parquet(args.output)
+        loads = labels.groupBy("label").agg(F.count("*").alias("n"))
+        summary["partitions"] = loads.count()
+        summary["max_load"] = int(loads.agg(F.max("n")).first()[0])
+        cut = (
+            g.edges.join(
+                labels.withColumnRenamed("vertex_id", "src").withColumnRenamed(
+                    "label", "ls"
+                ),
+                "src",
+            )
+            .join(
+                labels.withColumnRenamed("vertex_id", "dst").withColumnRenamed(
+                    "label", "ld"
+                ),
+                "dst",
+            )
+            .filter(F.col("ls") != F.col("ld"))
+            .count()
+        )
+        summary["edge_cut"] = int(cut)
     _aqe.__exit__(None, None, None)
     print(json.dumps(summary))
     return 0

@@ -343,3 +343,21 @@ def test_cli_convstats_and_diversity(spark, tmp_path, capsys):
     assert summary["vocab"] > 0 and summary["n_tokens"] > 0
     dn = spark.read.parquet(str(tmp_path / "dn"))
     assert {r.n for r in dn.collect()} == {1, 2, 3}
+
+
+def test_cli_geometry_scan_bpartition(spark, tmp_path, capsys):
+    tr_dir = str(tmp_path / "tr_geo")
+    generate_transcripts(spark, 40, seed=9).write.parquet(tr_dir)
+    for algo, checks in (
+        ("geometry", ("canonical_edges", "sparsified_kept")),
+        ("scan", ("role_outlier",)),
+        ("bpartition", ("partitions", "edge_cut", "max_load")),
+    ):
+        out_dir = str(tmp_path / f"out_{algo}")
+        rc = cli.main([algo, "--transcripts", tr_dir, "--output", out_dir])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["algorithm"] == algo
+        for key in checks:
+            assert key in summary, (algo, key, summary)
+        assert spark.read.parquet(out_dir).count() > 0
