@@ -214,9 +214,13 @@ def seeded_label_propagation(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    seeds = seeds.select(
-        "vertex_id", F.col("label").cast("long").alias("label")
-    ).dropDuplicates(["vertex_id"])
+    # conflicting seed rows resolve to the MIN label (deterministic winner,
+    # not dropDuplicates' arbitrary first-seen row)
+    seeds = (
+        seeds.select("vertex_id", F.col("label").cast("long").alias("label"))
+        .groupBy("vertex_id")
+        .agg(F.min("label").alias("label"))
+    )
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vertex_id"))

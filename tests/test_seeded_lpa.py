@@ -114,3 +114,17 @@ def test_random_vs_python_twin(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_conflicting_seed_rows_take_min_label(spark):
+    seeds = spark.createDataFrame(
+        [(0, 7), (0, 2), (0, 9)], "vertex_id long, label long"
+    )
+    out = {
+        r.vertex_id: r.label
+        for r in seeded_label_propagation(
+            _edges_df(spark, [(0, 1)]), seeds, rounds=1
+        ).collect()
+    }
+    assert out[0] == 2
+    assert out[1] == 2
