@@ -70,6 +70,8 @@ def balanced_partition(
     ).localCheckpoint(eager=True)
     for _ in range(rounds):
         loads = state.groupBy("label").agg(F.count("*").alias("load"))
+        # counts feeds BOTH the candidate argmax and the hysteresis join —
+        # persist so the E-row gather shuffle runs once per round
         counts = (
             sym.join(
                 state.select(
@@ -79,6 +81,7 @@ def balanced_partition(
             )
             .groupBy(F.col("src").alias("vertex_id"), "nl")
             .agg(F.count("*").alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # candidates: under-cap partitions only (round-start loads)
         open_labels = loads.filter(F.col("load") < cap).select(
@@ -115,6 +118,7 @@ def balanced_partition(
             )
             .localCheckpoint(eager=True)
         )
+        counts.unpersist()
     sym.unpersist()
     verts.unpersist()
     return state
