@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from halvesting_geometric_spark.operators.graph import canonical_edges
-from halvesting_geometric_spark.operators.ktruss import edge_support
+from halvesting_geometric_spark.operators.ktruss import _support
 
 
 def _undirected_degrees(canon: DataFrame) -> DataFrame:
@@ -58,9 +58,11 @@ def forman_curvature(edges: DataFrame) -> DataFrame:
     most negative edges are the classic cut candidates for
     community-aware partitioning.
     """
-    canon = canonical_edges(edges)
+    # one canonicalization shuffle, shared by the support join and the
+    # degree aggregate (edge_support would re-canonicalize internally)
+    canon = canonical_edges(edges).localCheckpoint(eager=True)
     deg = _undirected_degrees(canon)
-    sup = edge_support(edges)
+    sup = _support(canon)
     return (
         sup.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("deg_src")), "src")
         .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_dst")), "dst")

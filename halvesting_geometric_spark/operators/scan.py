@@ -41,16 +41,25 @@ from pyspark.sql import functions as F
 
 from halvesting_geometric_spark.operators.components import connected_components
 from halvesting_geometric_spark.operators.graph import canonical_edges
-from halvesting_geometric_spark.operators.ktruss import edge_support
+from halvesting_geometric_spark.operators.ktruss import _support
 
 
-def structural_similarity(edges: DataFrame) -> DataFrame:
+def structural_similarity(
+    edges: DataFrame, _canon: DataFrame | None = None
+) -> DataFrame:
     """e6-quantized SCAN similarity per canonical edge.
 
     Returns ``(src, dst, support, sigma_e6)`` with ``src < dst``:
     ``sigma_e6 = floor(1e6·(support+2)/sqrt((deg_u+1)·(deg_v+1)) + 0.5)``.
+    ``_canon``: pre-checkpointed canonical edge table to reuse (internal —
+    :func:`scan_clusters` shares one canonicalization across similarity
+    and hub detection).
     """
-    canon = canonical_edges(edges)
+    canon = (
+        _canon
+        if _canon is not None
+        else canonical_edges(edges).localCheckpoint(eager=True)
+    )
     deg = (
         canon.select(F.col("src").alias("v"))
         .unionByName(canon.select(F.col("dst").alias("v")))
@@ -58,7 +67,7 @@ def structural_similarity(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     return (
-        edge_support(edges)
+        _support(canon)
         .join(deg.select(F.col("v").alias("src"), F.col("deg").alias("ds")), "src")
         .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dd")), "dst")
         .select(
@@ -97,7 +106,8 @@ def scan_clusters(
         raise ValueError(f"mu must be >= 2, got {mu}")
     if not 0 < eps_e6 <= 1_000_000:
         raise ValueError(f"eps_e6 must be in (0, 1e6], got {eps_e6}")
-    sim = structural_similarity(edges)
+    canon = canonical_edges(edges).localCheckpoint(eager=True)
+    sim = structural_similarity(edges, _canon=canon)
     eps_edges = sim.filter(F.col("sigma_e6") >= eps_e6).select("src", "dst")
     eps_edges = eps_edges.localCheckpoint(eager=True)
 
@@ -144,7 +154,6 @@ def scan_clusters(
     clustered = core_rows.unionByName(border_rows).localCheckpoint(eager=True)
 
     # hub vs outlier over the remaining vertices: hub touches >= 2 clusters
-    canon = canonical_edges(edges)
     adj = canon.select(
         F.col("src").alias("v"), F.col("dst").alias("other")
     ).unionByName(canon.select(F.col("dst").alias("v"), F.col("src").alias("other")))

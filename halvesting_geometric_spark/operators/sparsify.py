@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from halvesting_geometric_spark.operators.graph import canonical_edges
-from halvesting_geometric_spark.operators.ktruss import edge_support
+from halvesting_geometric_spark.operators.ktruss import _support
 
 
 def local_jaccard_sparsify(edges: DataFrame, alpha: float = 0.5) -> DataFrame:
@@ -48,14 +48,16 @@ def local_jaccard_sparsify(edges: DataFrame, alpha: float = 0.5) -> DataFrame:
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    canon = canonical_edges(edges)
+    # one canonicalization shuffle, shared by the support join and the
+    # degree aggregate (edge_support would re-canonicalize internally)
+    canon = canonical_edges(edges).localCheckpoint(eager=True)
     deg = (
         canon.select(F.col("src").alias("v"))
         .unionByName(canon.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
-    sup = edge_support(edges)
+    sup = _support(canon)
     sim = (
         sup.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("ds")), "src")
         .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dd")), "dst")
