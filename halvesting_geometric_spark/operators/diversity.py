@@ -146,9 +146,15 @@ def zipf_slope(
         w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
         ranked = tc.withColumn("rnk", F.row_number().over(w))
     else:
-        parts = tc.repartitionByRange(
-            num_partitions, F.col("c").desc(), F.col("term").asc()
-        ).withColumn("_pid", F.spark_partition_id())
+        # eager checkpoint pins ONE boundary sampling for both consumers
+        # (totals + in-partition ranks) — see nullmodel._two_phase_rank
+        parts = (
+            tc.repartitionByRange(
+                num_partitions, F.col("c").desc(), F.col("term").asc()
+            )
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
         # RangePartitioner assigns partition ids in the requested sort
         # order, so _pid order IS (c DESC, term ASC) order
         totals = parts.groupBy("_pid").agg(

@@ -159,8 +159,12 @@ def auroc(
         )
     else:
         # two-phase prefix sum over range partitions of the score axis
+        # eager checkpoint pins ONE boundary sampling for both consumers
+        # (totals + in-partition prefix) — see nullmodel._two_phase_rank
         parts = hist.repartitionByRange(buckets, *group_cols, F.col("_s"))
-        parts = parts.withColumn("_pid", F.spark_partition_id())
+        parts = parts.withColumn(
+            "_pid", F.spark_partition_id()
+        ).localCheckpoint(eager=True)
         # per (group, partition) negative totals — bounded rows to shuffle
         totals = (
             parts.groupBy(*group_cols, "_pid")

@@ -185,8 +185,12 @@ def pack_sequences(
             "_s", F.coalesce(F.sum("_n").over(w), F.lit(0))
         )
     else:
-        parts = base.repartitionByRange(buckets, "_id").withColumn(
-            "_pid", F.spark_partition_id()
+        # eager checkpoint pins ONE boundary sampling for both consumers
+        # (totals + in-partition prefix) — see nullmodel._two_phase_rank
+        parts = (
+            base.repartitionByRange(buckets, "_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
         totals = parts.groupBy("_pid").agg(
             F.sum("_n").alias("_tn"), F.min("_id").alias("_lo")

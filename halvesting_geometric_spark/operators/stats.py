@@ -84,8 +84,14 @@ def _with_prefix(
         for c in cols:
             hist = hist.withColumn(f"cum_{c}", F.sum(c).over(w))
         return hist
+    # freeze the ranged partitioning before fan-out: RangePartitioner
+    # samples boundaries with an RDD-id-seeded RNG, so the totals branch
+    # and the in-partition window could otherwise see different _pid
+    # assignments if the exchange re-evaluates (see nullmodel._two_phase_rank)
     parts = hist.repartitionByRange(num_partitions, F.col("_v").asc())
-    parts = parts.withColumn("_pid", F.spark_partition_id())
+    parts = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     totals = parts.groupBy("_pid").agg(
         F.min("_v").alias("_lo"),
         *[F.sum(c).alias(f"_t_{c}") for c in cols],
