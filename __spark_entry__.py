@@ -6394,7 +6394,8 @@ t{k} AS (
 def _bpart_sql(k: int, rounds: int, slack: int) -> str:
     """Balanced-partition twin: unrolled capacity-constrained LPA rounds
     (round-start loads, under-cap candidate filter, (cnt DESC, label ASC)
-    argmax, strict-improvement hysteresis)."""
+    argmax, strict-improvement hysteresis, per-label admission quota
+    cap − load ranked by (gain DESC, id ASC))."""
     cap = f"((SELECT n FROM nn) * {1000 + slack} + {1000 * k - 1}) // {1000 * k}"
     parts = [
         _BASE,
@@ -6416,13 +6417,23 @@ bs{r} AS (
                               ORDER BY c.cnt DESC, c.nl ASC) AS rn
     FROM cn{r} c JOIN ld{r} l ON c.nl = l.lab
     WHERE l.load < {cap}) x WHERE rn = 1),
+mg{r} AS (
+  SELECT b.v, b.best_cnt, b.best_label
+  FROM bs{r} b
+  JOIN q{p} q ON b.v = q.v
+  LEFT JOIN cn{r} cc ON cc.v = q.v AND cc.nl = q.lab
+  WHERE b.best_cnt > COALESCE(cc.cnt, 0)),
+ad{r} AS (
+  SELECT v, best_label FROM (
+    SELECT m.v, m.best_label,
+           row_number() OVER (PARTITION BY m.best_label
+                              ORDER BY m.best_cnt DESC, m.v ASC) AS rk,
+           {cap} - l.load AS quota
+    FROM mg{r} m JOIN ld{r} l ON m.best_label = l.lab) x
+  WHERE rk <= quota),
 q{r} AS (
-  SELECT q.v,
-         CASE WHEN b.best_cnt > COALESCE(cc.cnt, 0)
-              THEN b.best_label ELSE q.lab END AS lab
-  FROM q{p} q
-  LEFT JOIN bs{r} b ON q.v = b.v
-  LEFT JOIN cn{r} cc ON cc.v = q.v AND cc.nl = q.lab)"""
+  SELECT q.v, COALESCE(a.best_label, q.lab) AS lab
+  FROM q{p} q LEFT JOIN ad{r} a ON q.v = a.v)"""
         )
     body = ",\n".join(parts)
     return (

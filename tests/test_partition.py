@@ -36,7 +36,7 @@ def _python_partition(pairs, n, k, rounds, slack_permille):
         # a candidate label always has >=1 member (some neighbor holds it),
         # so restricting to labels present in loads loses nothing
         open_labels = {l for l, ld in loads.items() if ld < cap}
-        new = {}
+        wants = []
         for v in range(n):
             cnt = defaultdict(int)
             for o in adj[v]:
@@ -46,9 +46,16 @@ def _python_partition(pairs, n, k, rounds, slack_permille):
             if cands:
                 bc, bl = max(cands)
                 if bc > cur:
-                    new[v] = -bl
-                    continue
-            new[v] = lab[v]
+                    wants.append((v, bc, -bl))
+        # per-label admission quota: top (cap - load) by (gain DESC, id ASC)
+        by_label = defaultdict(list)
+        for v, bc, bl in wants:
+            by_label[bl].append((v, bc))
+        new = dict(lab)
+        for l, migs in by_label.items():
+            migs.sort(key=lambda t: (-t[1], t[0]))
+            for v, _ in migs[: cap - loads[l]]:
+                new[v] = l
         lab = new
     return lab
 
@@ -62,6 +69,25 @@ def test_two_triangles_converge(spark):
         ).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_strict_cap_invariant(spark):
+    # hub graph where everyone wants the hub's partition: admissions are
+    # quota-bounded, so no label ever exceeds cap
+    rng = random.Random(47)
+    pairs = [(0, i) for i in range(1, 30)] + [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(60)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    n, k, slack = 30, 3, 100
+    cap = (n * (1000 + slack) + 1000 * k - 1) // (1000 * k)
+    rows = balanced_partition(
+        _edges_df(spark, pairs), _verts_df(spark, n), k=k, rounds=4
+    ).collect()
+    from collections import Counter
+
+    loads = Counter(r.label for r in rows)
+    assert max(loads.values()) <= cap
 
 
 def test_full_partition_admits_no_migrants(spark):
