@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark import StorageLevel, TaskContext
+from pyspark import TaskContext
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,8 +46,11 @@ def dense_ids_scalable(
 
     Phase 1 counts rows per range-partition (collects ``num_partitions``
     longs); phase 2 assigns ``offset[pid] + cumcount`` inside mapInPandas.
-    The input is persisted between phases so both see identical partitioning
-    (range-partition sampling is otherwise free to re-sample per job).
+    The ranged input is CHECKPOINTED between phases so both see identical
+    partitioning: RangePartitioner samples boundaries with an RDD-id-seeded
+    RNG, and a cache-evicted-and-recomputed partition could silently
+    re-sample — localCheckpoint makes block loss FAIL the job instead of
+    producing wrong ids (fail-over-wrong for an id-assignment path).
     """
     spark = df.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
@@ -55,7 +58,7 @@ def dense_ids_scalable(
         df.select(key)
         .repartitionByRange(num_partitions, F.col(key).asc())
         .sortWithinPartitions(F.col(key).asc())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     counts = {
         row["pid"]: row["cnt"]
