@@ -22,6 +22,13 @@ Self-loops and parallel edges can appear, as in the standard model
 (erased-configuration-model consumers can dedupe afterwards); exact
 out/in-degree sequences are preserved by construction.
 
+Engine-new (the reference — see
+``/root/reference/halvesting_geometric/utils/data/link_prediction_dataset.py``
+— builds the citation graph but has no null-model machinery); the modulo
+bucketing trick at
+``/root/reference/halvesting_geometric/models/modeling_link_prediction.py:115``
+is the closest analog of the hash-derived determinism used here.
+
 Ranking never uses a single-task global window: ranks come from the
 repo's two-phase pattern (range-repartition on the sort key, per-partition
 ``row_number``, broadcast per-partition offsets — ``repartitionByRange``

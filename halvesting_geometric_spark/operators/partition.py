@@ -29,6 +29,11 @@ capacity.  This is the deterministic synchronous variant:
   partitions, k small; migrant sets shrink per round) and is a
   spillable sort, not a buffered group.
 
+Engine-new: the reference shards work only by dask row ranges
+(``/root/reference/halvesting_geometric/utils/data/link_prediction_metadata.py:209-218``),
+with no topology-aware placement; this operator supplies the
+edge-cut-aware analog for the engine's own tables.
+
 Fixed ``rounds`` keeps the output externally replayable (the gate's
 DuckDB twin unrolls every round).  State is one (vertex, label) row per
 vertex; nothing in the loop buffers a neighborhood.

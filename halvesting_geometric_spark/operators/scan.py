@@ -8,6 +8,11 @@ bridge several clusters, and *outliers* attached to none — which is
 exactly the triage a 100 TB link graph needs before downstream mining
 (hubs are the cross-topic connectors, outliers the noise).
 
+Engine-new (the reference — see
+``/root/reference/halvesting_geometric/utils/data/link_prediction_dataset.py``
+— builds the citation graph but computes no clustering); extends the same
+edge-table surface as the other structure operators.
+
 Definitions over the simple undirected graph (Γ(v) = N(v) ∪ {v}):
 
 - σ(u,v) = |Γ(u) ∩ Γ(v)| / sqrt(|Γ(u)|·|Γ(v)|), so for an edge (u,v)

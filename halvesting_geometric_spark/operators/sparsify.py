@@ -18,6 +18,11 @@ per-vertex ranking is a ``row_number`` window partitioned by vertex —
 a sort-based, spillable shuffle on vertex id (hub partitions sort, they
 are never buffered into memory as arrays).  No all-pairs stage anywhere.
 
+Engine-new: the reference (see
+``/root/reference/halvesting_geometric/utils/data/link_prediction_dataset.py``)
+materializes the citation graph but never sparsifies it; this extends the
+same edge-table surface its graph feeds.
+
 Determinism: similarity is exported as round-half-up e6 fixed point of
 ``support / (deg(u) + deg(v) − support)`` (the union counts both
 endpoints), and ranking breaks ties by neighbor id ascending, so the kept
