@@ -3777,6 +3777,41 @@ def _q_configmodel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return configuration_model(edges, seed=42, hash_method="portable")
 
 
+def _q_tri_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical triangle significance: the real graph's triangle total
+    vs the degree-preserving configuration-model null (nullmodel.py,
+    portable hash) — the rewiring-based complement of motif_sig's
+    closed-form expectation. excess_e6 = e6(real/null), 0 if null = 0."""
+    from halvesting_geometric_spark.operators.ktruss import edge_support
+    from halvesting_geometric_spark.operators.nullmodel import (
+        configuration_model,
+    )
+
+    _, _, edges = _pipeline(spark, sf_dir)
+    real = edge_support(edges).agg(
+        F.floor(F.sum("support") / 3).cast("long").alias("real_triangles")
+    )
+    null = edge_support(
+        configuration_model(edges, seed=42, hash_method="portable")
+    ).agg(F.floor(F.sum("support") / 3).cast("long").alias("null_triangles"))
+    return real.crossJoin(null).select(
+        "real_triangles",
+        "null_triangles",
+        F.when(
+            F.col("null_triangles") > 0,
+            F.floor(
+                F.col("real_triangles")
+                * 1_000_000.0
+                / F.col("null_triangles")
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("excess_e6"),
+    )
+
+
 def _q_scan3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN structural clustering (scan.scan_clusters, KDD'07): e6
     similarity (support+2)/sqrt((d+1)(d+1)), eps=0.6, mu=3; full
@@ -4523,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sslp4": _q_sslp4,
         "percolation3": _q_percolation3,
         "bpart8": _q_bpart8,
+        "tri_null": _q_tri_null,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6472,6 +6508,47 @@ g{p} AS (
     return f"WITH RECURSIVE {body}\n{unions}"
 
 
+def _tri_null_sql(seed: int) -> str:
+    """tri_null twin: triangle 3-join over the real canon and over the
+    canonicalized configuration-model rewiring (same portable-hash
+    permutation as _configmodel_sql)."""
+    hs = _ph("src", "dst", "occ", seed=seed * 2)
+    hd = _ph("src", "dst", "occ", seed=seed * 2 + 1)
+    return f"""WITH {_BASE},
+eo AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src, dst) AS BIGINT) AS occ
+  FROM edges),
+ss AS (
+  SELECT src AS v,
+         ROW_NUMBER() OVER (ORDER BY {hs}, src, dst, occ) AS r
+  FROM eo),
+ds AS (
+  SELECT dst AS v,
+         ROW_NUMBER() OVER (ORDER BY {hd}, src, dst, occ) AS r
+  FROM eo),
+rw AS (SELECT ss.v AS a0, ds.v AS b0 FROM ss JOIN ds ON ss.r = ds.r),
+rcanon AS (
+  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+  FROM rw WHERE a0 <> b0),
+rt AS (
+  SELECT COUNT(*) AS t
+  FROM rcanon e1
+  JOIN rcanon e2 ON e1.b = e2.a
+  JOIN rcanon e3 ON e3.a = e1.a AND e3.b = e2.b),
+rl AS (
+  SELECT COUNT(*) AS t
+  FROM canon e1
+  JOIN canon e2 ON e1.b = e2.a
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST((SELECT t FROM rl) AS BIGINT) AS real_triangles,
+       CAST((SELECT t FROM rt) AS BIGINT) AS null_triangles,
+       CASE WHEN (SELECT t FROM rt) > 0
+            THEN CAST(floor((SELECT t FROM rl) * 1000000.0
+                            / (SELECT t FROM rt) + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS excess_e6"""
+
+
 def _configmodel_sql(seed: int) -> str:
     """Configuration-model twin: same occurrence numbering, portable-hash
     stub orders, ROW_NUMBER ranks, rank equi-join."""
@@ -7666,6 +7743,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "sslp4": _sslp_sql(4),
         "percolation3": _percolation_sql((250, 500, 750), 42),
         "bpart8": _bpart_sql(8, 3, 100),
+        "tri_null": _tri_null_sql(42),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),
