@@ -294,6 +294,20 @@ def _q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- training-data-pipeline queries (documents / embeddings) -----------------
 
 
+def _q_pps64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson PPS corpus sample (sampling.pps_sample): keep each document
+    with probability min(1, 64·n_chars/Σn_chars), decided by an exact
+    decimal comparison on the portable hash — the weighted subsample for
+    token-mass-balanced curation."""
+    from halvesting_geometric_spark.operators.sampling import pps_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_sample(
+        docs, 64, "n_chars", id_cols=("doc_id",), seed=42,
+        hash_method="portable",
+    ).select("doc_id", "n_chars")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
@@ -4559,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation3": _q_percolation3,
         "bpart8": _q_bpart8,
         "tri_null": _q_tri_null,
+        "pps64": _q_pps64,
         "conductance8": _q_conductance8,
         "snm_pairs": _q_snm_pairs,
         # -- queries new last session --
@@ -6508,6 +6523,17 @@ g{p} AS (
     return f"WITH RECURSIVE {body}\n{unions}"
 
 
+def _pps_sql(n: int, seed: int) -> str:
+    """PPS twin: same portable hash mod 2^60, exact HUGEINT threshold
+    comparison with the n*size cap at total."""
+    D = 1 << 60
+    h = _ph("doc_id", seed=seed)
+    return f"""WITH tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS t FROM documents)
+SELECT doc_id, n_chars FROM documents, tot
+WHERE CAST(({h}) % {D} AS HUGEINT) * t
+      < least(CAST(n_chars AS HUGEINT) * {n}, t) * {D}"""
+
+
 def _tri_null_sql(seed: int) -> str:
     """tri_null twin: triangle 3-join over the real canon and over the
     canonicalized configuration-model rewiring (same portable-hash
@@ -7744,6 +7770,7 @@ LEFT JOIN tpx t ON t.cls = cl.cls,
         "percolation3": _percolation_sql((250, 500, 750), 42),
         "bpart8": _bpart_sql(8, 3, 100),
         "tri_null": _tri_null_sql(42),
+        "pps64": _pps_sql(64, 42),
         "conductance8": _conductance_mod_sql(8),
         "snm_pairs": _SNM_PAIRS_SQL,
         "eigencent6": _eigencent_sql(6),

@@ -200,6 +200,7 @@ from halvesting_geometric_spark.operators.neighbors import (
 from halvesting_geometric_spark.operators.pagerank import pagerank
 from halvesting_geometric_spark.operators.sampling import (
     negative_edges,
+    pps_sample,
     sample_neighbors,
     sample_neighbors_layered,
     split_edges,
@@ -410,6 +411,7 @@ __all__ = [
     "hits",
     "minimum_spanning_forest",
     "personalized_pagerank",
+    "pps_sample",
     "extract_conv_edges",
     "extract_features",
     "forman_curvature",

@@ -386,3 +386,53 @@ def stratified_sample(
         .drop("_rn")
     )
     return small.unionByName(big)
+
+
+def pps_sample(
+    df: DataFrame,
+    n_expected: int,
+    size_col: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Poisson PPS (probability-proportional-to-size) sample.
+
+    The standard weighted subsample for corpus curation: row i survives
+    independently with probability ``min(1, n_expected·size_i / Σsize)``,
+    so the expected sample holds ``n_expected`` rows and the expected
+    TOKEN mass is spread evenly over the kept documents (big documents
+    are not under-represented the way uniform row sampling leaves them).
+    Rows with ``size ≥ Σsize / n_expected`` are always kept (the
+    certainty stratum of classical PPS).
+
+    Deterministic: the Bernoulli draw is ``h < n·size·D / total`` with
+    ``h = hash(id_cols, seed) mod D`` (D = 2^60) evaluated in exact
+    decimal(38,0) integer arithmetic — no float threshold, so the kept
+    set is bit-identical across engines, partitionings and retries, and
+    the DuckDB gate twin replays it verbatim (``hash_method="portable"``).
+    ``Σsize`` is one scalar aggregate (driver-side, bounded state).
+
+    Returns the surviving rows of ``df`` unchanged.
+    """
+    if n_expected < 1:
+        raise ValueError(f"n_expected must be >= 1, got {n_expected}")
+    total = df.agg(F.sum(F.col(size_col)).cast("long")).first()[0]
+    if total is None or total <= 0:
+        raise ValueError(f"sum({size_col}) must be positive, got {total}")
+    D = 1 << 60
+    h = F.pmod(hash64(hash_method, *id_cols, seed=seed), F.lit(D))
+    lhs = h.cast("decimal(38,0)") * F.lit(int(total)).cast("decimal(38,0)")
+    # cap n·size at total BEFORE multiplying by D: min(1, p) semantics is
+    # unchanged (n·size ≥ total ⟺ h·total < total·D, always true) and the
+    # product stays ≤ total·D ≈ 1e32 — inside decimal(38,0) even at
+    # 100 TB token totals, where an uncapped n·size·D could overflow
+    rhs = (
+        F.least(
+            F.col(size_col).cast("decimal(38,0)")
+            * F.lit(int(n_expected)).cast("decimal(38,0)"),
+            F.lit(int(total)).cast("decimal(38,0)"),
+        )
+        * F.lit(D).cast("decimal(38,0)")
+    )
+    return df.filter(lhs < rhs)
