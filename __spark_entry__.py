@@ -7487,7 +7487,7 @@ def _boot_mean_sql(portable_hash64_sql) -> str:
     return f"""WITH
 bv AS (SELECT event_type, event_id,
               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
-       FROM events),
+       FROM events WHERE value IS NOT NULL),
 br AS (SELECT unnest(generate_series(0, 63)) AS r),
 bu AS (SELECT bv.event_type, bv.v, br.r, {h_expr} AS u
        FROM bv CROSS JOIN br),

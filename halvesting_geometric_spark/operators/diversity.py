@@ -254,10 +254,33 @@ def heaps_checkpoints(
     MIN of its positions, and ``vocab(k)`` counts terms with first
     occurrence <= k. Exact integers end to end.
 
+    Duplicate ``id_col`` rows are pre-aggregated into one token stream
+    per id (rows ordered deterministically by text) so every id owns
+    exactly one prefix offset — without this, duplicate rows would share
+    one offset and their tokens would get overlapping global positions.
+    With unique ids the aggregation is an identity.
+
     Returns one row per checkpoint: ``(tokens, vocab)``.
     """
-    toks = docs.select(
-        F.col(id_col).alias("_v"), _ws_tokens(text_col).alias("_t")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_v"),
+            F.struct(
+                F.col(text_col).alias("s"),
+                F.coalesce(
+                    _ws_tokens(text_col),
+                    F.array().cast("array<string>"),
+                ).alias("t"),
+            ).alias("_st"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list("_st")), lambda x: x["t"]
+                )
+            ).alias("_t")
+        )
     )
     counts = toks.select("_v", F.size("_t").alias("tc")).groupBy("_v").agg(
         F.sum("tc").alias("tc")

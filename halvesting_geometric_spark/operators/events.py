@@ -246,6 +246,19 @@ def decayed_counts(
     tmax = events.agg(
         F.max(F.unix_timestamp(F.col(ts_col)).cast("long"))
     ).first()[0]
+    if tmax is None:
+        # empty input (or all-NULL timestamps): no reference epoch —
+        # return an empty result with the documented schema, like the
+        # sibling empty-safe operators, instead of TypeError on lit(None)
+        return (
+            events.select(F.col(group_col))
+            .limit(0)
+            .select(
+                group_col,
+                F.lit(None).cast("long").alias("score_e9"),
+                F.lit(None).cast("long").alias("n_events"),
+            )
+        )
     per = (
         events.select(
             F.col(group_col),

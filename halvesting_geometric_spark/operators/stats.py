@@ -370,8 +370,8 @@ def welch_ttest(
 # bootstrap weight is w = #{k : u60 >= T_k}, an EXACT integer comparison
 # against the hash value — no floats anywhere in the resampling path.
 # Computed once here and inlined verbatim into the SQL oracle
-# (evalmetrics.dcg_discounts precedent). Tail truncated at w=8
-# (P(w>8) < 1.1e-7).
+# (evalmetrics.dcg_discounts precedent). The 9 thresholds give weights
+# in 0..9 with the >=9 tail collapsed to w=9 (P(w>=9) < 1.1e-7).
 def _poisson_cum60() -> list[int]:
     import math
 
@@ -433,12 +433,20 @@ def bootstrap_mean_ci(
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(int(replicates) - 1))
     ).alias("_r")
-    base = df.select(
-        *group_cols,
-        F.col(value_col).cast("decimal(38,0)").alias("_x"),
-        *id_cols,
-        reps,
-    ).select(*group_cols, "_x", "_r", u)
+    # NULL values are excluded from the resampled population so the CI
+    # and the point estimate (count(value_col), NULL-free) describe the
+    # same rows — otherwise NULL rows' Poisson weights enter _sw but
+    # contribute nothing to _swx, biasing replicate means low.
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(value_col).cast("decimal(38,0)").alias("_x"),
+            *id_cols,
+            reps,
+        )
+        .select(*group_cols, "_x", "_r", u)
+    )
     w = sum(
         F.when(F.col("_u") >= F.lit(t), 1).otherwise(0)
         for t in POISSON_CUM60

@@ -207,3 +207,19 @@ def test_unigram_cross_entropy_bruteforce(spark):
     assert r.ce_bits_e6 == want_ce
     assert r.oov_rate_e6 == math.floor(oov * 1e6 / nb + 0.5)
     assert (r.n_eval_tokens, r.vocab) == (nb, v)
+
+
+def test_heaps_checkpoints_duplicate_ids(spark):
+    # duplicate doc_id rows each get their own positions (rows ordered
+    # deterministically by text within an id) — no overlapping offsets
+    df = spark.createDataFrame(
+        [(1, "a b"), (1, "c d"), (2, "e f")],
+        "doc_id long, text string",
+    )
+    # streams: id1 -> sorted by text: "a b" then "c d"; id2 -> "e f"
+    # global order by id: a b c d e f (positions 1..6)
+    got = {
+        r.tokens: r.vocab
+        for r in heaps_checkpoints(df, checkpoints=(2, 4, 6)).collect()
+    }
+    assert got == {2: 2, 4: 4, 6: 6}

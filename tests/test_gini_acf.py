@@ -168,3 +168,12 @@ def test_herfindahl_bruteforce(spark):
     assert got["en"].n_cats == 3
     # monopoly -> exactly 1.0
     assert got["fr"].hhi_e6 == 1_000_000 and got["fr"].n_cats == 1
+
+
+def test_decayed_counts_empty_input(spark):
+    from halvesting_geometric_spark.operators.events import decayed_counts
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    out = decayed_counts(ev, "user_id", "ts")
+    assert out.columns == ["user_id", "score_e9", "n_events"]
+    assert out.count() == 0

@@ -242,3 +242,28 @@ def test_bootstrap_ci_narrows_with_n(spark):
     rs = bootstrap_mean_ci(small, "v", ("rid",), replicates=32).first()
     rb = bootstrap_mean_ci(big, "v", ("rid",), replicates=32).first()
     assert (rb.hi_e6 - rb.lo_e6) < (rs.hi_e6 - rs.lo_e6)
+
+
+def test_bootstrap_mean_ci_ignores_null_values(spark):
+    from halvesting_geometric_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    clean = spark.createDataFrame(rows, "rid long, v long")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, None) for i in range(50)], "rid long, v long"
+        )
+    )
+    # NULL rows carry the same ids in both inputs' hash space? No — the
+    # NULL rows have distinct ids, so after filtering they vanish and the
+    # resampled population is identical to the clean input's.
+    a = bootstrap_mean_ci(clean, "v", ("rid",), replicates=32).first()
+    b = bootstrap_mean_ci(dirty, "v", ("rid",), replicates=32).first()
+    assert (a.mean_e6, a.lo_e6, a.hi_e6, a.n) == (
+        b.mean_e6,
+        b.lo_e6,
+        b.hi_e6,
+        b.n,
+    )
