@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from halvesting_geometric_spark.functions import cosine_similarity
+
 from halvesting_geometric_spark.operators.components import (
     connected_components,
 )
@@ -38,22 +38,146 @@ from halvesting_geometric_spark.operators.components import (
 __all__ = ["dbscan_embeddings", "knn_label_agreement"]
 
 
+def _blocked_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int = 16,
+    extra: tuple[str, ...] = (),
+    norm_dim: int | None = None,
+) -> DataFrame:
+    """All unordered id pairs ``a < b`` with both vectors, via a blocked
+    equi-join cross product — NO BroadcastNestedLoopJoin.
+
+    With ``norm_dim`` set, each side's L2 norm is precomputed BEFORE the
+    join (n rows instead of n^2 pairs) and emitted as ``_nm1``/``_nm2``
+    — both a real win (norms are 2/3 of the cosine arithmetic) and the
+    thing that keeps the pairwise projection small enough for a single
+    whole-stage-codegen method. ``dot/( _nm1 * _nm2 )`` replays the SQL
+    twin's ``dot/(sqrt(naa)*sqrt(nbb))`` op for op.
+
+    A theta-join on ``a < b`` plans as a BNLJ whose generated consume
+    method also inlines every downstream projection; with an unrolled
+    64-dim cosine that overflows the JVM method-size limit and Janino
+    falls back to interpretation (correct but slow, and noisy in sweep
+    logs). Instead: assign each row a block ``pmod(xxhash64(id), B)``,
+    broadcast the B*(B+1)/2 table of block pairs ``i <= j``, and produce
+    the cross product with two hash EQUI-joins (left on ``i``, right on
+    ``j``). Each unordered cross-block pair appears exactly once (its
+    blocks match exactly one ``(i, j)`` row); same-block pairs appear in
+    both orders and are halved by ``a < b``. The blocking only shapes
+    the plan — the output pair SET is independent of B and of the hash.
+
+    Ids (and scalar ``extra`` payloads) come out canonically oriented
+    (``a < b``); the VECTORS stay in join orientation (``_v1``/``_v2``
+    belong to whichever side produced them). Downstream similarity is
+    symmetric, so this doesn't matter — and it matters a lot for
+    codegen: a CASE-WHEN-of-struct canonicalization would be re-inlined
+    into every unrolled per-dimension term, regrowing the method past
+    the JVM limit this function exists to avoid.
+
+    O(n^2) work by construction — this is the exact validation path; the
+    scale path is LSH candidates (see dbscan_embeddings ``pairs='lsh'``).
+    """
+    spark = emb.sparkSession
+    bp = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("long").alias("_i"),
+            F.pmod(F.col("id"), F.lit(n_blocks)).alias("_j"),
+        )
+        .filter(F.col("_i") <= F.col("_j"))
+    )
+    norm_fields = ()
+    if norm_dim is not None:
+        from halvesting_geometric_spark.functions import unrolled_dot
+
+        if 1 <= norm_dim <= 128:
+            sq = unrolled_dot(F.col(vec_col), F.col(vec_col), norm_dim)
+        else:
+            sq = F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x.cast("double") * x.cast("double"),
+            )
+        norm_fields = (F.sqrt(sq).alias("nm"),)
+    pay = F.struct(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("v"),
+        *norm_fields,
+        *[F.col(c).alias(c) for c in extra],
+    )
+    left = emb.select(
+        pay.alias("_pa"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bi"),
+    ).join(F.broadcast(bp), F.col("_bi") == F.col("_i"))
+    right = emb.select(
+        pay.alias("_pb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bj"),
+    )
+    fwd = F.col("_pa.i") < F.col("_pb.i")
+    return (
+        left.join(right, F.col("_j") == F.col("_bj"))
+        .filter((F.col("_i") < F.col("_j")) | fwd)
+        .select(
+            F.least("_pa.i", "_pb.i").alias("a"),
+            F.greatest("_pa.i", "_pb.i").alias("b"),
+            F.col("_pa.v").alias("_v1"),
+            F.col("_pb.v").alias("_v2"),
+            *(
+                (
+                    F.col("_pa.nm").alias("_nm1"),
+                    F.col("_pb.nm").alias("_nm2"),
+                )
+                if norm_dim is not None
+                else ()
+            ),
+            *[
+                F.when(fwd, F.col(f"_pa.{c}"))
+                .otherwise(F.col(f"_pb.{c}"))
+                .alias(f"_a_{c}")
+                for c in extra
+            ],
+            *[
+                F.when(fwd, F.col(f"_pb.{c}"))
+                .otherwise(F.col(f"_pa.{c}"))
+                .alias(f"_b_{c}")
+                for c in extra
+            ],
+        )
+    )
+
+
+def _pair_sim_e4(dim: int):
+    """e4-rounded cosine over a _blocked_pairs(norm_dim=dim) row —
+    pairwise dot only; norms were precomputed per side pre-join."""
+    from halvesting_geometric_spark.functions import unrolled_dot
+
+    if 1 <= dim <= 128:
+        dot = unrolled_dot(F.col("_v1"), F.col("_v2"), dim)
+    else:  # compact fold form past the unroll boundary (F9 convention)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_v1"),
+                F.col("_v2"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    cos = F.when(
+        (F.col("_nm1") == 0) | (F.col("_nm2") == 0), F.lit(0.0)
+    ).otherwise(dot / (F.col("_nm1") * F.col("_nm2")))
+    return F.floor(cos * 10000 + F.lit(0.5)).cast("long")
+
+
 def _exact_pairs(
     emb: DataFrame, id_col: str, vec_col: str, dim: int, eps_e4: int
 ) -> DataFrame:
-    left = emb.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
-    )
-    right = emb.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
-    )
-    sim = F.floor(
-        cosine_similarity(F.col("_va"), F.col("_vb"), dim=dim) * 10000
-        + F.lit(0.5)
-    ).cast("long")
     return (
-        left.join(right, F.col("a") < F.col("b"))
-        .select("a", "b", sim.alias("sim_e4"))
+        _blocked_pairs(emb, id_col, vec_col, norm_dim=dim)
+        .select("a", "b", _pair_sim_e4(dim).alias("sim_e4"))
         .filter(F.col("sim_e4") >= eps_e4)
     )
 
@@ -195,22 +319,26 @@ def knn_label_agreement(
     """
     from pyspark.sql import Window
 
-    left = emb.select(
-        F.col(id_col).alias("a"),
-        F.col(vec_col).alias("_va"),
-        F.col(label_col).alias("_la"),
+    # blocked equi-join cross product (no BNLJ — see _blocked_pairs);
+    # cosine is symmetric, so compute it once per unordered pair and
+    # symmetrize afterwards to recover both directed (a, b) orientations
+    half = _blocked_pairs(
+        emb, id_col, vec_col, extra=(label_col,), norm_dim=dim
+    ).select(
+        "a",
+        F.col(f"_a_{label_col}").alias("_la"),
+        "b",
+        F.col(f"_b_{label_col}").alias("_lb"),
+        _pair_sim_e4(dim).alias("sim_e4"),
     )
-    right = emb.select(
-        F.col(id_col).alias("b"),
-        F.col(vec_col).alias("_vb"),
-        F.col(label_col).alias("_lb"),
-    )
-    sim = F.floor(
-        cosine_similarity(F.col("_va"), F.col("_vb"), dim=dim) * 10000
-        + F.lit(0.5)
-    ).cast("long")
-    pairs = left.join(right, F.col("a") != F.col("b")).select(
-        "a", "_la", "b", "_lb", sim.alias("sim_e4")
+    pairs = half.unionByName(
+        half.select(
+            F.col("b").alias("a"),
+            F.col("_lb").alias("_la"),
+            F.col("a").alias("b"),
+            F.col("_la").alias("_lb"),
+            "sim_e4",
+        )
     )
     w = Window.partitionBy("a").orderBy(
         F.col("sim_e4").desc(), F.col("b").asc()

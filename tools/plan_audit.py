@@ -110,6 +110,9 @@ def audit_plan(plan: str) -> dict:
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "shuffle_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        # nested-loop joins: expected ONLY for 1-row broadcast totals
+        # (scalar crossJoins); any data-sized BNLJ is a plan bug
+        "bnl_joins": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         "python_eval": len(
             re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
@@ -146,10 +149,10 @@ def main() -> int:
     )
     print(
         "| query | exchanges | reused | bcast join | shuffle-hash | "
-        "sort-merge | codegen spans | python nodes | sanctioned kernel | "
-        "pushdown |"
+        "sort-merge | bnlj | codegen spans | python nodes | "
+        "sanctioned kernel | pushdown |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     violations = []
     for name in qs:
         kernel = KERNELS.get(name)
@@ -169,7 +172,8 @@ def main() -> int:
         print(
             f"| {name} | {a['shuffle_exchanges']} | {a['reused_exchanges']} "
             f"| {a['broadcast_joins']} | {a['shuffle_hash_joins']} "
-            f"| {a['sort_merge_joins']} | {a['codegen_spans']} "
+            f"| {a['sort_merge_joins']} | {a['bnl_joins']} "
+            f"| {a['codegen_spans']} "
             f"| {a['python_eval']} | {kernel or '-'} "
             f"| {'yes' if a['pushed_filters'] else '-'} |"
         )
