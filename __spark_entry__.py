@@ -5001,9 +5001,13 @@ def _fastrp_sql(
     seed: int = 42,
 ) -> str:
     """FastRP twin: exploded (v, j, x) representation; symmetrized neighbor
-    mean per power, per-vertex L2 norm per iteration and at the end —
-    identical recurrence to operators/fastrp.py with hash_method='portable'."""
+    mean per power over the e6 fixed-point state (round 5: the inter-power
+    state is quantized to e6 INTEGERS, so the neighbor sums are exact and
+    partitioning/order-free in BOTH engines), per-vertex L2 norm per
+    iteration and at the end — identical recurrence to operators/fastrp.py
+    with hash_method='portable'."""
     from halvesting_geometric_spark.functions import portable_hash64_sql
+    from halvesting_geometric_spark.operators.fastrp import _SQRT3_E6
 
     ph = portable_hash64_sql("v.vertex_id", "d.j", seed=seed)
     parts = [
@@ -5011,16 +5015,17 @@ def _fastrp_sql(
         f"dims AS (SELECT unnest(range({dim})) AS j)",
         f"""x0 AS MATERIALIZED (
   SELECT v.vertex_id AS v, d.j,
-         CASE WHEN ({ph}) % 6 = 0 THEN sqrt(3.0)
-              WHEN ({ph}) % 6 = 1 THEN -sqrt(3.0)
-              ELSE 0.0 END AS x
+         CASE WHEN ({ph}) % 6 = 0 THEN {_SQRT3_E6}
+              WHEN ({ph}) % 6 = 1 THEN -{_SQRT3_E6}
+              ELSE 0 END AS x
   FROM verts v CROSS JOIN dims d)""",
     ]
     for k in range(1, iters + 1):
         p = k - 1
         parts.append(
             f"""m{k} AS (
-  SELECT s.dst AS v, x.j, AVG(x.x) AS x
+  SELECT s.dst AS v, x.j,
+         CAST(SUM(x.x) AS DOUBLE) / COUNT(*) AS x
   FROM sym s JOIN x{p} x ON s.src = x.v GROUP BY s.dst, x.j),
 f{k} AS MATERIALIZED (
   SELECT v.vertex_id AS v, d.j, COALESCE(m.x, 0.0) AS x
@@ -5029,7 +5034,8 @@ f{k} AS MATERIALIZED (
 n{k} AS (SELECT v, sqrt(SUM(x * x)) AS nrm FROM f{k} GROUP BY v),
 x{k} AS MATERIALIZED (
   SELECT f.v, f.j,
-         CASE WHEN n.nrm > 0.0 THEN f.x / n.nrm ELSE f.x END AS x
+         CAST(floor((CASE WHEN n.nrm > 0.0 THEN f.x / n.nrm
+                          ELSE f.x END) * 1000000 + 0.5) AS BIGINT) AS x
   FROM f{k} f JOIN n{k} n ON f.v = n.v)"""
         )
     comb_terms = " + ".join(

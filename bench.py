@@ -413,7 +413,25 @@ def main() -> None:
         },
         "detail": r,
     }
+    # the driver tails stdout and has clipped the (very long) single-line
+    # JSON mid-string before (BENCH_r04 parsed:null) — persist the dict
+    # to a file too, print the full line FIRST and a short parseable
+    # summary line LAST so the tail window always contains valid JSON
+    with open("BENCH_LAST.json", "w") as fh:
+        json.dump(result, fh, indent=1)
     print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": result["unit"],
+                "sf": result["sf"],
+                "queries": result["queries"],
+                "full_result": "BENCH_LAST.json",
+            }
+        )
+    )
 
 
 def run_scaling(

@@ -29,6 +29,20 @@ engines. Per-iteration per-vertex L2 normalization keeps magnitudes
 comparable across powers (GDS-style); the final vector is L2-normalized too,
 ready for cosine ANN.
 
+Round 5: the inter-power state is e6 FIXED-POINT (array<int>, the engine's
+e6 discipline) rather than array<double> — each power's unit vector is
+quantized ``floor(x*1e6+0.5)`` before the next gather. Two wins at scale:
+(1) the per-power neighbor sums become EXACT integer arithmetic (int
+values accumulated in float64 stay ≤ degree*2e6 << 2^53), so the result is
+independent of partitioning/summation order — the DuckDB twin replays it
+exactly by construction instead of relying on last-ulp luck; (2) int32
+halves the bytes through the gather join, the shuffle, and the Arrow
+transfer into the kernel (the dominant per-power cost at 40M gathered
+rows). The neighbor mean uses aggregate_neighbors(merge='arrow') — the
+src-partitioned gather dedups almost nothing at avg-degree/partitions ≈ 1,
+so the interpreted collect_list fold is replaced by a second Arrow kernel
+pass (see operators/neighbors.py).
+
 Zero-mass cases are defined: a vertex with no neighbors contributes a zero
 vector at every power k ≥ 1 (its final embedding is w_0-weighted projection
 only if ``include_self``, else zero); zero-norm vectors stay zero rather than
@@ -47,6 +61,8 @@ from halvesting_geometric_spark.operators.neighbors import aggregate_neighbors
 from halvesting_geometric_spark.operators.sampling import hash64
 
 _SQRT3 = math.sqrt(3.0)
+# e6 quantization of ±sqrt(3): the projection cell values in fixed point
+_SQRT3_E6 = int(math.floor(_SQRT3 * 1_000_000 + 0.5))  # 1732051
 
 
 def _l2_normalize_df(
@@ -94,24 +110,35 @@ def fastrp_projection(
     seed: int = 42,
     hash_method: str = "xxhash64",
     id_col: str = "vertex_id",
+    quantized: bool = False,
 ) -> DataFrame:
-    """The sparse projection R as (vertex_id, features: array<double>).
+    """The sparse projection R as (vertex_id, features: array<double>),
+    or array<int> e6 fixed point with ``quantized=True`` (cells
+    ±1732051 / 0 — the inter-power state convention).
 
     R_{vj} = +√3 / −√3 / 0 for hash(v, j, seed) mod 6 = 0 / 1 / other —
     expectation 0, variance 1/… per Achlioptas s=3; dim hash expressions
     per row, all inside codegen (no Python)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    if quantized:
+        pos, neg, zro = (
+            F.lit(_SQRT3_E6).cast("int"),
+            F.lit(-_SQRT3_E6).cast("int"),
+            F.lit(0).cast("int"),
+        )
+    else:
+        pos, neg, zro = F.lit(_SQRT3), F.lit(-_SQRT3), F.lit(0.0)
     cells = [
         F.when(
             hash64(hash_method, F.col(id_col), F.lit(j), seed=seed) % 6 == 0,
-            F.lit(_SQRT3),
+            pos,
         )
         .when(
             hash64(hash_method, F.col(id_col), F.lit(j), seed=seed) % 6 == 1,
-            F.lit(-_SQRT3),
+            neg,
         )
-        .otherwise(F.lit(0.0))
+        .otherwise(zro)
         for j in range(dim)
     ]
     return vertices.select(
@@ -149,31 +176,66 @@ def fastrp_embeddings(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     verts = vertices.select("vertex_id")
-    x = fastrp_projection(verts, dim, seed=seed, hash_method=hash_method)
+    # e6 fixed-point state (array<int>): ±1732051 / 0 projection cells
+    x = fastrp_projection(
+        verts, dim, seed=seed, hash_method=hash_method, quantized=True
+    )
     zero = F.array_repeat(F.lit(0.0), dim)
+
+    def _quantize(col):
+        if dim <= 128:
+            return F.array(
+                *[
+                    F.floor(col[i] * 1_000_000 + F.lit(0.5)).cast("int")
+                    for i in range(dim)
+                ]
+            )
+        return F.transform(
+            col,
+            lambda v: F.floor(v * 1_000_000 + F.lit(0.5)).cast("int"),
+        )
+
     acc = None
     for k in range(iters):
+        # exact integer neighbor sums (int values in float64), Arrow merge
         agg = aggregate_neighbors(
-            x, e, dim, feature_col="features", agg="mean", direction="in"
+            x,
+            e,
+            dim,
+            feature_col="features",
+            agg="mean",
+            direction="in",
+            merge="arrow",
         )
         # absent vertices (no in-neighbors) are zero vectors at this power
-        x = _l2_normalize_df(
+        unit = _l2_normalize_df(
             verts.join(
                 agg.select("vertex_id", "agg_vec"), "vertex_id", "left"
             ).select(
                 "vertex_id", F.coalesce("agg_vec", zero).alias("_raw")
             ),
             "_raw",
-            "features",
+            "_unit",
             dim,
             "vertex_id",
-        ).localCheckpoint(eager=False)
+        )
+        # re-quantize the unit vector to the e6 state for the next power
+        x = unit.select(
+            "vertex_id", _quantize(F.col("_unit")).alias("features")
+        ).localCheckpoint(eager=True)
+        # the accumulator sums w_k * e6-state — exact (small-int * weight
+        # products, one add per power, fixed order); the final global
+        # normalize cancels the e6 scale
         w = float(weights[k])
         if dim <= 128:
             f = F.col("features")
-            scaled = F.array(*[f[i] * F.lit(w) for i in range(dim)])
+            scaled = F.array(
+                *[f[i].cast("double") * F.lit(w) for i in range(dim)]
+            )
         else:
-            scaled = F.transform("features", lambda v: v * F.lit(w))
+            scaled = F.transform(
+                "features", lambda v: v.cast("double") * F.lit(w)
+            )
         term = x.select("vertex_id", scaled.alias("_t"))
         if acc is None:
             acc = term
@@ -190,6 +252,6 @@ def fastrp_embeddings(
             )
         # pre-rename for the next join round
         acc = acc.select("vertex_id", F.col("_t").alias("_t2")).localCheckpoint(
-            eager=False
+            eager=True
         )
     return _l2_normalize_df(acc, "_t2", "embedding", dim, "vertex_id")

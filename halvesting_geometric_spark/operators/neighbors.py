@@ -72,6 +72,7 @@ def aggregate_neighbors(
     agg: str = "mean",
     direction: str = "in",
     _gathered: DataFrame | None = None,
+    merge: str = "fold",
 ) -> DataFrame:
     """Elementwise ``agg`` of each vertex's neighbors' feature vectors.
 
@@ -83,9 +84,26 @@ def aggregate_neighbors(
     of gathering from ``features``/``edges`` — lets message-transforming
     operators (:func:`attention_aggregate`'s per-edge softmax scaling) reuse
     the bounded-state partial kernel unchanged.
+
+    ``merge``: how per-partition partials are combined into per-vertex
+    totals. ``"fold"`` (default) is the original groupBy +
+    collect_list/zip_with fold — fine when partials actually combine
+    map-side (high per-partition dst duplication). ``"arrow"`` repartitions
+    the partials by dst and reduces them in a second run of the SAME Arrow
+    kernel — the right choice when the gather partitioning barely dedups
+    (e.g. FastRP's src-partitioned gather at avg-degree/partitions ≈ 1,
+    where the fold otherwise runs an interpreted zip_with over nearly
+    |E| array rows; measured 2.3× per-power at 40M gathered rows). Both
+    paths shuffle the same partial rows; only the combine implementation
+    differs. Hub-safe either way: a hub dst has at most one partial row
+    per map partition. For integer-valued vectors both orders are exact;
+    for general doubles the two paths can differ in final-ulp summation
+    order (same caveat as any repartitioning of a float aggregate).
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
+    if merge not in ("fold", "arrow"):
+        raise ValueError(f"merge must be 'fold' or 'arrow', got {merge!r}")
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     gathered = (
@@ -113,69 +131,111 @@ def aggregate_neighbors(
     # hold the whole partition in the worker)
     _REDUCE_CAP = 262_144
 
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc_dst: list[np.ndarray] = []
-        acc_vec: list[np.ndarray] = []
-        acc_cnt: list[np.ndarray] = []
-        acc_rows = 0
+    def make_partial(vec_name: str, cnt_name: str | None):
+        """Bounded per-partition reducer over (dst, <vec_name>[, cnt])
+        rows. With ``cnt_name`` the rows are themselves partials (the
+        arrow-merge second pass) and their counts are summed through."""
 
-        def fold() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-            return _reduce(
-                np.concatenate(acc_dst),
-                np.vstack(acc_vec),
-                np.concatenate(acc_cnt),
-            )
+        def partial(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            acc_dst: list[np.ndarray] = []
+            acc_vec: list[np.ndarray] = []
+            acc_cnt: list[np.ndarray] = []
+            acc_rows = 0
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            dst = pdf["dst"].to_numpy()
-            # one C-level stack of the Arrow batch; rows are already ndarrays
-            mat = np.vstack(pdf["vec"].to_numpy()).astype(
-                np.float64, copy=False
-            )
-            if mat.shape[1] != dim:
-                raise ValueError(
-                    f"feature width {mat.shape[1]} != dim={dim}"
+            def fold() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                return _reduce(
+                    np.concatenate(acc_dst),
+                    np.vstack(acc_vec),
+                    np.concatenate(acc_cnt),
                 )
-            uniq, out, cnt = _reduce(
-                dst, mat, np.ones(len(dst), dtype=np.int64)
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                dst = pdf["dst"].to_numpy()
+                # one C-level stack of the Arrow batch; rows are already
+                # ndarrays
+                mat = np.vstack(pdf[vec_name].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                if mat.shape[1] != dim:
+                    raise ValueError(
+                        f"feature width {mat.shape[1]} != dim={dim}"
+                    )
+                uniq, out, cnt = _reduce(
+                    dst,
+                    mat,
+                    pdf[cnt_name].to_numpy()
+                    if cnt_name is not None
+                    else np.ones(len(dst), dtype=np.int64),
+                )
+                acc_dst.append(uniq)
+                acc_vec.append(out)
+                acc_cnt.append(cnt)
+                acc_rows += len(uniq)
+                if acc_rows > _REDUCE_CAP:
+                    uniq, out, cnt = fold()
+                    acc_dst, acc_vec, acc_cnt = [uniq], [out], [cnt]
+                    acc_rows = len(uniq)
+            if not acc_dst:
+                return
+            # final reduce across the task's batches: one partial row per
+            # distinct dst in the PARTITION — a hub emits #partitions rows
+            # total
+            uniq, out, cnt = fold()
+            yield pd.DataFrame(
+                {"dst": uniq, "pvec": list(out), "cnt": cnt}
             )
-            acc_dst.append(uniq)
-            acc_vec.append(out)
-            acc_cnt.append(cnt)
-            acc_rows += len(uniq)
-            if acc_rows > _REDUCE_CAP:
-                uniq, out, cnt = fold()
-                acc_dst, acc_vec, acc_cnt = [uniq], [out], [cnt]
-                acc_rows = len(uniq)
-        if not acc_dst:
-            return
-        # final reduce across the task's batches: one partial row per
-        # distinct dst in the PARTITION — a hub emits #partitions rows total
-        uniq, out, cnt = fold()
-        yield pd.DataFrame({"dst": uniq, "pvec": list(out), "cnt": cnt})
+
+        return partial
 
     # dst keeps the id column's own type (long vertex ids, or string ids in
     # typed/hetero graphs) — np.unique and the groupBy merge are type-agnostic
     _dst_t = gathered.schema["dst"].dataType.simpleString()
-    partials = gathered.mapInPandas(
-        partial, schema=f"dst {_dst_t}, pvec array<double>, cnt long"
-    )
-    zero = (
-        F.array_repeat(F.lit(float("-inf")), dim)
-        if is_max
-        else F.array_repeat(F.lit(0.0), dim)
-    )
-    combine = (
-        (lambda acc, v: F.zip_with(acc, v, lambda a, b: F.greatest(a, b)))
-        if is_max
-        else (lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
-    )
-    merged = partials.groupBy("dst").agg(
-        F.aggregate(F.collect_list("pvec"), zero, combine).alias("_acc"),
-        F.sum("cnt").alias("nbr_count"),
-    )
+    _schema = f"dst {_dst_t}, pvec array<double>, cnt long"
+    partials = gathered.mapInPandas(make_partial("vec", None), _schema)
+    if merge == "arrow":
+        # hash-partition the partials by dst and run the same kernel
+        # again: every dst now lives in exactly one partition, so the
+        # second pass emits exactly one final row per vertex — no
+        # groupBy, no interpreted fold
+        n_shuffle = int(
+            gathered.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+        )
+        merged = (
+            partials.repartition(n_shuffle, "dst")
+            .mapInPandas(make_partial("pvec", "cnt"), _schema)
+            .select(
+                "dst",
+                F.col("pvec").alias("_acc"),
+                F.col("cnt").alias("nbr_count"),
+            )
+        )
+    else:
+        zero = (
+            F.array_repeat(F.lit(float("-inf")), dim)
+            if is_max
+            else F.array_repeat(F.lit(0.0), dim)
+        )
+        combine = (
+            (
+                lambda acc, v: F.zip_with(
+                    acc, v, lambda a, b: F.greatest(a, b)
+                )
+            )
+            if is_max
+            else (lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
+        )
+        merged = partials.groupBy("dst").agg(
+            F.aggregate(F.collect_list("pvec"), zero, combine).alias(
+                "_acc"
+            ),
+            F.sum("cnt").alias("nbr_count"),
+        )
     if agg == "mean":
         vec = F.transform(F.col("_acc"), lambda x: x / F.col("nbr_count"))
     else:

@@ -77,9 +77,11 @@ def test_fastrp_embeddings_match_numpy(spark):
     )
     got = np.vstack(got.to_numpy())
 
-    # numpy replica: symmetrized neighbor mean, per-iteration row L2 norm
+    # numpy replica: symmetrized neighbor mean over the e6 fixed-point
+    # state, per-iteration row L2 norm + e6 re-quantization (the round-5
+    # integer-exact recurrence)
     sym = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
-    x = _proj_np(n, dim, seed)
+    x = np.floor(_proj_np(n, dim, seed) * 1e6 + 0.5)
     acc = np.zeros((n, dim))
     for k in range(iters):
         nxt = np.zeros((n, dim))
@@ -89,7 +91,7 @@ def test_fastrp_embeddings_match_numpy(spark):
             deg[b] += 1
         nz = deg > 0
         nxt[nz] = nxt[nz] / deg[nz, None]
-        x = _rownorm(nxt)
+        x = np.floor(_rownorm(nxt) * 1e6 + 0.5)
         acc += weights[k] * x
     want = _rownorm(acc)
     np.testing.assert_allclose(got, want, atol=1e-9)
