@@ -170,12 +170,19 @@ def fastrp_embeddings(
         raise ValueError(
             f"need {iters} weights, got {len(weights)}"
         )
+    from pyspark import StorageLevel
+
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if symmetrize:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    verts = vertices.select("vertex_id")
+    # every power's (eager-checkpointed) job gathers against e — persist
+    # so the symmetrize-distinct shuffle runs once, not once per power
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    verts = vertices.select("vertex_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # e6 fixed-point state (array<int>): ±1732051 / 0 projection cells
     x = fastrp_projection(
         verts, dim, seed=seed, hash_method=hash_method, quantized=True
@@ -254,4 +261,8 @@ def fastrp_embeddings(
         acc = acc.select("vertex_id", F.col("_t").alias("_t2")).localCheckpoint(
             eager=True
         )
-    return _l2_normalize_df(acc, "_t2", "embedding", dim, "vertex_id")
+    out = _l2_normalize_df(acc, "_t2", "embedding", dim, "vertex_id")
+    # acc is checkpointed — the persisted inputs are no longer needed
+    e.unpersist()
+    verts.unpersist()
+    return out
