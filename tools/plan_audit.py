@@ -115,7 +115,7 @@ def audit_plan(plan: str) -> dict:
         "bnl_joins": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         "python_eval": len(
-            re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+            re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow", plan)
         ),
         # row-at-a-time Python is NEVER sanctioned — tracked separately so
         # the report proves every Python node is an Arrow-batched kernel
@@ -145,7 +145,8 @@ def main() -> int:
         "the (correctly) truncated final stage. Python eval nodes are "
         "violations unless the row names its documented Arrow kernel; "
         "row-at-a-time BatchEvalPython is never sanctioned (the audit "
-        "checked: every Python node in every plan is MapInPandas).\n"
+        "checked: every Python node in every plan is MapInPandas/"
+        "MapInArrow).\n"
     )
     print(
         "| query | exchanges | reused | bcast join | shuffle-hash | "
