@@ -43,6 +43,37 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _compact_item_keys(
+    c: DataFrame, cols: tuple[str, ...]
+) -> tuple[DataFrame, str | None]:
+    """Cast integral item keys to int32 when every value fits — half the
+    key bytes through the loop-invariant pair table and the per-iteration
+    state joins (the centrality._compact_topology lesson: id compaction
+    moved the 20M-edge PageRank superstep from E(1→4)=0.70 to 0.95).
+    Returns ``(df, original_dtype)``; dtype is None when no compaction
+    applied (non-integral items, or values outside int32). Callers cast
+    the output item column back so the public schema is unchanged."""
+    dt = dict(c.dtypes)[cols[0]]
+    if dt not in ("bigint", "int"):
+        return c, None
+    if dt == "int":
+        return c, None
+    stats = c.agg(
+        F.min(F.least(*cols)).alias("lo"),
+        F.max(F.greatest(*cols)).alias("hi"),
+    ).first()
+    if (
+        stats["lo"] is None
+        or stats["lo"] < -(2**31)
+        or stats["hi"] >= 2**31
+    ):
+        return c, None
+    return (
+        c.select(*[F.col(x).cast("int").alias(x) for x in cols]),
+        dt,
+    )
+
 __all__ = [
     "BradleyTerryResult",
     "bradley_terry",
@@ -89,6 +120,7 @@ def bradley_terry(
     c = comparisons.select(
         F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
     ).where(F.col("w") != F.col("l"))
+    c, _orig_dt = _compact_item_keys(c, ("w", "l"))
 
     # Loop invariants: wins per item, symmetric pair multiplicities, items.
     wins = c.groupBy(F.col("w").alias("i")).agg(
@@ -129,7 +161,10 @@ def bradley_terry(
         )
         p = p.localCheckpoint(eager=False)
 
-    out = p.select(F.col("i").alias("item"), F.col("p").alias("strength"))
+    item_out = (
+        F.col("i").cast(_orig_dt) if _orig_dt else F.col("i")
+    ).alias("item")
+    out = p.select(item_out, F.col("p").alias("strength"))
     sym.unpersist()
     items.unpersist()
     return BradleyTerryResult(
@@ -225,6 +260,7 @@ def rank_centrality(
     c = comparisons.select(
         F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
     ).where(F.col("w") != F.col("l"))
+    c, _orig_dt = _compact_item_keys(c, ("w", "l"))
 
     und = (
         c.select(
@@ -289,7 +325,9 @@ def rank_centrality(
     # Mean-1 rescale (in-plan 1-row broadcast, same contract as BT).
     tot = pi.agg(F.sum("p").alias("s"))
     res = pi.crossJoin(F.broadcast(tot)).select(
-        F.col("i").alias("item"),
+        (F.col("i").cast(_orig_dt) if _orig_dt else F.col("i")).alias(
+            "item"
+        ),
         (F.col("p") * F.lit(float(num_items)) / F.col("s")).alias("score"),
     )
     edges.unpersist()
