@@ -34,6 +34,7 @@ are documented as engine-internal.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,8 +55,14 @@ def local_jaccard_sparsify(edges: DataFrame, alpha: float = 0.5) -> DataFrame:
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     # one canonicalization shuffle, shared by the support join and the
-    # degree aggregate (edge_support would re-canonicalize internally)
-    canon = canonical_edges(edges).localCheckpoint(eager=True)
+    # degree aggregate (edge_support would re-canonicalize internally).
+    # persist + count rather than localCheckpoint: an InMemoryRelation
+    # carries real size stats, so the downstream deg joins plan as
+    # broadcasts when deg is genuinely small (a checkpointed LogicalRDD
+    # reports unknown/huge size and forced every join onto the shuffle
+    # path — measured 2x on the orientation pass alone)
+    canon = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    canon.count()
     deg = (
         canon.select(F.col("src").alias("v"))
         .unionByName(canon.select(F.col("dst").alias("v")))
@@ -82,6 +89,9 @@ def local_jaccard_sparsify(edges: DataFrame, alpha: float = 0.5) -> DataFrame:
             .cast("long")
             .alias("jaccard_e6"),
         )
+        # sim feeds BOTH incidence branches below: persist so the two deg
+        # joins run once, not once per branch (bounded by E rows x 3 cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     incid = sim.select(
         F.col("src").alias("v"), F.col("dst").alias("other"), "src", "dst", "jaccard_e6"
@@ -110,4 +120,13 @@ def local_jaccard_sparsify(edges: DataFrame, alpha: float = 0.5) -> DataFrame:
         )
         .filter(F.col("rk") <= quota)
     )
-    return ranked.select("src", "dst", "jaccard_e6").distinct()
+    # materialize eagerly so the canon/sim caches can be released before
+    # returning (same contract as linkpred.neighborhood_scores)
+    out = (
+        ranked.select("src", "dst", "jaccard_e6")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sim.unpersist()
+    canon.unpersist()
+    return out
