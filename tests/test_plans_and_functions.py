@@ -136,6 +136,35 @@ def test_small_state_aqe_bypass_toggles_and_restores(spark):
         spark.conf.set(key, "true")
 
 
+def test_small_state_bypass_scales_shuffle_partitions(spark):
+    """While engaged, shuffle partitions shrink to ceil(n/rows_per_partition)
+    clamped to [4, previous]; the previous count is restored on exit and the
+    derivation never raises the configured value."""
+    from halvesting_geometric_spark.session import small_state_aqe_bypass
+
+    pkey = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(pkey)
+    try:
+        spark.conf.set(pkey, "32")
+        # 139k rows at 20k rows/partition -> 7
+        with small_state_aqe_bypass(spark, 139_000, threshold=1_000_000):
+            assert spark.conf.get(pkey) == "7"
+        assert spark.conf.get(pkey) == "32"
+        # tiny input clamps at the floor of 4
+        with small_state_aqe_bypass(spark, 10, threshold=1_000_000):
+            assert spark.conf.get(pkey) == "4"
+        assert spark.conf.get(pkey) == "32"
+        # big-but-under-threshold input never raises the configured count
+        with small_state_aqe_bypass(spark, 1_000_000, threshold=1_000_000):
+            assert spark.conf.get(pkey) == "32"
+        assert spark.conf.get(pkey) == "32"
+        # disengaged (above threshold): untouched
+        with small_state_aqe_bypass(spark, 10, threshold=5):
+            assert spark.conf.get(pkey) == "32"
+    finally:
+        spark.conf.set(pkey, prev)
+
+
 def test_json_long_field_null_on_malformed(spark):
     from halvesting_geometric_spark.functions import json_long_field
 
