@@ -68,10 +68,13 @@ def greedy_coloring(
     state = vertices.select(
         "vertex_id",
         F.lit(None).cast("long").alias("color"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     for t in range(rounds):
+        # this count doubles as the materializer of the previous round's
+        # LAZY checkpoint — one Spark job per round instead of two (the
+        # uncolored probe and the eager checkpoint used to be separate jobs)
         n_uncolored = state.filter(F.col("color").isNull()).count()
         if n_uncolored == 0:
             break
@@ -133,7 +136,7 @@ def greedy_coloring(
                 )
                 .alias("color"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         # budget exhausted without hitting the early break — in fixpoint
@@ -147,5 +150,8 @@ def greedy_coloring(
             raise RuntimeError(
                 f"greedy_coloring did not finish within max_rounds={max_rounds}"
             )
+    # materialize the (lazy) final state before dropping the edge cache it
+    # reads from — the early-break path already did via its count
+    state.count()
     sym.unpersist()
     return state.select("vertex_id", "color")

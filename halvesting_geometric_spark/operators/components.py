@@ -36,10 +36,17 @@ class ComponentsResult:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    The symmetrized view is NOT deduplicated: the min-aggregate is
+    duplicate-insensitive and the output is deduplicated below, so the
+    inner distinct was a pure extra shuffle per round (and with the round
+    input canonicalized in :func:`connected_components`, the union is
+    duplicate-free anyway).
+    """
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
+    )
     mins = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("min_dst"))
@@ -54,14 +61,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect every smaller neighbor of u (and u) to the minimum."""
-    directed = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        .dropDuplicates(["src", "dst"])
+    """Connect every smaller neighbor of u (and u) to the minimum.
+
+    Like :func:`_large_star`, the canonicalized view skips its own
+    distinct: the min-aggregate ignores duplicates and the final
+    ``dropDuplicates`` normalizes the output — one less shuffle per round.
+    Duplicate rows fan out the ``nbr_edges`` join pre-dedup, but the
+    large-star input is already duplicate-free (its own output dedup), so
+    the fan-out is 1:1 in the alternating loop.
+    """
+    directed = edges.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
     )
     mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
     nbr_edges = directed.join(mins, "src").select(
@@ -94,9 +105,16 @@ def connected_components(
     their own singleton components.
     """
     spark = edges.sparkSession
+    # canonical (src<dst) initial form: both directions of a pair collapse
+    # to one row, so the symmetrized large-star view is duplicate-free and
+    # the round works on the minimal edge set. Star-contraction only
+    # depends on the undirected edge SET, so results are unchanged.
     cur = (
         edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -172,6 +172,12 @@ def aggregate_neighbors(
                 vcol = b.column(vec_name)
                 if vcol.null_count:
                     raise ValueError("null feature vector in gather")
+                flat = vcol.flatten()
+                # element nulls inside a list would silently become NaN in
+                # the to_numpy() below — fail fast like the null-vector and
+                # width checks
+                if flat.null_count:
+                    raise ValueError("null element inside feature vector")
                 widths = pa.compute.list_value_length(vcol).to_numpy(
                     zero_copy_only=False
                 )
@@ -183,8 +189,7 @@ def aggregate_neighbors(
                 # flatten() honors the batch's slice; one reshape, no
                 # per-row objects
                 mat = (
-                    vcol.flatten()
-                    .to_numpy(zero_copy_only=False)
+                    flat.to_numpy(zero_copy_only=False)
                     .astype(np.float64, copy=False)
                     .reshape(-1, dim)
                 )
@@ -210,7 +215,18 @@ def aggregate_neighbors(
             # total
             uniq, out, cnt = fold()
             n = len(uniq)
-            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+            # offsets must stay inside int32 for a plain ListArray; with the
+            # _REDUCE_CAP row bound this only trips for very wide vectors
+            # (dim >= ~8200), where silent int32 wraparound would corrupt
+            # the list offsets — fail fast instead
+            if n * dim >= 2**31:
+                raise ValueError(
+                    f"partial batch too wide for int32 list offsets: "
+                    f"{n} rows x dim={dim}"
+                )
+            offsets = pa.array(
+                (np.arange(n + 1, dtype=np.int64) * dim).astype(np.int32)
+            )
             pvec = pa.ListArray.from_arrays(
                 offsets, pa.array(out.ravel(), type=pa.float64())
             )
@@ -235,11 +251,15 @@ def aggregate_neighbors(
         # again: every dst now lives in exactly one partition, so the
         # second pass emits exactly one final row per vertex — no
         # groupBy, no interpreted fold
-        n_shuffle = int(
-            gathered.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions", "200"
+        try:
+            n_shuffle = int(
+                gathered.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
             )
-        )
+        except ValueError:
+            # some platforms report a non-numeric value (e.g. "auto")
+            n_shuffle = partials.rdd.getNumPartitions() or 200
         merged = (
             partials.repartition(n_shuffle, "dst")
             .mapInArrow(make_partial("pvec", "cnt"), _schema)

@@ -69,10 +69,32 @@ def _compact_item_keys(
         or stats["hi"] >= 2**31
     ):
         return c, None
-    return (
-        c.select(*[F.col(x).cast("int").alias(x) for x in cols]),
-        dt,
-    )
+
+    # The bound check above ran as its own action on the (unpersisted)
+    # comparisons lineage; a non-deterministic upstream could present
+    # different values when the compacted frame is re-evaluated downstream.
+    # Guard the cast itself so an out-of-range value fails fast in EVERY
+    # evaluation (independent of the session's ANSI setting) instead of
+    # silently wrapping.
+    def _checked(x: str):
+        col = F.col(x)
+        return (
+            F.when(col.between(-(2**31), 2**31 - 1), col.cast("int"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "item key outside int32 after compaction "
+                            "decision (non-deterministic source?): "
+                        ),
+                        col.cast("string"),
+                    )
+                )
+            )
+            .alias(x)
+        )
+
+    return c.select(*[_checked(x) for x in cols]), dt
 
 __all__ = [
     "BradleyTerryResult",
@@ -123,9 +145,13 @@ def bradley_terry(
     c, _orig_dt = _compact_item_keys(c, ("w", "l"))
 
     # Loop invariants: wins per item, symmetric pair multiplicities, items.
+    # wins is referenced once per MM iteration inside the single batched
+    # job — persist it so the raw comparison log is aggregated once, not
+    # once per iteration (the docstring's "never the raw comparison log"
+    # contract; unpersisted it re-scanned c fixed_iters times).
     wins = c.groupBy(F.col("w").alias("i")).agg(
         F.count("*").cast("double").alias("wn")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     und = (
         c.select(F.least("w", "l").alias("a"), F.greatest("w", "l").alias("b"))
         .groupBy("a", "b")
@@ -137,7 +163,10 @@ def bradley_terry(
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     items = sym.select("i").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     num_items = items.count()
-    num_pairs = und.count()
+    # sym holds each unordered pair exactly twice (a<b strictly, so the two
+    # directions never collide): count the CACHED sym instead of
+    # re-aggregating und from the raw comparison log
+    num_pairs = sym.count() // 2
 
     p = items.select("i", F.lit(1.0).alias("p"))
     for _ in range(fixed_iters):
@@ -164,9 +193,16 @@ def bradley_terry(
     item_out = (
         F.col("i").cast(_orig_dt) if _orig_dt else F.col("i")
     ).alias("item")
-    out = p.select(item_out, F.col("p").alias("strength"))
+    # materialize the whole MM chain ONCE while the loop-invariant caches are
+    # still live, then release them — returning the lazy chain and dropping
+    # the caches first (the previous shape) made the caller's first action
+    # recompute sym/wins from the raw log once per iteration reference
+    out = p.select(item_out, F.col("p").alias("strength")).localCheckpoint(
+        eager=True
+    )
     sym.unpersist()
     items.unpersist()
+    wins.unpersist()
     return BradleyTerryResult(
         strengths=out,
         iterations=fixed_iters,
@@ -330,6 +366,10 @@ def rank_centrality(
         ),
         (F.col("p") * F.lit(float(num_items)) / F.col("s")).alias("score"),
     )
+    # materialize before dropping the loop-invariant caches (see
+    # bradley_terry: a lazy return + immediate unpersist re-derived the
+    # edge table from the raw log once per iteration reference)
+    res = res.localCheckpoint(eager=True)
     edges.unpersist()
     items.unpersist()
     return res
@@ -421,7 +461,7 @@ def tournament_cycles(
     res = closed.agg(
         (F.count("*") / F.lit(3)).cast("long").alias("n_cycles"),
         F.lit(n_edges).cast("long").alias("n_majority_edges"),
-    )
+    ).localCheckpoint(eager=True)  # materialize before dropping m's cache
     m.unpersist()
     return res
 
