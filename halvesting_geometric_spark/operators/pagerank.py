@@ -64,7 +64,7 @@ def pagerank(
     agg_mode: str = "groupby",
     n_salts: int = 16,
     hot_src_threshold: int | None = None,
-    broadcast_state_threshold: int = 1_000_000,
+    broadcast_state_threshold: int = 0,
     checkpoint: CheckpointManager | None = None,
     checkpoint_interval: int = 1,
     resume: bool = False,
@@ -284,11 +284,16 @@ def pagerank(
         )
         dangling = n_dangling / float(n)
 
-    # Small vertex-state tables ride broadcast joins: the big (cached) edge
-    # table is never reshuffled per superstep, only the scatter aggregate
-    # shuffles. Above the threshold everything falls back to AQE-planned
-    # shuffle joins (the 100TB path).
-    bcast_state = n <= broadcast_state_threshold
+    # Vertex-state join strategy. The default is the shuffle-hash path at
+    # EVERY scale (threshold 0): the cached edge table is pre-partitioned on
+    # the gather key, so a shuffle join moves only the V-row state, while a
+    # broadcast build serializes V rows through the driver once per
+    # superstep — measured SLOWER at both bench scales (sf0.1: 9.9 vs 8.2 s
+    # to 1e-6; sf1.0: 29.2 vs 16.4 s) and it caps multi-executor scaling
+    # (the round-5 _b() note). A positive threshold re-enables per-superstep
+    # state broadcast for callers that want it (e.g. few-iteration runs on
+    # broadcast-friendly clusters).
+    bcast_state = 0 < n <= broadcast_state_threshold
 
     def _b(df: DataFrame) -> DataFrame:
         # Above the threshold the hint matters as much as the absence of
