@@ -10,9 +10,11 @@ and *documents its own bug*: per-partition index reset collapses ids at scale
   result-sized tables, wrong for billion-row vertex sets.
 - ``dense_ids_scalable``: the zipWithIndex pattern kept in DataFrame land —
   range-repartition by key, sort within partitions, count rows per partition
-  (tiny collect), then add per-partition prefix offsets inside ``mapInPandas``
-  (Arrow-vectorized, one cumcount per batch). Scales to any vertex count; the
-  only driver traffic is one long per partition.
+  (tiny collect), then add per-partition prefix offsets as a pure Catalyst
+  expression (``monotonically_increasing_id``'s low 33 bits are the
+  within-partition record index; offsets attach via a broadcast join).
+  Scales to any vertex count; the only driver traffic is one long per
+  partition, and no Python evaluation anywhere.
 
 Both produce ids equal to the rank of ``key`` in global ascending order, so
 they are interchangeable and cross-checked in tests.
@@ -20,10 +22,6 @@ they are interchangeable and cross-checked in tests.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,7 +43,15 @@ def dense_ids_scalable(
     """Dense ids via two-phase per-partition counting (the at-scale path).
 
     Phase 1 counts rows per range-partition (collects ``num_partitions``
-    longs); phase 2 assigns ``offset[pid] + cumcount`` inside mapInPandas.
+    longs); phase 2 assigns ``offset[pid] + within-partition index`` as a
+    pure Catalyst expression: ``monotonically_increasing_id`` stores the
+    record number within each partition in its low 33 bits (documented
+    layout), which over the sorted, pinned partitions IS the per-partition
+    cumcount, and the prefix offsets attach via a broadcast join on
+    ``spark_partition_id()``. No Python evaluation anywhere (the previous
+    mapInPandas kernel paid a full JVM→Arrow→Python round trip of the
+    vertex table — optimization guide §4).
+
     The ranged input is CHECKPOINTED between phases so both see identical
     partitioning: RangePartitioner samples boundaries with an RDD-id-seeded
     RNG, and a cache-evicted-and-recomputed partition could silently
@@ -66,30 +72,32 @@ def dense_ids_scalable(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    offsets: dict[int, int] = {}
+    if counts and max(counts.values()) >= (1 << 33):
+        # the 33-bit record field would wrap: 8.6e9 rows in ONE range
+        # partition means the partitioning itself is broken — fail fast
+        raise ValueError(
+            "dense_ids_scalable: a range partition exceeds 2^33 rows; "
+            "raise num_partitions"
+        )
+    offsets: list[tuple[int, int]] = []
     running = 0
     for pid in range(num_partitions):
-        offsets[pid] = running
+        offsets.append((pid, running))
         running += counts.get(pid, 0)
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        next_id = b_offsets.value.get(pid, 0)
-        for pdf in batches:
-            n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    id_col: pd.RangeIndex(next_id, next_id + n).astype("int64"),
-                    key: pdf[key].to_numpy(),
-                }
-            )
-            next_id += n
-            yield out
-
-    out_schema = f"{id_col} long, {key} string"
-    result = sorted_df.mapInPandas(assign, schema=out_schema)
-    return result
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    # record index must be computed directly over the pinned partitions
+    # (BEFORE the join, whose output order is not load-bearing)
+    indexed = sorted_df.select(
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias("_idx"),
+        F.col(key),
+    )
+    return indexed.join(F.broadcast(off_df), "_pid").select(
+        (F.col("_off") + F.col("_idx")).cast("long").alias(id_col),
+        F.col(key),
+    )
 
 
 def build_vertices(

@@ -38,8 +38,11 @@ KERNELS = {
     # (kernel still runs when the checkpoint materializes; consumer plans are
     # simply truncated past it, which is the desired flat-plan shape).
 
+    # Round 6: dense_ids_scalable's phase-2 assignment is now a pure
+    # Catalyst expression (monotonically_increasing_id low bits + broadcast
+    # offset join) — the former "dense-id" mapInPandas kernel rows
+    # (snm_pairs, hetero_edges, hetero_vertices) are Python-free now.
     "sage2": "sage",
-    "snm_pairs": "dense-id",
     # spearman_deg: the two _avg_rank2 prefix-offset passes (one per rank
     # side) — same two-phase mapInPandas shape as the dense-id kernel
     "spearman_deg": "rank-prefix",
@@ -87,10 +90,6 @@ KERNELS = {
     "gated": "sage",
     "ivf_ann": "ivf",
     "pq_codes": "pq",  # PQ Arrow encode kernel (one matmul per subspace)
-    # downstream of the gate pipeline's dense ids (the kernel re-prints
-    # once per textual consumer of the shared, cached subtree):
-    "hetero_edges": "dense-id",
-    "hetero_vertices": "dense-id",
     # emb_cov8 / triangle_total consume their Arrow kernels EAGERLY while
     # building (moments collect / checkpointed counts), so their returned
     # plans are correctly Python-free — not listed here.
