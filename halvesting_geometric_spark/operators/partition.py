@@ -42,7 +42,7 @@ vertex; nothing in the loop buffers a neighborhood.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -119,22 +119,88 @@ def balanced_partition(
         )
         # deterministic per-label admission quota: top (cap − load) wanting
         # migrants by (gain, id); leavers only free space, so load ≤ cap
-        # holds after every round
-        quota = loads.select(
-            F.col("label").alias("best_label"),
-            (F.lit(cap) - F.col("load")).alias("quota"),
+        # holds after every round.
+        #
+        # Two-phase ranked admission (round-5 verdict item 3): the former
+        # Window.partitionBy(best_label) ranked ~V/k migrants in ONE task
+        # per label — the round's longest pole at 100× scale. Instead,
+        # range-partition the migrants by the full admission sort key
+        # (label, gain DESC, id), collect the per-(partition, label) counts
+        # (≤ partitions·k longs), and reconstruct each row's global
+        # within-label rank as a pure Catalyst expression:
+        #   rank = offset_of_label_in_earlier_partitions
+        #        + (within-partition record index − label block start).
+        # Identical admitted set (the sort key is a total order), but hub
+        # labels now sort across MANY spillable tasks (same pattern as
+        # ids.dense_ids_scalable).
+        quotas = {
+            int(r["label"]): cap - int(r["load"]) for r in loads.collect()
+        }
+        spark = edges.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        ranged = (
+            mig.repartitionByRange(
+                n_parts,
+                F.col("best_label").asc(),
+                F.col("best_cnt").desc(),
+                F.col("vertex_id").asc(),
+            )
+            .sortWithinPartitions(
+                F.col("best_label").asc(),
+                F.col("best_cnt").desc(),
+                F.col("vertex_id").asc(),
+            )
+            # pin the partitioning between the counting pass and the rank
+            # expression (RangePartitioner re-samples on recompute — same
+            # fail-over-wrong contract as dense_ids_scalable)
+            .localCheckpoint(eager=True)
+        )
+        pl_counts = (
+            ranged.groupBy(
+                F.spark_partition_id().alias("_pid"),
+                F.col("best_label").alias("_lbl"),
+            )
+            .agg(F.count("*").alias("_cnt"))
+            .collect()
+        )
+        by_pid: dict[int, list[tuple[int, int]]] = {}
+        for r in pl_counts:
+            by_pid.setdefault(int(r["_pid"]), []).append(
+                (int(r["_lbl"]), int(r["_cnt"]))
+            )
+        label_running: dict[int, int] = {}
+        corr_rows: list[tuple[int, int, int, int]] = []
+        for pid in range(n_parts):
+            # labels inside a partition appear in ascending label order
+            # (leading range key), so the block start is the cumsum of
+            # smaller labels' counts in this partition
+            block_start = 0
+            for lbl, cnt in sorted(by_pid.get(pid, [])):
+                corr_rows.append(
+                    (
+                        pid,
+                        lbl,
+                        label_running.get(lbl, 0) - block_start,
+                        quotas.get(lbl, 0),
+                    )
+                )
+                label_running[lbl] = label_running.get(lbl, 0) + cnt
+                block_start += cnt
+        corr_df = spark.createDataFrame(
+            corr_rows or [(0, 0, 0, 0)],
+            "_pid int, best_label long, _corr long, _quota long",
         )
         adm = (
-            mig.withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("best_label").orderBy(
-                        F.col("best_cnt").desc(), F.col("vertex_id").asc()
-                    )
-                ),
+            ranged.select(
+                F.spark_partition_id().alias("_pid"),
+                F.monotonically_increasing_id()
+                .bitwiseAND(F.lit((1 << 33) - 1))
+                .alias("_idx"),
+                "vertex_id",
+                "best_label",
             )
-            .join(F.broadcast(quota), "best_label")
-            .filter(F.col("rk") <= F.col("quota"))
+            .join(F.broadcast(corr_df), ["_pid", "best_label"])
+            .filter(F.col("_idx") + F.col("_corr") < F.col("_quota"))
             .select("vertex_id", F.col("best_label").alias("new_label"))
         )
         state = (
