@@ -177,7 +177,45 @@ BNLJ_SANCTIONED = {
 # the two-phase rank pattern). Entries are verified against the code path
 # named in the comment; an unlisted query with a global window FAILS.
 UNPART_WINDOW_BOUNDED: dict[str, str] = {
-    # filled from the audited plans — see the generated PLAN_AUDIT.md table
+    "graph_growth": "cumulative sum over day buckets — one row per "
+        "distinct day in the corpus (temporal.py), not per event",
+    "cms_hh": "top-k rank over CMS counters — input ≤ depth×width "
+        "(4×2048) sketch rows (sketch.py), independent of data size",
+    "length_quantiles": "running sum over DISTINCT n_chars values per "
+        "lang (quantiles.py type-1 path) — bounded by the value domain, "
+        "never per-row",
+    "ppr_nibble": "sweep-cut prefix over the ε-truncated PPR support of "
+        "the seed set (localcluster.py:92) — local-cluster-sized by the "
+        "ACL nibble guarantee, not graph-sized",
+    "ks_qty": "two-phase prefix: the global window is over the "
+        "per-partition boundary table (stats.py:99, _pid rows = shuffle "
+        "partition count), in-partition prefix is partitioned",
+    "acf24": "lead()/moment windows over the densified HOURLY bucket "
+        "axis (anomaly.py acf_counts) — one row per hour bucket per lag",
+    "wq_price": "cumulative weight over DISTINCT price-cent values "
+        "(quantiles.py weighted type-1 path) — value-domain bounded",
+    "zipf_fit": "two-phase rank: global window over the per-partition "
+        "boundary table only (diversity.py:163, _pid rows); the "
+        "rank-within-partition window is partitioned",
+    "heaps5": "two-phase prefix over per-document token counts; the "
+        "global window is the per-partition boundary table "
+        "(diversity.py heaps path), checkpoints are a 5-row grid",
+    "mwu_price": "doubled-midrank prefix over DISTINCT integer cent "
+        "values (stats.py) — value-domain bounded",
+    "best_of_n": "per-prompt windows are partitioned (preference.py:497); "
+        "the one global window ranks the k-row prompt summary for "
+        "deterministic output ordering",
+    "pack1k": "two-phase prefix-sum: global window over the "
+        "per-partition boundary table (mixing.py:198, _pid rows)",
+    "configmodel": "two-phase stub ranks: both global windows are over "
+        "the per-partition boundary tables (nullmodel.py:70), one per "
+        "stub side",
+    "anomalies": "type-1 median/MAD passes over DISTINCT values per "
+        "type (anomaly.py:126 partitioned; the global window is the "
+        "distinct-value bucket axis at anomaly.py:196)",
+    "auroc_events": "ungrouped AUROC: the rank-prefix windows fall back "
+        "to unpartitioned over the per-SCORE histogram "
+        "(metrics.py:153 — one row per distinct score, not per event)",
 }
 
 
